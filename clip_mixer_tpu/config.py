@@ -1,0 +1,133 @@
+"""Model/training configuration for the TPU-native CLIP-Mixer framework.
+
+A single typed config drives both tower variants (``tower="mixer"`` vs
+``tower="transformer"``), mirroring the reference's ``useTransformer`` switch
+(reference: training/clip/model.py:253,308) but as a first-class enum-style
+field instead of a bool threaded through constructors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """Architecture hyperparameters shared by both tower variants.
+
+    Field semantics follow the reference constructor
+    (training/clip/model.py:293-338); defaults are the trained "Mixer-B/32"
+    configuration (training/training.py:275-287).
+    """
+
+    embed_dim: int = 512
+    # vision tower
+    image_resolution: int = 224
+    vision_layers: int | Tuple[int, int, int, int] = 12
+    vision_width: int = 768
+    vision_patch_size: Optional[int] = 32
+    # text tower
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    # "mixer" -> token/channel-mixing MLP blocks (no positional embeddings,
+    # reference model.py:262,343); "transformer" -> pre-LN attention blocks;
+    # "resnet" vision tower is selected automatically when vision_layers is a
+    # tuple (reference model.py:315-319).
+    tower: str = "mixer"
+    # numerics: params are stored float32; activations run in compute_dtype
+    # with float32 LayerNorm internals (reference model.py:166-172 keeps LN in
+    # fp32 inside an fp16 model; bf16 is the TPU-native analogue).
+    compute_dtype: str = "bfloat16"
+    # rematerialise tower blocks during training (reference exposes
+    # checkpoint_sequential but never enables it, model.py:226-249).
+    remat: bool = False
+
+    @property
+    def use_transformer(self) -> bool:
+        return self.tower == "transformer"
+
+    @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
+
+    @property
+    def vision_heads(self) -> int:
+        if self.is_resnet:
+            return self.vision_width * 32 // 64
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        assert not self.is_resnet
+        return self.image_resolution // self.vision_patch_size
+
+    @property
+    def vision_tokens(self) -> int:
+        """Patch tokens + CLS (reference model.py:266)."""
+        return self.grid_size**2 + 1
+
+    @property
+    def logit_scale_init(self) -> float:
+        return math.log(1.0 / 0.07)
+
+    def replace(self, **kw) -> "CLIPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Named presets. "mixer-b32" is the model the reference trained
+# (training/training.py:275-287, 111M params); "transformer-b32" is its
+# attention twin (training/validateModel.py:13-25, 151M params).
+PRESETS = {
+    "mixer-b32": CLIPConfig(tower="mixer"),
+    "transformer-b32": CLIPConfig(tower="transformer"),
+    # OpenAI ViT-B/32 geometry, for loading official checkpoints.
+    "vit-b32": CLIPConfig(tower="transformer"),
+    "vit-b16": CLIPConfig(tower="transformer", vision_patch_size=16),
+    "vit-l14": CLIPConfig(
+        tower="transformer",
+        embed_dim=768,
+        vision_layers=24,
+        vision_width=1024,
+        vision_patch_size=14,
+        text_width=768,
+        text_heads=12,
+        text_layers=12,
+    ),
+    "rn50": CLIPConfig(
+        tower="transformer",
+        embed_dim=1024,
+        vision_layers=(3, 4, 6, 3),
+        vision_width=64,
+        vision_patch_size=None,
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation hyperparameters (reference training/training.py:55-89)."""
+
+    global_batch_size: int = 32768
+    epochs: int = 32
+    steps_per_epoch: Optional[int] = None  # derived from dataset if None
+    learning_rate: float = 5e-4
+    min_lr_ratio: float = 0.01  # min_lr = lr / 100 (training.py:86)
+    warmup_steps: int = 2  # training.py:88
+    weight_decay: float = 0.2  # masked, training.py:73
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    grad_clip_norm: float = 20.0  # training.py:181
+    logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
+    checkpoint_every_steps: int = 400  # training.py:197
+    seed: int = 0
+    # image normalisation applied inside the train step, NOT in preprocess
+    # (reference keeps preprocess uint8 and normalises in-loop,
+    # clip.py:85-86 / training.py:115,149)
+    image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)

@@ -1,0 +1,115 @@
+"""MLP-Mixer block and tower — the reference's novelty, TPU-first.
+
+Semantics of reference model.py:201-222 (MixerBlock) and :239-249 (Mixer):
+pre-LN token-mixing MLP (contract over the token axis, expansion x4) and
+pre-LN channel-mixing MLP (expansion x4), both residual, both QuickGELU.
+Note the x4 expansion on BOTH mixes — this differs from the Mixer paper's
+(0.5, 4) and is a deliberate property of the reference.
+
+TPU-first layout: instead of the reference's permute->Linear->permute
+(model.py:220-222), the token mix is a single einsum contracting the token
+axis directly — ``btw,tu->buw`` — which keeps the model width W on the lane
+(last) dimension for both mixes, so every matmul hits the MXU with W=768/512
+(multiples of 128) lanes and no relayout between the two mixes.
+
+The tower is a ``lax.scan`` over stacked per-layer params (one compiled block
+body regardless of depth), with optional ``jax.checkpoint`` rematerialisation
+(the reference exposes checkpoint_sequential but never enables it,
+model.py:239-249).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from clip_mixer_tpu.models.layers import (
+    init_layer_norm,
+    init_linear_normal,
+    init_linear_torch_default,
+    layer_norm,
+    quick_gelu,
+    stack_layers,
+)
+
+
+def mixer_block(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """One MixerBlock. x: [B, T, W]."""
+    dt = x.dtype
+    # Token mix: LN -> contract T -> gelu -> contract back -> residual.
+    y = layer_norm(params["ln_token"], x)
+    tm = params["token_mix"]
+    h = jnp.einsum("btw,tu->buw", y, tm["w_in"].astype(dt))
+    h = h + tm["b_in"].astype(dt)[:, None]
+    h = quick_gelu(h)
+    h = jnp.einsum("buw,ut->btw", h, tm["w_out"].astype(dt))
+    h = h + tm["b_out"].astype(dt)[:, None]
+    x = x + h
+
+    # Channel mix: LN -> W -> 4W -> W -> residual.
+    y = layer_norm(params["ln_channel"], x)
+    cm = params["channel_mix"]
+    h = y @ cm["w_in"].astype(dt) + cm["b_in"].astype(dt)
+    h = quick_gelu(h)
+    h = h @ cm["w_out"].astype(dt) + cm["b_out"].astype(dt)
+    return x + h
+
+
+def init_mixer_block(key, width: int, tokens: int, text_tower: bool, n_layers: int) -> Dict:
+    """Init one block.
+
+    text_tower=True applies the reference's explicit normal init
+    (model.py:388-393: lin1/lin3 std (2w)^-1/2, lin2/lin4 std
+    w^-1/2 (2L)^-1/2, where w is the TEXT width); text_tower=False keeps
+    torch-default init, matching the reference's vision-tower quirk (its
+    initialize_parameters only touches ``self.transformer``).
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    if text_tower:
+        fc_std = (2 * width) ** -0.5
+        proj_std = (width**-0.5) * ((2 * n_layers) ** -0.5)
+        tok_in = init_linear_normal(k1, tokens, tokens * 4, fc_std)
+        tok_out = init_linear_normal(k2, tokens * 4, tokens, proj_std)
+        ch_in = init_linear_normal(k3, width, width * 4, fc_std)
+        ch_out = init_linear_normal(k4, width * 4, width, proj_std)
+    else:
+        tok_in = init_linear_torch_default(k1, tokens, tokens * 4)
+        tok_out = init_linear_torch_default(k2, tokens * 4, tokens)
+        ch_in = init_linear_torch_default(k3, width, width * 4)
+        ch_out = init_linear_torch_default(k4, width * 4, width)
+    return {
+        "ln_token": init_layer_norm(width),
+        "token_mix": {
+            "w_in": tok_in["kernel"],
+            "b_in": tok_in["bias"],
+            "w_out": tok_out["kernel"],
+            "b_out": tok_out["bias"],
+        },
+        "ln_channel": init_layer_norm(width),
+        "channel_mix": {
+            "w_in": ch_in["kernel"],
+            "b_in": ch_in["bias"],
+            "w_out": ch_out["kernel"],
+            "b_out": ch_out["bias"],
+        },
+    }
+
+
+def init_mixer_tower(key, width: int, tokens: int, n_layers: int, text_tower: bool) -> Dict:
+    keys = jax.random.split(key, n_layers)
+    return {"blocks": stack_layers([init_mixer_block(k, width, tokens, text_tower, n_layers) for k in keys])}
+
+
+def mixer_tower(params: Dict, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+    """Scan the stacked blocks. x: [B, T, W]."""
+    body = mixer_block
+    if remat:
+        body = jax.checkpoint(body)
+
+    def step(h, layer_params):
+        return body(layer_params, h), None
+
+    out, _ = jax.lax.scan(step, x, params["blocks"])
+    return out

@@ -1,0 +1,184 @@
+"""ModifiedResNet vision tower (reference model.py:12-163), NHWC/XLA-native.
+
+OpenAI CLIP's ResNet: 3-conv stem with avgpool, anti-aliased strided
+bottlenecks (avgpool before every stride-2 conv), and QKV attention pooling
+with a mean-token query. Needed to load/evaluate the RN* checkpoints
+(build_model dispatches on the ``visual.proj`` key, reference model.py:470-485).
+
+Round-1 scope: inference path with running-stat BatchNorm (the reference only
+ever *trains* the ViT/Mixer towers; its SyncBatchNorm conversion is vestigial
+— SURVEY §2.7). Convolutions run NHWC via lax.conv_general_dilated so XLA
+tiles them onto the MXU directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from clip_mixer_tpu.config import CLIPConfig
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv(params: Dict, x: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x,
+        params["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=_DN,
+    )
+
+
+def batch_norm(params: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference BN with running statistics, f32 internals."""
+    x32 = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(params["var"] + eps)
+    y = (x32 - params["mean"]) * inv * params["scale"] + params["bias"]
+    return y.astype(x.dtype)
+
+
+def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+    ) / float(k * k)
+
+
+def _init_conv(key, kh, kw, cin, cout) -> Dict:
+    bound = (cin * kh * kw) ** -0.5
+    return {"kernel": jax.random.uniform(key, (kh, kw, cin, cout), jnp.float32, -bound, bound)}
+
+
+def _init_bn(c, zero_scale: bool = False) -> Dict:
+    return {
+        "scale": jnp.zeros((c,), jnp.float32) if zero_scale else jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def bottleneck(params: Dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Anti-aliased bottleneck (reference model.py:12-61): all convs stride 1;
+    when stride>1 an avgpool follows conv2, and the downsample path is
+    avgpool -> 1x1 conv."""
+    out = jax.nn.relu(batch_norm(params["bn1"], conv(params["conv1"], x)))
+    out = jax.nn.relu(batch_norm(params["bn2"], conv(params["conv2"], out, padding=1)))
+    if stride > 1:
+        out = avg_pool(out, stride)
+    out = batch_norm(params["bn3"], conv(params["conv3"], out))
+
+    identity = x
+    if "downsample" in params:
+        identity = x if stride == 1 else avg_pool(x, stride)
+        identity = batch_norm(params["downsample"]["bn"], conv(params["downsample"]["conv"], identity))
+    return jax.nn.relu(out + identity)
+
+
+def _init_bottleneck(key, inplanes: int, planes: int, stride: int) -> Dict:
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _init_conv(ks[0], 1, 1, inplanes, planes),
+        "bn1": _init_bn(planes),
+        "conv2": _init_conv(ks[1], 3, 3, planes, planes),
+        "bn2": _init_bn(planes),
+        "conv3": _init_conv(ks[2], 1, 1, planes, planes * 4),
+        # bn3 scale zero-init (reference model.py:374-377)
+        "bn3": _init_bn(planes * 4, zero_scale=True),
+    }
+    if stride > 1 or inplanes != planes * 4:
+        p["downsample"] = {
+            "conv": _init_conv(ks[3], 1, 1, inplanes, planes * 4),
+            "bn": _init_bn(planes * 4),
+        }
+    return p
+
+
+def attention_pool(params: Dict, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """QKV attention pooling with mean-token query (reference model.py:65-100).
+
+    x: [B, H, W, C] -> [B, output_dim].
+    """
+    B, H, W, C = x.shape
+    dt = x.dtype
+    tokens = x.reshape(B, H * W, C)
+    tokens = jnp.concatenate([tokens.mean(axis=1, keepdims=True), tokens], axis=1)  # [B,HW+1,C]
+    tokens = tokens + params["pos_embedding"].astype(dt)
+
+    q = tokens[:, :1] @ params["q"]["kernel"].astype(dt) + params["q"]["bias"].astype(dt)
+    k = tokens @ params["k"]["kernel"].astype(dt) + params["k"]["bias"].astype(dt)
+    v = tokens @ params["v"]["kernel"].astype(dt) + params["v"]["bias"].astype(dt)
+
+    hd = C // n_heads
+    q = q.reshape(B, 1, n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, -1, n_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, -1, n_heads, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd**-0.5)
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(B, C)
+    return out @ params["c"]["kernel"].astype(dt) + params["c"]["bias"].astype(dt)
+
+
+def init_resnet(key, cfg: CLIPConfig) -> Dict:
+    layers = cfg.vision_layers
+    width = cfg.vision_width
+    embed_dim_out = cfg.embed_dim
+    keys = iter(jax.random.split(key, 64))
+
+    params: Dict = {
+        "conv1": _init_conv(next(keys), 3, 3, 3, width // 2),
+        "bn1": _init_bn(width // 2),
+        "conv2": _init_conv(next(keys), 3, 3, width // 2, width // 2),
+        "bn2": _init_bn(width // 2),
+        "conv3": _init_conv(next(keys), 3, 3, width // 2, width),
+        "bn3": _init_bn(width),
+    }
+    inplanes = width
+    for li, (planes_mult, blocks) in enumerate(zip((1, 2, 4, 8), layers)):
+        planes = width * planes_mult
+        stride = 1 if li == 0 else 2
+        stage = []
+        for b in range(blocks):
+            stage.append(_init_bottleneck(next(keys), inplanes, planes, stride if b == 0 else 1))
+            inplanes = planes * 4
+        params[f"layer{li + 1}"] = stage
+
+    embed_dim = width * 32
+    spacial = cfg.image_resolution // 32
+    # attnpool projections: normal std C^-0.5 (reference model.py:366-372)
+    std = embed_dim**-0.5
+
+    def lin(k, dout):
+        kw, kb = jax.random.split(k)
+        return {
+            "kernel": std * jax.random.normal(kw, (embed_dim, dout), jnp.float32),
+            "bias": jnp.zeros((dout,), jnp.float32),
+        }
+
+    params["attnpool"] = {
+        "pos_embedding": (embed_dim**-0.5)
+        * jax.random.normal(next(keys), (spacial**2 + 1, embed_dim), jnp.float32),
+        "q": lin(next(keys), embed_dim),
+        "k": lin(next(keys), embed_dim),
+        "v": lin(next(keys), embed_dim),
+        "c": lin(next(keys), embed_dim_out),
+    }
+    return params
+
+
+def resnet_encoder(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images: [B, H, W, 3] normalised. Returns [B, embed_dim]."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    x = images.astype(dt)
+    x = jax.nn.relu(batch_norm(params["bn1"], conv(params["conv1"], x, stride=2, padding=1)))
+    x = jax.nn.relu(batch_norm(params["bn2"], conv(params["conv2"], x, padding=1)))
+    x = jax.nn.relu(batch_norm(params["bn3"], conv(params["conv3"], x, padding=1)))
+    x = avg_pool(x, 2)
+    for li, blocks in enumerate([params["layer1"], params["layer2"], params["layer3"], params["layer4"]]):
+        for b, bp in enumerate(blocks):
+            stride = (1 if li == 0 else 2) if b == 0 else 1
+            x = bottleneck(bp, x, stride)
+    return attention_pool(params["attnpool"], x, cfg.vision_heads)
