@@ -1,0 +1,257 @@
+"""Torch-checkpoint -> JAX pytree converter with architecture sniffing.
+
+Replaces the reference's ``build_model(state_dict)`` (model.py:469-513): the
+architecture is inferred purely from state-dict shapes/keys, then tensors are
+mapped onto our parameter tree. Extends the reference's sniffing — which only
+recognises ViT/ResNet keys — to Mixer checkpoints as well (the reference
+could only load those back through Accelerate state, validateModel.py:48-50).
+
+All weights load as float32 masters; the compute dtype is a config choice
+(bf16 on TPU), replacing the reference's surgical fp16 cast
+(convert_weights, model.py:445-466).
+
+Layout conventions converted here:
+* torch Linear stores (out, in); ours is (in, out) -> transpose;
+* torch Conv2d stores (out, in, kh, kw); patchify kernels become
+  (kh*kw*in, out) matching ``towers.patchify``'s (ph, pw, c) flatten order,
+  ResNet convs become HWIO;
+* nn.MultiheadAttention packs in_proj as (3W, W) -> our (W, 3W) qkv kernel.
+
+State dicts arrive as numpy/torch tensors; ``.pt`` loading is gated on torch
+being importable (host-side only — torch never touches the TPU path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.models.layers import stack_layers
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t.astype(np.float32)
+    return t.detach().cpu().float().numpy()  # torch tensor
+
+
+def sniff_config(sd: Dict) -> CLIPConfig:
+    """Infer the architecture from state-dict shapes (reference
+    model.py:469-492, extended with the mixer branch)."""
+    is_vit = "visual.proj" in sd
+    is_mixer = any(".mixBlocks." in k for k in sd)
+
+    embed_dim = sd["text_projection"].shape[1]
+    vocab_size = sd["token_embedding.weight"].shape[0]
+    text_width = sd["ln_final.weight"].shape[0]
+    if is_mixer:
+        context_length = sd["transformer.mixBlocks.0.token_mix_seq.lin1.weight"].shape[1]
+        text_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.mixBlocks")})
+    else:
+        context_length = sd["positional_embedding"].shape[0]
+        text_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")})
+
+    if is_vit:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_patch = sd["visual.conv1.weight"].shape[-1]
+        if is_mixer:
+            vision_layers = len(
+                {k.split(".")[3] for k in sd if k.startswith("visual.transformer.mixBlocks")}
+            )
+            vis_tokens = sd["visual.transformer.mixBlocks.0.token_mix_seq.lin1.weight"].shape[1]
+            grid = round((vis_tokens - 1) ** 0.5)
+        else:
+            vision_layers = len(
+                [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
+            )
+            grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch * grid
+    else:
+        counts = [
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")}) for b in (1, 2, 3, 4)
+        ]
+        vision_layers = tuple(counts)
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        vision_patch = None
+        out_width = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = out_width * 32
+
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        image_resolution=image_resolution,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
+        vision_patch_size=vision_patch,
+        context_length=context_length,
+        vocab_size=vocab_size,
+        text_width=text_width,
+        text_heads=text_width // 64,
+        text_layers=text_layers,
+        tower="mixer" if is_mixer else "transformer",
+    )
+
+
+def _ln(sd, prefix: str) -> Dict:
+    return {"scale": jnp.asarray(_np(sd[f"{prefix}.weight"])), "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _attn_block(sd, p: str) -> Dict:
+    return {
+        "ln_1": _ln(sd, f"{p}.ln_1"),
+        "attn": {
+            "qkv_kernel": jnp.asarray(_np(sd[f"{p}.attn.in_proj_weight"]).T),
+            "qkv_bias": jnp.asarray(_np(sd[f"{p}.attn.in_proj_bias"])),
+            "out_kernel": jnp.asarray(_np(sd[f"{p}.attn.out_proj.weight"]).T),
+            "out_bias": jnp.asarray(_np(sd[f"{p}.attn.out_proj.bias"])),
+        },
+        "ln_2": _ln(sd, f"{p}.ln_2"),
+        "mlp": {
+            "w_in": jnp.asarray(_np(sd[f"{p}.mlp.c_fc.weight"]).T),
+            "b_in": jnp.asarray(_np(sd[f"{p}.mlp.c_fc.bias"])),
+            "w_out": jnp.asarray(_np(sd[f"{p}.mlp.c_proj.weight"]).T),
+            "b_out": jnp.asarray(_np(sd[f"{p}.mlp.c_proj.bias"])),
+        },
+    }
+
+
+def _mixer_block(sd, p: str) -> Dict:
+    return {
+        "ln_token": _ln(sd, f"{p}.layerNorm1"),
+        "token_mix": {
+            "w_in": jnp.asarray(_np(sd[f"{p}.token_mix_seq.lin1.weight"]).T),
+            "b_in": jnp.asarray(_np(sd[f"{p}.token_mix_seq.lin1.bias"])),
+            "w_out": jnp.asarray(_np(sd[f"{p}.token_mix_seq.lin2.weight"]).T),
+            "b_out": jnp.asarray(_np(sd[f"{p}.token_mix_seq.lin2.bias"])),
+        },
+        "ln_channel": _ln(sd, f"{p}.layerNorm2"),
+        "channel_mix": {
+            "w_in": jnp.asarray(_np(sd[f"{p}.channel_mix_seq.lin3.weight"]).T),
+            "b_in": jnp.asarray(_np(sd[f"{p}.channel_mix_seq.lin3.bias"])),
+            "w_out": jnp.asarray(_np(sd[f"{p}.channel_mix_seq.lin4.weight"]).T),
+            "b_out": jnp.asarray(_np(sd[f"{p}.channel_mix_seq.lin4.bias"])),
+        },
+    }
+
+
+def _tower(sd, prefix: str, n_layers: int, mixer: bool) -> Dict:
+    if mixer:
+        blocks = [_mixer_block(sd, f"{prefix}.mixBlocks.{i}") for i in range(n_layers)]
+    else:
+        blocks = [_attn_block(sd, f"{prefix}.resblocks.{i}") for i in range(n_layers)]
+    return {"blocks": stack_layers(blocks)}
+
+
+def _conv_hwio(sd, key: str) -> Dict:
+    return {"kernel": jnp.asarray(_np(sd[key]).transpose(2, 3, 1, 0))}
+
+
+def _bn(sd, prefix: str) -> Dict:
+    return {
+        "scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+        "mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"])),
+        "var": jnp.asarray(_np(sd[f"{prefix}.running_var"])),
+    }
+
+
+def _resnet_visual(sd, cfg: CLIPConfig) -> Dict:
+    params: Dict = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv_hwio(sd, f"visual.conv{i}.weight")
+        params[f"bn{i}"] = _bn(sd, f"visual.bn{i}")
+    for li, blocks in enumerate(cfg.vision_layers):
+        stage = []
+        for b in range(blocks):
+            p = f"visual.layer{li + 1}.{b}"
+            bp = {
+                "conv1": _conv_hwio(sd, f"{p}.conv1.weight"),
+                "bn1": _bn(sd, f"{p}.bn1"),
+                "conv2": _conv_hwio(sd, f"{p}.conv2.weight"),
+                "bn2": _bn(sd, f"{p}.bn2"),
+                "conv3": _conv_hwio(sd, f"{p}.conv3.weight"),
+                "bn3": _bn(sd, f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                bp["downsample"] = {
+                    "conv": _conv_hwio(sd, f"{p}.downsample.0.weight"),
+                    "bn": _bn(sd, f"{p}.downsample.1"),
+                }
+            stage.append(bp)
+        params[f"layer{li + 1}"] = stage
+
+    def lin(p):
+        return {
+            "kernel": jnp.asarray(_np(sd[f"{p}.weight"]).T),
+            "bias": jnp.asarray(_np(sd[f"{p}.bias"])),
+        }
+
+    params["attnpool"] = {
+        "pos_embedding": jnp.asarray(_np(sd["visual.attnpool.positional_embedding"])),
+        "q": lin("visual.attnpool.q_proj"),
+        "k": lin("visual.attnpool.k_proj"),
+        "v": lin("visual.attnpool.v_proj"),
+        "c": lin("visual.attnpool.c_proj"),
+    }
+    return params
+
+
+def _vit_visual(sd, cfg: CLIPConfig) -> Dict:
+    w = _np(sd["visual.conv1.weight"])  # [W, 3, p, p]
+    patch_kernel = w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])  # [(ph pw c), W]
+    params: Dict = {
+        "patch_embed": {"kernel": jnp.asarray(patch_kernel)},
+        "class_embedding": jnp.asarray(_np(sd["visual.class_embedding"])),
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "ln_post": _ln(sd, "visual.ln_post"),
+        "proj": jnp.asarray(_np(sd["visual.proj"])),
+        "tower": _tower(sd, "visual.transformer", cfg.vision_layers, mixer=not cfg.use_transformer),
+    }
+    if cfg.use_transformer:
+        params["pos_embedding"] = jnp.asarray(_np(sd["visual.positional_embedding"]))
+    return params
+
+
+def state_dict_to_params(sd: Dict) -> Tuple[Dict, CLIPConfig]:
+    """Convert a reference-format torch state_dict to (params, config)."""
+    # Drop non-tensor bookkeeping keys (reference model.py:507-509).
+    sd = {k: v for k, v in sd.items() if k not in ("input_resolution", "context_length", "vocab_size")}
+    cfg = sniff_config(sd)
+
+    text: Dict = {
+        "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+        "ln_final": _ln(sd, "ln_final"),
+        "projection": jnp.asarray(_np(sd["text_projection"])),
+        "tower": _tower(sd, "transformer", cfg.text_layers, mixer=not cfg.use_transformer),
+    }
+    if cfg.use_transformer:
+        text["pos_embedding"] = jnp.asarray(_np(sd["positional_embedding"]))
+
+    visual = _resnet_visual(sd, cfg) if cfg.is_resnet else _vit_visual(sd, cfg)
+    params = {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(float(_np(sd["logit_scale"])), jnp.float32),
+    }
+    return params, cfg
+
+
+def load_torch_checkpoint(path: str) -> Tuple[Dict, CLIPConfig]:
+    """Load a .pt file (JIT archive or plain state_dict) and convert.
+
+    Mirrors the reference load fallback chain (clip.py:127-137). Host-side
+    only; requires torch.
+    """
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu").eval()
+        sd = model.state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return state_dict_to_params(sd)

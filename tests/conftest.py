@@ -10,10 +10,19 @@ import os
 import sys
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the machine environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel) and a sitecustomize imports jax at interpreter startup, so the env
+# var alone is read too late — update the live jax config as well. Tests run
+# on CPU for determinism and full-precision f32 (TPU f32 matmuls use reduced
+# precision by default).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def install_ftfy_stub():
