@@ -1,0 +1,44 @@
+"""Optimizer: AdamW with masked weight decay + global-norm clipping.
+
+Reference (training.py:66-89): two AdamW param groups — weight decay 0.2 only
+for params with ndim >= 2 (biases, norms, logit_scale excluded), lr 5e-4,
+betas (0.9, 0.98), eps 1e-6 — plus grad-norm clip at 20 (training.py:181).
+In optax this is one chain with a decay mask; the clip lives in the same
+chain (clip -> adamw), and the grad norm is surfaced as a metric by the train
+step before clipping.
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+
+from clip_mixer_tpu.config import TrainConfig
+from clip_mixer_tpu.train.schedule import warmup_cosine
+
+
+def decay_mask(params):
+    """True (decay) exactly where torch's ndim>=2 rule decays
+    (training.py:66-71): matrices/embeddings/convs decay; vectors, scalars,
+    norm params, biases, logit_scale do not."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(tcfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+    schedule = warmup_cosine(
+        tcfg.learning_rate,
+        tcfg.learning_rate * tcfg.min_lr_ratio,
+        tcfg.warmup_steps,
+        total_steps,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=tcfg.beta1,
+            b2=tcfg.beta2,
+            eps=tcfg.eps,
+            weight_decay=tcfg.weight_decay,
+            mask=decay_mask,
+        ),
+    )
