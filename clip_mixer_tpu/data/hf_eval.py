@@ -1,0 +1,80 @@
+"""Eval-dataset wrappers over HuggingFace datasets (host-side).
+
+Port of the reference's dataset wrappers (training/clip/dataset.py:34-92):
+STS canonicalises sick/mteb column names to (sentence_A, sentence_B,
+relatedness_score) and lowercases+strips sentences; SST yields (sentence,
+label); MNIST yields (PIL image, label).
+
+All loaders are offline-gated: in a zero-egress environment load_dataset
+raises and callers are expected to catch DatasetUnavailable and skip (the
+validators do).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+STS_SETS = ["sick", "mteb/sts16-sts", "mteb/sts15-sts", "mteb/sts14-sts", "mteb/sts13-sts", "mteb/sts12-sts"]
+
+
+class DatasetUnavailable(RuntimeError):
+    pass
+
+
+def _load(name: str, split: str):
+    import os
+
+    # Fast-path for known-offline environments: without this, the HF hub
+    # client retries 5x with backoff (~30s) per dataset before failing.
+    if os.environ.get("CLIP_MIXER_OFFLINE") == "1" or os.environ.get("HF_HUB_OFFLINE") == "1":
+        try:
+            from datasets import load_dataset
+
+            return load_dataset(name, download_mode="reuse_cache_if_exists")[split]
+        except Exception as e:
+            raise DatasetUnavailable(f"offline and {name} not cached: {e}") from e
+    try:
+        from datasets import load_dataset
+
+        return load_dataset(name)[split]
+    except Exception as e:  # offline / missing dataset
+        raise DatasetUnavailable(f"could not load {name}:{split}: {e}") from e
+
+
+def sts_pairs(selected_set: str, split: str = "test") -> List[Tuple[str, str, float]]:
+    """(sentence_a, sentence_b, gold_score) triples (dataset.py:34-52)."""
+    ds = _load(selected_set, split)
+    if selected_set == "sick":
+        cols = ("sentence_A", "sentence_B", "relatedness_score")
+    else:
+        cols = ("sentence1", "sentence2", "score")
+    a_col, b_col, s_col = cols
+    return [
+        (row[a_col].lower().strip(), row[b_col].lower().strip(), float(row[s_col]))
+        for row in ds
+    ]
+
+
+def sst2_split(split: str) -> List[Tuple[str, int]]:
+    """(sentence, label) pairs (dataset.py:58-70)."""
+    ds = _load("sst2", split)
+    return [(row["sentence"].lower().strip(), int(row["label"])) for row in ds]
+
+
+def mnist_batches(split: str, batch_size: int, n_px: int = 224) -> Iterator[Tuple]:
+    """Yields (uint8 [B, n_px, n_px, 3], int targets [B]) using the host
+    preprocess (dataset.py:76-89 applies the CLIP transform to each digit)."""
+    import numpy as np
+
+    from clip_mixer_tpu.ops.preprocess import preprocess_pil
+
+    ds = _load("mnist", split)
+    images, targets = [], []
+    for row in ds:
+        images.append(preprocess_pil(row["image"], n_px))
+        targets.append(int(row["label"]))
+        if len(images) == batch_size:
+            yield np.stack(images), np.asarray(targets)
+            images, targets = [], []
+    if images:
+        yield np.stack(images), np.asarray(targets)

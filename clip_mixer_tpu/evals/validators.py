@@ -1,0 +1,219 @@
+"""Validation harnesses — the reference's four validators, TPU-native.
+
+Each validator has ``validate(step, verbose=False) -> dict`` mirroring the
+reference classes (training/clip/validation.py:19,184,314,375) and logs the
+same scalar names to the metrics writer. Dataset access is offline-gated:
+when a dataset cannot be fetched the validator returns {} and logs a skip
+(the reference assumes online Azure/HF access; we degrade gracefully).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.data.hf_eval import STS_SETS, DatasetUnavailable, mnist_batches, sst2_split, sts_pairs
+from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, MNIST_CLASSNAMES, PROMPT_TEMPLATES
+from clip_mixer_tpu.evals.zeroshot import encode_texts_batched, zero_shot_eval
+from clip_mixer_tpu.text import tokenize
+
+
+class ImageNetValidator:
+    """Zero-shot ImageNetV2 top-1/top-5 (validation.py:19-179).
+
+    ``image_batches_fn`` yields (uint8 [B,224,224,3], targets) — by default
+    ImageNetV2 via local files or HF; injectable for tests."""
+
+    def __init__(self, params, cfg: CLIPConfig, writer=None, image_batches_fn: Optional[Callable[[], Iterable]] = None):
+        self.params, self.cfg, self.writer = params, cfg, writer
+        self.image_batches_fn = image_batches_fn or _imagenetv2_batches
+
+    def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:
+        try:
+            batches = self.image_batches_fn()
+            res = zero_shot_eval(self.params, self.cfg, IMAGENET_CLASSNAMES, PROMPT_TEMPLATES, batches)
+        except DatasetUnavailable as e:
+            if verbose:
+                print(f"[imagenet] skipped: {e}")
+            return {}
+        if verbose:
+            print(f"Top-1 accuracy: {res['top1']:.2f}%\nTop-5 accuracy: {res['top5']:.2f}%")
+        if self.writer is not None:
+            self.writer.add_scalar("Top-1 accuracy", res["top1"], step)
+            self.writer.add_scalar("Top-5 accuracy", res["top5"], step)
+        return res
+
+
+def _imagenetv2_batches(batch_size: int = 256, location: str = "datasetImageNet"):
+    """ImageNetV2 ("matched-frequency") loader. Expects the extracted class
+    folders (0..999) under ``location`` (the reference downloads them via
+    imagenetv2_pytorch, validation.py:114-116); raises DatasetUnavailable
+    offline."""
+    import os
+
+    from PIL import Image
+
+    from clip_mixer_tpu.ops.preprocess import preprocess_pil
+
+    root = None
+    for cand in (
+        os.path.join(location, "imagenetv2-matched-frequency-format-val"),
+        location,
+    ):
+        if os.path.isdir(cand) and os.path.isdir(os.path.join(cand, "0")):
+            root = cand
+            break
+    if root is None:
+        raise DatasetUnavailable(f"ImageNetV2 not found under {location}")
+
+    def gen():
+        images, targets = [], []
+        for cls in range(1000):
+            d = os.path.join(root, str(cls))
+            for fname in sorted(os.listdir(d)):
+                with Image.open(os.path.join(d, fname)) as im:
+                    images.append(preprocess_pil(im, 224))
+                targets.append(cls)
+                if len(images) == batch_size:
+                    yield np.stack(images), np.asarray(targets)
+                    images, targets = [], []
+        if images:
+            yield np.stack(images), np.asarray(targets)
+
+    return gen()
+
+
+class CosineSimValidator:
+    """STS semantic-similarity: Spearman/Pearson of text-feature similarities
+    vs gold scores over 6 datasets (validation.py:184-252). Figures (KDE
+    histograms) are intentionally omitted — scalars are the metric."""
+
+    def __init__(self, params, cfg: CLIPConfig, writer=None, datasets=None):
+        self.params, self.cfg, self.writer = params, cfg, writer
+        self.datasets = datasets if datasets is not None else STS_SETS
+
+    def _validate_pairs(self, name: str, pairs, step, verbose) -> Dict[str, float]:
+        from scipy.stats import pearsonr, spearmanr
+
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        gold = np.asarray([p[2] for p in pairs], np.float64)
+        fa = encode_texts_batched(self.params, self.cfg, tokenize(a, truncate=True), normalize=False)
+        fb = encode_texts_batched(self.params, self.cfg, tokenize(b, truncate=True), normalize=False)
+        linf = np.max(np.abs(fa - fb), axis=1)
+        l2 = np.linalg.norm(fa - fb, axis=1)
+        cos = (fa * fb).sum(1) / (np.linalg.norm(fa, axis=1) * np.linalg.norm(fb, axis=1))
+        out = {
+            "srcc_linf": float(spearmanr(linf, gold).correlation),
+            "srcc_cosine": float(spearmanr(cos, gold).correlation),
+            "pc_cosine": float(pearsonr(cos, gold).statistic),
+            "l2_mean": float(l2.mean()),
+        }
+        if verbose:
+            print(f"[{name}] SRCC Linf {out['srcc_linf']:.3f}  SRCC Cosine {out['srcc_cosine']:.3f}  PC Cosine {out['pc_cosine']:.3f}")
+        if self.writer is not None and step is not None:
+            self.writer.add_scalar(f"{name}/SRCC Linf", out["srcc_linf"], step)
+            self.writer.add_scalar(f"{name}/SRCC Cosine", out["srcc_cosine"], step)
+            self.writer.add_scalar(f"{name}/PC Cosine", out["pc_cosine"], step)
+        return out
+
+    def validate(self, step: int, verbose: bool = False) -> Dict[str, Dict[str, float]]:
+        results = {}
+        for name in self.datasets:
+            try:
+                pairs = sts_pairs(name) if isinstance(name, str) else name[1]
+                key = name if isinstance(name, str) else name[0]
+            except DatasetUnavailable as e:
+                if verbose:
+                    print(f"[sts:{name}] skipped: {e}")
+                continue
+            results[key] = self._validate_pairs(key, pairs, step, verbose)
+        return results
+
+
+class SST2Validator:
+    """Linear probe on SST-2: embed train split, fit a 1-layer classifier
+    (10 epochs, Adam lr 1e-3, minibatch 32 — validation.py:339-351), report
+    validation accuracy."""
+
+    def __init__(self, params, cfg: CLIPConfig, writer=None, train_data=None, test_data=None):
+        self.params, self.cfg, self.writer = params, cfg, writer
+        self._train, self._test = train_data, test_data
+
+    def _embed(self, data):
+        texts = [d[0] for d in data]
+        labels = np.asarray([d[1] for d in data], np.int32)
+        feats = encode_texts_batched(self.params, self.cfg, tokenize(texts, truncate=True), normalize=False)
+        return feats, labels
+
+    def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:
+        import optax
+
+        try:
+            train = self._train if self._train is not None else sst2_split("train")
+            test = self._test if self._test is not None else sst2_split("validation")
+        except DatasetUnavailable as e:
+            if verbose:
+                print(f"[sst2] skipped: {e}")
+            return {}
+        xtr, ytr = self._embed(train)
+        xte, yte = self._embed(test)
+
+        dim = xtr.shape[1]
+        probe = {"w": jnp.zeros((dim, 2), jnp.float32), "b": jnp.zeros((2,), jnp.float32)}
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(probe)
+
+        @jax.jit
+        def update(probe, opt_state, x, y):
+            def loss_fn(p):
+                logits = x @ p["w"] + p["b"]
+                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(probe)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(probe, updates), opt_state, loss
+
+        n = xtr.shape[0]
+        for _ in range(10):
+            for i in range(0, n - n % 32, 32):
+                probe, opt_state, _ = update(
+                    probe, opt_state, jnp.asarray(xtr[i : i + 32]), jnp.asarray(ytr[i : i + 32])
+                )
+        logits = np.asarray(jnp.asarray(xte) @ probe["w"] + probe["b"])
+        acc = 100.0 * float((logits.argmax(-1) == yte).mean())
+        if verbose:
+            print(f"Accuracy on SST-2: {acc:.2f}%")
+        if self.writer is not None:
+            self.writer.add_scalar("Accuracy on SST-2", acc, step)
+        return {"accuracy": acc}
+
+
+class MNISTValidator:
+    """Zero-shot MNIST with digit-word classnames and the 80 templates
+    (validation.py:375-529)."""
+
+    def __init__(self, params, cfg: CLIPConfig, writer=None, image_batches_fn=None):
+        self.params, self.cfg, self.writer = params, cfg, writer
+        self.image_batches_fn = image_batches_fn or (lambda: mnist_batches("test", 256, self.cfg.image_resolution))
+
+    def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:
+        try:
+            res = zero_shot_eval(
+                self.params, self.cfg, MNIST_CLASSNAMES, PROMPT_TEMPLATES, self.image_batches_fn()
+            )
+        except DatasetUnavailable as e:
+            if verbose:
+                print(f"[mnist] skipped: {e}")
+            return {}
+        if verbose:
+            print(f"MNIST Top-1: {res['top1']:.2f}%")
+        if self.writer is not None:
+            self.writer.add_scalar("MNIST Top-1 accuracy", res["top1"], step)
+            self.writer.add_scalar("MNIST Top-5 accuracy", res["top5"], step)
+        return res

@@ -1,0 +1,78 @@
+"""Checkpoint save/resume via orbax — sharded, async-capable, GCS-capable.
+
+Replaces the reference's Accelerate save_state + epoch.json sidecar + Azure
+blob mirroring (training.py:218-250,263-268). Semantics preserved:
+
+* each save captures model params, optimizer state, and step counter plus an
+  ``{"epoch": E, "step": S}`` metadata record (the epoch.json equivalent,
+  training.py:224-227);
+* restore returns ``(state, epoch, step)`` so the trainer can fast-forward
+  the data pipeline deterministically (the skip_first_batches equivalent,
+  training.py:106-113,131);
+* no checkpoint found -> None (fresh start, training.py:248-250).
+
+orbax writes natively to GCS paths (gs://...) the way the reference mirrored
+files to Azure blobs; no extra upload loop is needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from clip_mixer_tpu.parallel.train_step import TrainState
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: int = 3, async_save: bool = True):
+        directory = os.fspath(directory)
+        if not directory.startswith("gs://"):
+            directory = os.path.abspath(directory)
+            os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=async_save,
+            ),
+        )
+
+    def save(self, state: TrainState, epoch: int, step: int) -> None:
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state._asdict()),
+                meta=ocp.args.JsonSave({"epoch": int(epoch), "step": int(step)}),
+            ),
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: TrainState) -> Optional[Tuple[TrainState, int, int]]:
+        """abstract_state: a TrainState of real or jax.ShapeDtypeStruct leaves
+        defining shapes/dtypes/shardings to restore into."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state._asdict())
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        state = TrainState(**restored["state"])
+        meta = restored["meta"]
+        return state, int(meta["epoch"]), int(meta["step"])
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
