@@ -1,0 +1,140 @@
+"""Public API: ``available_models`` / ``load`` / ``tokenize`` — the surface of
+reference clip.py:90-238, returning JAX-native objects.
+
+``load`` accepts:
+* an OpenAI registry name ("ViT-B/32", "RN50", ...) — downloads the torch
+  checkpoint with SHA256 verification (clip.py:31-73) and converts it;
+* a local path: a torch ``.pt`` (JIT archive or state_dict) or a directory in
+  our native format (orbax + config.json, written by ``save_pretrained``);
+* a preset name ("mixer-b32", "transformer-b32") — randomly-initialised
+  model with that architecture (the reference has no published Mixer
+  checkpoint to download; training produces native-format ones).
+
+Returns ``(params, cfg, preprocess)`` where preprocess is the host transform
+PIL.Image -> HWC uint8 (the reference's quirk of deferring normalisation to
+the model step is preserved: ``encode`` paths normalise in-graph). The
+reference's ``jit`` flag is meaningless here — everything is XLA-compiled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import urllib.request
+import warnings
+from typing import Optional, Tuple
+
+import jax
+
+from clip_mixer_tpu.config import CLIPConfig, PRESETS
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.ops.preprocess import make_transform
+from clip_mixer_tpu.text import tokenize  # re-exported  # noqa: F401
+
+# OpenAI checkpoint registry (clip.py:31-41). URL path component is the sha256.
+_MODELS = {
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "RN50x4": "https://openaipublic.azureedge.net/clip/models/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+    "RN50x16": "https://openaipublic.azureedge.net/clip/models/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt",
+    "RN50x64": "https://openaipublic.azureedge.net/clip/models/be1cfb55d75a9666199fb2206c106743da0f6468c9d327f3e0d0a543a9919d9c/RN50x64.pt",
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+    "ViT-L/14": "https://openaipublic.azureedge.net/clip/models/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
+    "ViT-L/14@336px": "https://openaipublic.azureedge.net/clip/models/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
+}
+
+
+def available_models():
+    """Registry names plus local presets (clip.py:90-92)."""
+    return list(_MODELS.keys()) + list(PRESETS.keys())
+
+
+def _download(url: str, root: str) -> str:
+    """SHA256-verified download to the cache dir (clip.py:44-73)."""
+    os.makedirs(root, exist_ok=True)
+    expected_sha256 = url.split("/")[-2]
+    target = os.path.join(root, os.path.basename(url))
+    if os.path.exists(target) and not os.path.isfile(target):
+        raise RuntimeError(f"{target} exists and is not a regular file")
+    if os.path.isfile(target):
+        if hashlib.sha256(open(target, "rb").read()).hexdigest() == expected_sha256:
+            return target
+        warnings.warn(f"{target} exists with wrong SHA256; re-downloading")
+    with urllib.request.urlopen(url) as src, open(target, "wb") as out:
+        while True:
+            buf = src.read(1 << 16)
+            if not buf:
+                break
+            out.write(buf)
+    if hashlib.sha256(open(target, "rb").read()).hexdigest() != expected_sha256:
+        raise RuntimeError("Model downloaded but the SHA256 checksum does not match")
+    return target
+
+
+def save_pretrained(params, cfg: CLIPConfig, path: str) -> None:
+    """Native inference checkpoint: orbax params + config.json."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "params"), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_pretrained(path: str) -> Tuple[dict, CLIPConfig]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    if isinstance(raw.get("vision_layers"), list):
+        raw["vision_layers"] = tuple(raw["vision_layers"])
+    if isinstance(raw.get("image_mean"), list):  # future-proof extra fields
+        raw.pop("image_mean"), raw.pop("image_std")
+    cfg = CLIPConfig(**raw)
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(os.path.join(path, "params"))
+    ckptr.close()
+    return params, cfg
+
+
+def load(
+    name: str,
+    download_root: Optional[str] = None,
+    compute_dtype: Optional[str] = None,
+    seed: int = 0,
+):
+    """Load a CLIP model. Returns (params, cfg, preprocess).
+
+    See module docstring for accepted names. compute_dtype overrides the
+    config's activation dtype (bf16 default; use "float32" for exact parity
+    checks on CPU).
+    """
+    if name in _MODELS:
+        path = _download(_MODELS[name], download_root or os.path.expanduser("~/.cache/clip"))
+        from clip_mixer_tpu.models.convert import load_torch_checkpoint
+
+        params, cfg = load_torch_checkpoint(path)
+    elif os.path.isdir(name):
+        params, cfg = load_pretrained(name)
+    elif os.path.isfile(name):
+        from clip_mixer_tpu.models.convert import load_torch_checkpoint
+
+        params, cfg = load_torch_checkpoint(name)
+    elif name in PRESETS:
+        cfg = PRESETS[name]
+        params = clip_model.init(jax.random.key(seed), cfg)
+    else:
+        raise RuntimeError(f"Model {name} not found; available models = {available_models()}")
+
+    if compute_dtype is not None:
+        cfg = cfg.replace(compute_dtype=compute_dtype)
+    return params, cfg, make_transform(cfg.image_resolution)

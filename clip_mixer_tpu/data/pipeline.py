@@ -1,0 +1,229 @@
+"""Training data pipeline: sharded tar reader + synthetic source + prefetch.
+
+Replaces the reference's LaionCoco loader — a map-style dataset doing one
+Azure blob GET per sample with 10 retries and 64 workers per rank
+(dataset.py:95-150, training.py:60-62) — with the TPU-native shape: the
+img2dataset output (generateDataset.sh:18) is ALREADY webdataset tar shards
+({key}.jpg + {key}.txt pairs), so we stream those shards sequentially
+(sequential reads, no per-sample roundtrips), decode+preprocess in a thread
+pool, and prefetch batches ahead of the device.
+
+Determinism/resume contract (the skip_first_batches equivalent,
+training.py:131): shard order is a seeded permutation per epoch, sample order
+within a shard is the tar's order, and ``start_batch`` fast-forwards by batch
+index. Per-host sharding: host h reads shards with index % n_hosts == h.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import queue
+import tarfile
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from clip_mixer_tpu.text import tokenize
+
+
+class Batch(dict):
+    """{"images": uint8 [B, H, W, 3], "texts": int32 [B, 77]}."""
+
+
+class DataSource:
+    """Protocol: iter_batches(epoch, start_batch) -> Iterator[Batch]."""
+
+    def iter_batches(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    @property
+    def batches_per_epoch(self) -> Optional[int]:
+        return None
+
+
+class SyntheticSource(DataSource):
+    """Deterministic procedurally-captioned data for smoke tests and
+    benchmarking: class-colored noise images with matching captions, so a
+    model can actually learn alignment from it."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        image_size: int = 224,
+        n_batches: int = 100,
+        n_classes: int = 16,
+        context_length: int = 77,
+        seed: int = 0,
+    ):
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.n_batches = n_batches
+        self.n_classes = n_classes
+        self.seed = seed
+        names = [
+            "red square", "green circle", "blue triangle", "yellow star",
+            "purple hexagon", "orange diamond", "cyan spiral", "magenta cross",
+            "black arrow", "white ring", "brown leaf", "pink heart",
+            "gray cloud", "teal wave", "gold crown", "silver moon",
+        ]
+        self.captions = [f"a photo of a {n}." for n in names[:n_classes]]
+        self.tokens = tokenize(self.captions, context_length, truncate=True)
+        rng = np.random.default_rng(seed)
+        self.colors = rng.integers(30, 226, (n_classes, 3)).astype(np.int16)
+
+    @property
+    def batches_per_epoch(self) -> Optional[int]:
+        return self.n_batches
+
+    def iter_batches(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
+        for b in range(start_batch, self.n_batches):
+            rng = np.random.default_rng((self.seed, epoch, b))
+            classes = rng.integers(0, self.n_classes, self.batch_size)
+            noise = rng.integers(-30, 30, (self.batch_size, self.image_size, self.image_size, 3))
+            images = np.clip(self.colors[classes][:, None, None] + noise, 0, 255).astype(np.uint8)
+            yield Batch(images=images, texts=self.tokens[classes])
+
+
+class TarShardSource(DataSource):
+    """Webdataset-style source over local/NFS/GCS-fuse tar shards.
+
+    Each shard holds {key}.jpg + {key}.txt pairs (img2dataset layout). Images
+    are decoded with PIL and preprocessed host-side to fixed-size HWC uint8
+    (the reference applies clip._transform in the dataloader worker,
+    dataset.py:144-146); captions are tokenized host-side with truncation
+    (training.py:154).
+    """
+
+    def __init__(
+        self,
+        shard_paths: Sequence[str],
+        batch_size: int,
+        image_size: int = 224,
+        context_length: int = 77,
+        seed: int = 0,
+        n_hosts: int = 1,
+        host_index: int = 0,
+        decode_workers: int = 8,
+        drop_last: bool = True,
+    ):
+        self.shards = sorted(shard_paths)[host_index::n_hosts]
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.context_length = context_length
+        self.seed = seed
+        self.decode_workers = decode_workers
+        self.drop_last = drop_last
+
+    def _iter_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
+        order = np.random.default_rng((self.seed, epoch)).permutation(len(self.shards))
+        for si in order:
+            with tarfile.open(self.shards[si], "r") as tar:
+                pending: Dict[str, Dict[str, bytes]] = {}
+                for info in tar:
+                    if not info.isfile():
+                        continue
+                    key, ext = os.path.splitext(os.path.basename(info.name))
+                    if ext not in (".jpg", ".jpeg", ".png", ".txt"):
+                        continue
+                    entry = pending.setdefault(key, {})
+                    entry["img" if ext != ".txt" else "txt"] = tar.extractfile(info).read()
+                    if "img" in entry and "txt" in entry:
+                        yield entry["img"], entry["txt"].decode("utf-8", "replace")
+                        del pending[key]
+
+    def _decode(self, sample: Tuple[bytes, str]) -> Tuple[np.ndarray, str]:
+        from PIL import Image
+
+        from clip_mixer_tpu.ops.preprocess import preprocess_pil
+
+        img_bytes, caption = sample
+        with Image.open(io.BytesIO(img_bytes)) as im:
+            return preprocess_pil(im, self.image_size), caption
+
+    def iter_batches(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
+        pool = ThreadPoolExecutor(self.decode_workers)
+        try:
+            it = self._iter_samples(epoch)
+            skip = start_batch * self.batch_size
+            batch_idx = 0
+            while True:
+                raw = []
+                for sample in it:
+                    if skip > 0:  # deterministic fast-forward without decoding
+                        skip -= 1
+                        continue
+                    raw.append(sample)
+                    if len(raw) == self.batch_size:
+                        break
+                if len(raw) < self.batch_size and (self.drop_last or not raw):
+                    return
+                decoded = list(pool.map(self._decode, raw))
+                images = np.stack([d[0] for d in decoded])
+                texts = tokenize([d[1] for d in decoded], self.context_length, truncate=True)
+                yield Batch(images=images, texts=texts)
+                batch_idx += 1
+        finally:
+            pool.shutdown(wait=False)
+
+
+def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Run the upstream iterator in a background thread with a bounded queue
+    so host data work overlaps device steps (the reference leans on
+    DataLoader workers for this, training.py:60-62)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def write_tar_shards(
+    samples: Iterator[Tuple[np.ndarray, str]],
+    out_dir: str,
+    samples_per_shard: int = 10000,
+    quality: int = 95,
+) -> List[str]:
+    """Dataset-prep utility: pack (HWC uint8 image, caption) pairs into
+    webdataset tar shards (the generateDataset.sh / UnzipDataset role,
+    dataset.py:153-189, pointed at local/GCS-fuse storage)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: List[str] = []
+    tar = None
+    count = 0
+    try:
+        for i, (image, caption) in enumerate(samples):
+            if i % samples_per_shard == 0:
+                if tar is not None:
+                    tar.close()
+                path = os.path.join(out_dir, f"{len(paths):05d}.tar")
+                paths.append(path)
+                tar = tarfile.open(path, "w")
+            key = f"{i:09d}"
+            buf = io.BytesIO()
+            Image.fromarray(image).save(buf, "JPEG", quality=quality)
+            for name, data in ((f"{key}.jpg", buf.getvalue()), (f"{key}.txt", caption.encode())):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+            count += 1
+    finally:
+        if tar is not None:
+            tar.close()
+    return paths

@@ -41,9 +41,16 @@ class Checkpointer:
             ),
         )
 
-    def save(self, state: TrainState, epoch: int, step: int) -> None:
+    def save(self, state: TrainState, epoch: int, step: int, step_id: Optional[int] = None) -> None:
+        """step = batch index to resume from within ``epoch`` (the epoch.json
+        contract); step_id = monotonically-increasing checkpoint id (defaults
+        to the optimizer's global step so ids never collide across epochs)."""
+        if step_id is None:
+            import jax
+
+            step_id = int(jax.device_get(state.step))
         self._mgr.save(
-            step,
+            step_id,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state._asdict()),
                 meta=ocp.args.JsonSave({"epoch": int(epoch), "step": int(step)}),

@@ -1,0 +1,130 @@
+"""Trainer orchestration: epochs, checkpoint cadence, validation, metrics.
+
+The reference Trainer (training/training.py:30-250) wires: data loading,
+Accelerate/DDP, AdamW + warmup-cosine, the InfoNCE step, every-400-step
+checkpoint + validation on rank 0, TensorBoard scalars (Loss / Learning rate
+/ Gradient norm), and crash-resume via epoch.json + skip_first_batches.
+
+Same behaviors here, TPU-native: the step is one jitted program over the
+mesh (parallel/train_step.py), data comes from a DataSource with
+deterministic skip, orbax handles state, and multi-host roles use
+jax.process_index() == 0 in place of rank checks.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+from clip_mixer_tpu.data.pipeline import DataSource, prefetch
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from clip_mixer_tpu.parallel.train_step import init_train_state, make_train_step
+from clip_mixer_tpu.train.checkpoint import Checkpointer
+from clip_mixer_tpu.train.metrics import MetricsWriter
+from clip_mixer_tpu.train.optimizer import make_optimizer
+from clip_mixer_tpu.train.schedule import warmup_cosine
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: CLIPConfig,
+        tcfg: TrainConfig,
+        data: DataSource,
+        run_dir: str,
+        mesh=None,
+        validators: Sequence = (),
+        resume: bool = True,
+        grad_through_gather: bool = False,
+        chunk_size: Optional[int] = None,
+        params=None,
+        verbose: bool = False,
+    ):
+        self.cfg, self.tcfg, self.data = cfg, tcfg, data
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.verbose = verbose
+        self.is_lead = jax.process_index() == 0
+
+        steps_per_epoch = tcfg.steps_per_epoch or data.batches_per_epoch
+        if steps_per_epoch is None:
+            raise ValueError("steps_per_epoch unknown: set tcfg.steps_per_epoch or use a sized DataSource")
+        self.steps_per_epoch = steps_per_epoch
+        self.total_steps = steps_per_epoch * tcfg.epochs
+
+        self.optimizer = make_optimizer(tcfg, self.total_steps)
+        self._schedule = warmup_cosine(
+            tcfg.learning_rate, tcfg.learning_rate * tcfg.min_lr_ratio, tcfg.warmup_steps, self.total_steps
+        )
+        self.step_fn = make_train_step(
+            cfg, tcfg, self.mesh, self.optimizer, grad_through_gather, chunk_size
+        )
+        self.writer = MetricsWriter(log_dir=f"{run_dir}/runs" if self.is_lead else None)
+        self.checkpointer = Checkpointer(f"{run_dir}/checkpoints")
+        self.validators = list(validators)
+
+        if params is None:
+            params = clip_model.init(jax.random.key(tcfg.seed), cfg)
+        state = init_train_state(params, self.optimizer)
+        self.start_epoch, self.start_batch = 0, 0
+        if resume:
+            restored = self.checkpointer.restore(state)
+            if restored is not None:
+                state, self.start_epoch, self.start_batch = restored
+                if self.verbose and self.is_lead:
+                    print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
+        self.state = replicate(self.mesh, state)
+
+    @property
+    def global_step(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    def train(self) -> None:
+        first_caption_logged = -1
+        for epoch in range(self.start_epoch, self.tcfg.epochs):
+            start_batch = self.start_batch if epoch == self.start_epoch else 0
+            batch_idx = start_batch
+            t0 = time.monotonic()
+            for host_batch in prefetch(self.data.iter_batches(epoch, start_batch)):
+                if self.verbose and self.is_lead and first_caption_logged < epoch:
+                    first_caption_logged = epoch  # reference logs the first caption per epoch (training.py:150-152)
+                    print(f"epoch {epoch}: first batch images {host_batch['images'].shape}")
+                batch = shard_batch(self.mesh, dict(host_batch))
+                self.state, metrics = self.step_fn(self.state, batch)
+                batch_idx += 1
+                step = self.global_step
+
+                if self.is_lead:
+                    self.writer.add_scalar("Loss", float(metrics["loss"]), step)
+                    self.writer.add_scalar("Learning rate", float(self._schedule(step - 1)), step)
+                    self.writer.add_scalar("Gradient norm", float(metrics["grad_norm"]), step)
+
+                if step % self.tcfg.checkpoint_every_steps == 0:
+                    dt = time.monotonic() - t0
+                    if self.verbose and self.is_lead:
+                        ips = self.tcfg.checkpoint_every_steps * self.tcfg.global_batch_size / dt
+                        print(f"step {step}: loss {float(metrics['loss']):.4f}  {ips:.0f} imgs/s")
+                    self.save(epoch, batch_idx)
+                    self.validate(step)
+                    t0 = time.monotonic()
+            self.start_batch = 0
+        self.save(self.tcfg.epochs, 0)
+        self.checkpointer.wait()
+        self.writer.flush()
+
+    def save(self, epoch: int, batch_idx: int) -> None:
+        self.checkpointer.save(self.state, epoch=epoch, step=batch_idx)
+
+    def validate(self, step: int) -> None:
+        """Rank-0 validation pass over all registered validators
+        (training.py:211-216)."""
+        if not self.is_lead:
+            return
+        params = jax.device_get(self.state.params)
+        for v in self.validators:
+            v.params = params
+            v.validate(step, verbose=self.verbose)

@@ -100,6 +100,6 @@ def test_max_to_keep(tmp_path):
     ck = Checkpointer(str(tmp_path / "k"), max_to_keep=2, async_save=False)
     state = _fresh(mesh, opt)
     for s in (1, 2, 3):
-        ck.save(state, epoch=0, step=s)
+        ck.save(state, epoch=0, step=s, step_id=s)
     ck.wait()
     assert ck.latest_step() == 3
