@@ -1,0 +1,100 @@
+"""Benchmark: Mixer-B/32 images/sec/chip on preprocess + encode_image.
+
+This is the BASELINE.json metric: the full inference front-end — antialiased
+bicubic 256->224 resize (dataset-native 256px input, generateDataset.sh:18)
+fused with normalisation, then the Mixer vision tower — in bf16 on one chip,
+steady-state, best over a batch-size sweep.
+
+vs_baseline: the reference publishes NO absolute imgs/sec (BASELINE.md), so
+the denominator is an analytic A100 estimate on identical work:
+  FLOPs/img  = vision-tower forward + preprocess matmuls (computed below)
+  A100 est.  = 312 TFLOP/s fp16 dense peak x 40% assumed inference MFU
+40% is a generous production-grade MFU for an unfused torch fp16 pipeline of
+this shape; the north-star target is vs_baseline >= 2.0 against that bar.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def mixer_vision_flops_per_image(cfg) -> float:
+    """Analytic forward FLOPs of preprocess + patchify + mixer tower + proj."""
+    g = cfg.grid_size
+    t = cfg.vision_tokens
+    w = cfg.vision_width
+    p = cfg.vision_patch_size
+    res = cfg.image_resolution
+    src = 256  # dataset-native input
+    preprocess = 2 * res * src * src * 3 + 2 * res * res * src * 3  # two resize matmuls
+    patchify = 2 * (g * g) * (p * p * 3) * w
+    token_mix = 2 * (2 * w * t * 4 * t)  # in+out matmuls
+    channel_mix = 2 * (2 * t * w * 4 * w)
+    tower = cfg.vision_layers * (token_mix + channel_mix)
+    proj = 2 * w * cfg.embed_dim
+    return float(preprocess + patchify + tower + proj)
+
+
+def main():
+    from clip_mixer_tpu.config import PRESETS
+    from clip_mixer_tpu.models import clip as clip_model
+    from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+
+    cfg = PRESETS["mixer-b32"]
+    params = clip_model.init(jax.random.key(0), cfg)
+    params = jax.device_put(params)
+
+    flops = mixer_vision_flops_per_image(cfg)
+    a100_est = 312e12 * 0.40 / flops  # imgs/sec at 40% MFU on an A100
+
+    best = 0.0
+    best_batch = 0
+    rng = np.random.default_rng(0)
+    for batch in (256, 512, 1024):
+        pre = make_batch_preprocess((256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def encode(p, images_u8):
+            return clip_model.encode_image(p, cfg, pre(images_u8))
+
+        images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+        encode(params, images).block_until_ready()  # compile
+        # steady state: enough iters for ~1s of work
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = encode(params, images)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        ips = batch * iters / dt
+        if ips > best:
+            best, best_batch = ips, batch
+
+    print(
+        json.dumps(
+            {
+                "metric": "mixer-b32 preprocess+encode_image imgs/sec/chip (bf16, 256px uint8 in)",
+                "value": round(best, 1),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(best / a100_est, 3),
+                "detail": {
+                    "best_batch": best_batch,
+                    "flops_per_image": flops,
+                    "a100_estimate_imgs_per_sec": round(a100_est, 1),
+                    "achieved_tflops": round(best * flops / 1e12, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
