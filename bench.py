@@ -48,34 +48,42 @@ def main():
     from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
 
     cfg = PRESETS["mixer-b32"]
-    params = clip_model.init(jax.random.key(0), cfg)
-    params = jax.device_put(params)
+    # One jitted dispatch for the whole init: the axon tunnel has ~200ms
+    # per-call latency, so eager init (~100 param ops) costs ~40s otherwise.
+    params = jax.jit(lambda k: clip_model.init(k, cfg))(jax.random.key(0))
+    jax.block_until_ready(params)
 
     flops = mixer_vision_flops_per_image(cfg)
     a100_est = 312e12 * 0.40 / flops  # imgs/sec at 40% MFU on an A100
 
-    best = 0.0
-    best_batch = 0
+    # Honest steady-state methodology for a remote/async device: a single
+    # jitted loop whose body perturbs the INPUT with the previous iteration's
+    # result, so no iteration is loop-invariant (XLA would hoist it) and no
+    # host->device dispatch gap is measured. Per-iteration time is the slope
+    # between two loop lengths, cancelling fixed overheads.
+    batch = 512
     rng = np.random.default_rng(0)
-    for batch in (256, 512, 1024):
-        pre = make_batch_preprocess((256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16)
+    pre = make_batch_preprocess((256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16)
 
-        @jax.jit
-        def encode(p, images_u8):
-            return clip_model.encode_image(p, cfg, pre(images_u8))
+    @jax.jit
+    def chained(p, images_u8, n):
+        def body(_, carry):
+            perturbed = images_u8 + carry.astype(jnp.uint8)
+            feats = clip_model.encode_image(p, cfg, pre(perturbed))
+            return feats.astype(jnp.float32).mean() * 1e-9
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
-        encode(params, images).block_until_ready()  # compile
-        # steady state: enough iters for ~1s of work
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = encode(params, images)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        ips = batch * iters / dt
-        if ips > best:
-            best, best_batch = ips, batch
+    images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    float(chained(params, images, jnp.int32(2)))  # compile + warm
+    n1, n2 = 5, 45
+    t0 = time.perf_counter()
+    float(chained(params, images, jnp.int32(n1)))
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chained(params, images, jnp.int32(n2)))
+    dt2 = time.perf_counter() - t0
+    per_iter = (dt2 - dt1) / (n2 - n1)
+    best, best_batch = batch / per_iter, batch
 
     print(
         json.dumps(
