@@ -26,7 +26,10 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from clip_mixer_tpu.text import tokenize
+# The training pipeline tokenizes full global batches host-side; use the C++
+# fast tokenizer when a toolchain is available (6-10x the Python loop at 32k
+# captions/step), with transparent fallback.
+from clip_mixer_tpu.text.fast import fast_tokenize as tokenize
 
 
 class Batch(dict):

@@ -1,0 +1,73 @@
+"""C++ fast tokenizer must match the Python tokenizer token-for-token."""
+
+import numpy as np
+import pytest
+
+from clip_mixer_tpu.text import tokenize
+from clip_mixer_tpu.text.fast import fast_tokenize, is_available
+
+pytestmark = pytest.mark.skipif(not is_available(), reason="no C++ toolchain")
+
+CORPUS = [
+    "a photo of a cat",
+    "A Photo   of\ta DOG!!",
+    "it's can't we're I've i'm they'll she'd",
+    "12345 67 8",
+    "naïve café résumé",
+    "日本語のテキスト",
+    "emoji 🚀🔥 test",
+    "x",
+    "",
+    "&amp;amp; &lt;tag&gt;",
+    "punctuation... --- ???!!",
+    "don''t '' 'x ''s",
+    "!!'s mid-run contraction swallow",
+    "<|startoftext|> embedded <|endoftext|>",
+    "!!<|endoftext|> swallowed special",
+    "a" * 300,
+    "the quick brown fox jumps over the lazy dog",
+    "ｆｕｌｌｗｉｄｔｈ",
+    "tab\tand\nnewline  collapse",
+    "mixed 'll'd're endings",
+    "прекрасный день сегодня",
+    "数字123と文字",
+]
+
+
+def test_matches_python_tokenizer():
+    np.testing.assert_array_equal(
+        fast_tokenize(CORPUS, truncate=True), tokenize(CORPUS, truncate=True)
+    )
+
+
+def test_single_string_and_shapes():
+    out = fast_tokenize("hello world")
+    assert out.shape == (1, 77) and out.dtype == np.int32
+    np.testing.assert_array_equal(out, tokenize("hello world"))
+
+
+def test_too_long_raises():
+    with pytest.raises(RuntimeError, match="too long"):
+        fast_tokenize("word " * 200)
+    np.testing.assert_array_equal(
+        fast_tokenize("word " * 200, truncate=True), tokenize("word " * 200, truncate=True)
+    )
+
+
+def test_context_length_variants():
+    for ctx in (16, 77, 128):
+        np.testing.assert_array_equal(
+            fast_tokenize(CORPUS[:6], context_length=ctx, truncate=True),
+            tokenize(CORPUS[:6], context_length=ctx, truncate=True),
+        )
+
+
+def test_large_random_corpus():
+    rng = np.random.default_rng(0)
+    words = ["cat", "dog", "résumé", "123", "!!!", "it's", "🚀", "день", "語"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 30)).tolist()) for _ in range(200)
+    ]
+    np.testing.assert_array_equal(
+        fast_tokenize(texts, truncate=True), tokenize(texts, truncate=True)
+    )
