@@ -101,7 +101,17 @@ def load_pretrained(path: str) -> Tuple[dict, CLIPConfig]:
         raw.pop("image_mean"), raw.pop("image_std")
     cfg = CLIPConfig(**raw)
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(os.path.join(path, "params"))
+    # Restore onto the CURRENT devices: a bare restore pins arrays to the
+    # shardings recorded at save time, which fails when the checkpoint was
+    # written on a different platform (e.g. saved on CPU, loaded on TPU).
+    item = os.path.join(path, "params")
+    meta = ckptr.metadata(item)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta.item_metadata if hasattr(meta, "item_metadata") else meta,
+    )
+    params = ckptr.restore(item, target)
     ckptr.close()
     return params, cfg
 

@@ -27,6 +27,8 @@ def _load(name: str, split: str):
     # Fast-path for known-offline environments: without this, the HF hub
     # client retries 5x with backoff (~30s) per dataset before failing.
     if os.environ.get("CLIP_MIXER_OFFLINE") == "1" or os.environ.get("HF_HUB_OFFLINE") == "1":
+        os.environ["HF_HUB_OFFLINE"] = "1"
+        os.environ["HF_DATASETS_OFFLINE"] = "1"
         try:
             from datasets import load_dataset
 

@@ -1,0 +1,106 @@
+"""Training CLI — the reference's ``python training.py`` entry
+(training/training.py:253-294), TPU-native.
+
+Builds the Mixer-B/32 CLIP (or any preset), wires the data source, and runs
+the Trainer. The reference hardcoded its hyperparameters in Trainer.__init__;
+here they live in TrainConfig with CLI overrides.
+
+Examples:
+  python train.py --preset mixer-b32 --data 'gs-fuse/shards/*.tar' --run-name run1
+  python train.py --preset mixer-b32 --synthetic --steps-per-epoch 50 --epochs 2
+"""
+
+import argparse
+import glob
+
+from clip_mixer_tpu.config import PRESETS, TrainConfig
+from clip_mixer_tpu.data.pipeline import SyntheticSource, TarShardSource
+from clip_mixer_tpu.evals.validators import (
+    CosineSimValidator,
+    ImageNetValidator,
+    MNISTValidator,
+    SST2Validator,
+)
+from clip_mixer_tpu.train.trainer import Trainer
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="mixer-b32", choices=sorted(PRESETS.keys()))
+    p.add_argument("--data", default=None, help="glob of webdataset tar shards")
+    p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke runs)")
+    p.add_argument("--run-name", default="run", help="output directory name")
+    p.add_argument("--epochs", type=int, default=32)  # training.py:255
+    p.add_argument("--global-batch-size", type=int, default=32768)  # training.py:56
+    p.add_argument("--learning-rate", type=float, default=5e-4)  # training.py:55
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=400)  # training.py:197
+    p.add_argument("--grad-through-gather", action="store_true",
+                   help="exact global-batch InfoNCE gradient (default: reference detach semantics)")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="chunked logits (avoid materialising [localB, globalB])")
+    p.add_argument("--no-validators", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    cfg = PRESETS[args.preset]
+    tcfg = TrainConfig(
+        global_batch_size=args.global_batch_size,
+        epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        learning_rate=args.learning_rate,
+        checkpoint_every_steps=args.checkpoint_every,
+    )
+
+    n_hosts, host = jax.process_count(), jax.process_index()
+    per_host_batch = args.global_batch_size // n_hosts
+    if args.synthetic or args.data is None:
+        data = SyntheticSource(
+            batch_size=per_host_batch,
+            image_size=cfg.image_resolution,
+            n_batches=args.steps_per_epoch or 100,
+            context_length=cfg.context_length,
+        )
+    else:
+        shards = sorted(glob.glob(args.data))
+        if not shards:
+            raise SystemExit(f"no shards match {args.data}")
+        data = TarShardSource(
+            shards,
+            batch_size=per_host_batch,
+            image_size=cfg.image_resolution,
+            context_length=cfg.context_length,
+            n_hosts=n_hosts,
+            host_index=host,
+        )
+
+    validators = []
+    if not args.no_validators:
+        # params are injected fresh by Trainer.validate before each run.
+        validators = [
+            ImageNetValidator(None, cfg),
+            CosineSimValidator(None, cfg),
+            SST2Validator(None, cfg),
+            MNISTValidator(None, cfg),
+        ]
+
+    trainer = Trainer(
+        cfg,
+        tcfg,
+        data,
+        run_dir=f"outputs/{args.run_name}",
+        validators=validators,
+        grad_through_gather=args.grad_through_gather,
+        chunk_size=args.chunk_size,
+        verbose=args.verbose,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
