@@ -90,6 +90,17 @@ class Trainer:
             batch_idx = start_batch
             t0 = time.monotonic()
             for host_batch in prefetch(self.data.iter_batches(epoch, start_batch)):
+                if batch_idx == start_batch:
+                    # Out-of-range token ids silently become NaN embeddings
+                    # (jnp.take fill mode) — catch the config/data mismatch on
+                    # the first batch instead of debugging a NaN loss.
+                    max_id = int(np.max(host_batch["texts"]))
+                    if max_id >= self.cfg.vocab_size:
+                        raise ValueError(
+                            f"token id {max_id} >= vocab_size {self.cfg.vocab_size}: "
+                            "the data pipeline tokenizes with the full 49408-token CLIP "
+                            "vocabulary; configure the model accordingly"
+                        )
                 if self.verbose and self.is_lead and first_caption_logged < epoch:
                     first_caption_logged = epoch  # reference logs the first caption per epoch (training.py:150-152)
                     print(f"epoch {epoch}: first batch images {host_batch['images'].shape}")
@@ -112,7 +123,10 @@ class Trainer:
                     self.validate(step)
                     t0 = time.monotonic()
             self.start_batch = 0
-        self.save(self.tcfg.epochs, 0)
+        # Final save unless the cadence save already captured this exact step
+        # (orbax would silently skip a duplicate step id).
+        if self.checkpointer.latest_step() != self.global_step:
+            self.save(self.tcfg.epochs, 0)
         self.checkpointer.wait()
         self.writer.flush()
 

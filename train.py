@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--chunk-size", type=int, default=None,
                    help="chunked logits (avoid materialising [localB, globalB])")
     p.add_argument("--no-validators", action="store_true")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable gradient rematerialisation (needs ~4x more HBM; "
+                        "Mixer-B/32 at 1024 imgs/chip OOMs a 16GB v5e without remat)")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args()
 
@@ -48,7 +51,7 @@ def main():
     args = parse_args()
     import jax
 
-    cfg = PRESETS[args.preset]
+    cfg = PRESETS[args.preset].replace(remat=not args.no_remat)
     tcfg = TrainConfig(
         global_batch_size=args.global_batch_size,
         epochs=args.epochs,
