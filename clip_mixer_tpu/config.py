@@ -46,6 +46,12 @@ class CLIPConfig:
     # rematerialise tower blocks during training (reference exposes
     # checkpoint_sequential but never enables it, model.py:226-249).
     remat: bool = False
+    # Tensor-parallel mesh axis name. None = pure data parallel (all the
+    # reference needs at 111M params — SURVEY §2.7). When set (by the TP
+    # train step, under shard_map), the hidden dimension of every
+    # channel-mix / transformer-MLP is sharded over this axis and the blocks
+    # insert the matching psum collectives (parallel/tp.py).
+    model_axis: Optional[str] = None
 
     @property
     def use_transformer(self) -> bool:

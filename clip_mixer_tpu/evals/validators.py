@@ -90,12 +90,14 @@ def _imagenetv2_batches(batch_size: int = 256, location: str = "datasetImageNet"
 
 class CosineSimValidator:
     """STS semantic-similarity: Spearman/Pearson of text-feature similarities
-    vs gold scores over 6 datasets (validation.py:184-252). Figures (KDE
-    histograms) are intentionally omitted — scalars are the metric."""
+    vs gold scores over 6 datasets (validation.py:184-252), plus the optional
+    KDE histogram figures binned by gold-score bucket (validation.py:254-303)
+    when matplotlib is available and ``figures=True``."""
 
-    def __init__(self, params, cfg: CLIPConfig, writer=None, datasets=None):
+    def __init__(self, params, cfg: CLIPConfig, writer=None, datasets=None, figures: bool = False):
         self.params, self.cfg, self.writer = params, cfg, writer
         self.datasets = datasets if datasets is not None else STS_SETS
+        self.figures = figures
 
     def _validate_pairs(self, name: str, pairs, step, verbose) -> Dict[str, float]:
         from scipy.stats import pearsonr, spearmanr
@@ -120,7 +122,45 @@ class CosineSimValidator:
             self.writer.add_scalar(f"{name}/SRCC Linf", out["srcc_linf"], step)
             self.writer.add_scalar(f"{name}/SRCC Cosine", out["srcc_cosine"], step)
             self.writer.add_scalar(f"{name}/PC Cosine", out["pc_cosine"], step)
+        if self.figures:
+            self._log_figures(name, l2, cos, gold, step, verbose)
         return out
+
+    def _log_figures(self, name: str, l2, cos, gold, step, verbose: bool) -> None:
+        """Per-gold-bucket histograms with KDE overlays for L2 and cosine
+        distances (validation.py:254-303)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from scipy import stats
+        except ImportError:
+            return
+        colors = ["red", "green", "blue", "orange", "purple"]
+        legend = ["0 - 1", "1 - 2", "2 - 3", "3 - 4", "4 - 5"]
+        for tag, values, bins in (
+            ("neighborContinuousHistogramL2", l2, np.linspace(0, max(float(l2.max()), 1e-6), 100)),
+            ("neighborContinuousHistogramCosine", cos, np.linspace(-1, 1, 100)),
+        ):
+            fig, ax = plt.subplots()
+            for g, (c, label) in enumerate(zip(colors, legend)):
+                ix = np.where((g <= gold) & (gold < g + 1))[0]
+                if ix.size == 0:
+                    continue
+                _, xs, _ = ax.hist(values[ix], bins=bins, histtype="step", density=True, alpha=0.5, color=c)
+                if np.unique(values[ix]).size > 1:
+                    density = stats.gaussian_kde(values[ix])
+                    ax.plot(xs, density(xs), c=c, label=label)
+            ax.legend()
+            ax.get_yaxis().set_visible(False)
+            ax.set_xlabel(f"{'L2' if 'L2' in tag else 'Cosine'} Distance between pair")
+            ax.set_title("Distances for duplicate and non-duplicate pairs")
+            if self.writer is not None and step is not None:
+                self.writer.add_figure(f"{name}/{tag}", fig, step)
+            if verbose:
+                fig.savefig(f"{tag}.png")
+            plt.close(fig)
 
     def validate(self, step: int, verbose: bool = False) -> Dict[str, Dict[str, float]]:
         results = {}

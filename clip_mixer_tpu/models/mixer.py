@@ -35,10 +35,12 @@ from clip_mixer_tpu.models.layers import (
 )
 
 
-def mixer_block(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """One MixerBlock. x: [B, T, W]."""
+def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None) -> jnp.ndarray:
+    """One MixerBlock. x: [B, T, W]. With ``model_axis`` (inside shard_map,
+    hidden-sharded params) the channel mix runs tensor-parallel."""
     dt = x.dtype
     # Token mix: LN -> contract T -> gelu -> contract back -> residual.
+    # (Always replicated: its params are ~1% of the block.)
     y = layer_norm(params["ln_token"], x)
     tm = params["token_mix"]
     h = jnp.einsum("btw,tu->buw", y, tm["w_in"].astype(dt))
@@ -50,6 +52,10 @@ def mixer_block(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
     # Channel mix: LN -> W -> 4W -> W -> residual.
     y = layer_norm(params["ln_channel"], x)
+    if model_axis is not None:
+        from clip_mixer_tpu.parallel.tp import sharded_mlp
+
+        return x + sharded_mlp(params["channel_mix"], y, quick_gelu, model_axis)
     cm = params["channel_mix"]
     h = y @ cm["w_in"].astype(dt) + cm["b_in"].astype(dt)
     h = quick_gelu(h)
@@ -102,14 +108,14 @@ def init_mixer_tower(key, width: int, tokens: int, n_layers: int, text_tower: bo
     return {"blocks": stack_layers([init_mixer_block(k, width, tokens, text_tower, n_layers) for k in keys])}
 
 
-def mixer_tower(params: Dict, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+def mixer_tower(params: Dict, x: jnp.ndarray, remat: bool = False, model_axis=None) -> jnp.ndarray:
     """Scan the stacked blocks. x: [B, T, W]."""
     body = mixer_block
     if remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, static_argnums=(2,))
 
     def step(h, layer_params):
-        return body(layer_params, h), None
+        return body(layer_params, h, model_axis), None
 
     out, _ = jax.lax.scan(step, x, params["blocks"])
     return out

@@ -13,7 +13,7 @@ tiles them onto the MXU directly.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +33,48 @@ def conv(params: Dict, x: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp
     )
 
 
-def batch_norm(params: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Inference BN with running statistics, f32 internals."""
+def batch_norm(
+    params: Dict,
+    x: jnp.ndarray,
+    eps: float = 1e-5,
+    train: bool = False,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """BatchNorm with f32 internals.
+
+    train=False: running statistics (inference). train=True: batch statistics
+    over (N, H, W); with ``axis_name`` the moments are additionally averaged
+    across that mesh axis — the SyncBatchNorm equivalent (the reference
+    converts its towers with nn.SyncBatchNorm, training.py:91; vestigial for
+    ViT/Mixer but required if the RN tower is ever trained data-parallel).
+    Running-stat updates are the caller's concern (returned via
+    :func:`batch_moments` when training); this fn only normalises.
+    """
     x32 = x.astype(jnp.float32)
-    inv = jax.lax.rsqrt(params["var"] + eps)
-    y = (x32 - params["mean"]) * inv * params["scale"] + params["bias"]
+    if train:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+        var = mean_sq - jnp.square(mean)
+    else:
+        mean, var = params["mean"], params["var"]
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x32 - mean) * inv * params["scale"] + params["bias"]
     return y.astype(x.dtype)
+
+
+def batch_moments(x: jnp.ndarray, axis_name: Optional[str] = None):
+    """(mean, var) over (N, H, W), optionally cross-replica — for running-stat
+    EMA updates when training a BN tower."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    return mean, mean_sq - jnp.square(mean)
 
 
 def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:

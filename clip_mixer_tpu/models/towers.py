@@ -89,9 +89,11 @@ def vision_encoder(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     x = layer_norm(params["ln_pre"], x)
 
     if cfg.use_transformer:
-        x = transformer_tower(params["tower"], x, cfg.vision_heads, mask=None, remat=cfg.remat)
+        x = transformer_tower(
+            params["tower"], x, cfg.vision_heads, mask=None, remat=cfg.remat, model_axis=cfg.model_axis
+        )
     else:
-        x = mixer_tower(params["tower"], x, remat=cfg.remat)
+        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis)
 
     x = layer_norm(params["ln_post"], x[:, 0, :])  # CLS token only (model.py:285)
     return x @ params["proj"].astype(dt)
@@ -127,10 +129,15 @@ def text_encoder(params: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarra
     if cfg.use_transformer:
         x = x + params["pos_embedding"].astype(dt)
         x = transformer_tower(
-            params["tower"], x, cfg.text_heads, mask=causal_mask(cfg.context_length), remat=cfg.remat
+            params["tower"],
+            x,
+            cfg.text_heads,
+            mask=causal_mask(cfg.context_length),
+            remat=cfg.remat,
+            model_axis=cfg.model_axis,
         )
     else:
-        x = mixer_tower(params["tower"], x, remat=cfg.remat)
+        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis)
     x = layer_norm(params["ln_final"], x).astype(dt)
     # EOT pooling: feature at argmax token id (eot=49407 is the max id).
     eot_idx = jnp.argmax(text, axis=-1)  # [B]

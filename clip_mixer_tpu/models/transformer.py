@@ -59,10 +59,18 @@ def multi_head_attention(
     return out @ params["out_kernel"].astype(dt) + params["out_bias"].astype(dt)
 
 
-def attention_block(params: Dict, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """One ResidualAttentionBlock (reference model.py:196-199)."""
+def attention_block(
+    params: Dict, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray], model_axis=None
+) -> jnp.ndarray:
+    """One ResidualAttentionBlock (reference model.py:196-199). With
+    ``model_axis`` the 4x MLP runs tensor-parallel (attention stays
+    replicated: at T<=77 it is a small fraction of block FLOPs)."""
     x = x + multi_head_attention(params["attn"], layer_norm(params["ln_1"], x), n_heads, mask)
     y = layer_norm(params["ln_2"], x)
+    if model_axis is not None:
+        from clip_mixer_tpu.parallel.tp import sharded_mlp
+
+        return x + sharded_mlp(params["mlp"], y, quick_gelu, model_axis)
     mlp = params["mlp"]
     dt = x.dtype
     h = y @ mlp["w_in"].astype(dt) + mlp["b_in"].astype(dt)
@@ -127,13 +135,14 @@ def transformer_tower(
     n_heads: int,
     mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    model_axis=None,
 ) -> jnp.ndarray:
     body = attention_block
     if remat:
-        body = jax.checkpoint(body, static_argnums=(2,))
+        body = jax.checkpoint(body, static_argnums=(2, 4))
 
     def step(h, layer_params):
-        return body(layer_params, h, n_heads, mask), None
+        return body(layer_params, h, n_heads, mask, model_axis), None
 
     out, _ = jax.lax.scan(step, x, params["blocks"])
     return out

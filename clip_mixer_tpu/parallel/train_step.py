@@ -27,7 +27,7 @@ from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.ops.losses import info_nce
 from clip_mixer_tpu.ops.preprocess import normalize_images
-from clip_mixer_tpu.parallel.mesh import DATA_AXIS
+from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 class TrainState(NamedTuple):
@@ -54,9 +54,14 @@ def make_train_step(
             "texts": int32 [B, 77]}.
     """
 
+    # Tensor parallelism: with a >1 "model" axis, MLP hidden dims are sharded
+    # over it (parallel/tp.py) and the blocks insert the psum collectives.
+    use_tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    loss_cfg = cfg.replace(model_axis=MODEL_AXIS) if use_tp else cfg
+
     def local_loss(params, images_u8, texts):
         images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-        img, txt, scale = clip_model.forward(params, cfg, images, texts)
+        img, txt, scale = clip_model.forward(params, loss_cfg, images, texts)
         return info_nce(
             img,
             txt,
@@ -70,16 +75,23 @@ def make_train_step(
         loss, grads = jax.value_and_grad(local_loss)(params, images, texts)
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
 
-    smapped = jax.shard_map(
-        sharded_loss_and_grad,
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    def run_loss_and_grad(params, images, texts):
+        if use_tp:
+            from clip_mixer_tpu.parallel.tp import tp_param_specs
+
+            pspecs = tp_param_specs(params)
+        else:
+            pspecs = jax.tree.map(lambda _: P(), params)
+        return jax.shard_map(
+            sharded_loss_and_grad,
+            mesh=mesh,
+            in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), pspecs),
+            check_vma=False,
+        )(params, images, texts)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
-        loss, grads = smapped(state.params, batch["images"], batch["texts"])
+        loss, grads = run_loss_and_grad(state.params, batch["images"], batch["texts"])
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

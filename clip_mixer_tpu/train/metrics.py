@@ -29,6 +29,11 @@ class MetricsWriter:
         if self._tb is not None:
             self._tb.add_scalar(name, value, step)
 
+    def add_figure(self, name: str, figure, step: int) -> None:
+        self.history[f"{name}:figure"].append((int(step), 1.0))
+        if self._tb is not None:
+            self._tb.add_figure(name, figure, step)
+
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
