@@ -27,6 +27,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from clip_mixer_tpu.config import CLIPConfig
@@ -237,6 +238,73 @@ def state_dict_to_params(sd: Dict) -> Tuple[Dict, CLIPConfig]:
         "logit_scale": jnp.asarray(float(_np(sd["logit_scale"])), jnp.float32),
     }
     return params, cfg
+
+
+def params_to_state_dict(params: Dict, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    """Inverse converter: JAX pytree -> reference-format torch state_dict
+    (numpy values; wrap with torch.as_tensor to save a .pt the reference's
+    ``build_model``/Accelerate paths can load). Exact round-trip with
+    :func:`state_dict_to_params` is tested."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_ln(prefix, ln):
+        sd[f"{prefix}.weight"] = np.asarray(ln["scale"], np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(ln["bias"], np.float32)
+
+    def unstack(tree, i):
+        return jax.tree.map(lambda x: np.asarray(x[i], np.float32), tree)
+
+    def put_tower(prefix, tower, n_layers, mixer):
+        for i in range(n_layers):
+            b = unstack(tower["blocks"], i)
+            if mixer:
+                p = f"{prefix}.mixBlocks.{i}"
+                put_ln(f"{p}.layerNorm1", b["ln_token"])
+                sd[f"{p}.token_mix_seq.lin1.weight"] = b["token_mix"]["w_in"].T
+                sd[f"{p}.token_mix_seq.lin1.bias"] = b["token_mix"]["b_in"]
+                sd[f"{p}.token_mix_seq.lin2.weight"] = b["token_mix"]["w_out"].T
+                sd[f"{p}.token_mix_seq.lin2.bias"] = b["token_mix"]["b_out"]
+                put_ln(f"{p}.layerNorm2", b["ln_channel"])
+                sd[f"{p}.channel_mix_seq.lin3.weight"] = b["channel_mix"]["w_in"].T
+                sd[f"{p}.channel_mix_seq.lin3.bias"] = b["channel_mix"]["b_in"]
+                sd[f"{p}.channel_mix_seq.lin4.weight"] = b["channel_mix"]["w_out"].T
+                sd[f"{p}.channel_mix_seq.lin4.bias"] = b["channel_mix"]["b_out"]
+            else:
+                p = f"{prefix}.resblocks.{i}"
+                put_ln(f"{p}.ln_1", b["ln_1"])
+                sd[f"{p}.attn.in_proj_weight"] = b["attn"]["qkv_kernel"].T
+                sd[f"{p}.attn.in_proj_bias"] = b["attn"]["qkv_bias"]
+                sd[f"{p}.attn.out_proj.weight"] = b["attn"]["out_kernel"].T
+                sd[f"{p}.attn.out_proj.bias"] = b["attn"]["out_bias"]
+                put_ln(f"{p}.ln_2", b["ln_2"])
+                sd[f"{p}.mlp.c_fc.weight"] = b["mlp"]["w_in"].T
+                sd[f"{p}.mlp.c_fc.bias"] = b["mlp"]["b_in"]
+                sd[f"{p}.mlp.c_proj.weight"] = b["mlp"]["w_out"].T
+                sd[f"{p}.mlp.c_proj.bias"] = b["mlp"]["b_out"]
+
+    if cfg.is_resnet:
+        raise NotImplementedError("ResNet export not implemented (load-only)")
+    v = params["visual"]
+    w = np.asarray(v["patch_embed"]["kernel"], np.float32)  # [(ph pw c), W]
+    p_sz = cfg.vision_patch_size
+    sd["visual.conv1.weight"] = w.reshape(p_sz, p_sz, 3, cfg.vision_width).transpose(3, 2, 0, 1)
+    sd["visual.class_embedding"] = np.asarray(v["class_embedding"], np.float32)
+    if cfg.use_transformer:
+        sd["visual.positional_embedding"] = np.asarray(v["pos_embedding"], np.float32)
+    put_ln("visual.ln_pre", v["ln_pre"])
+    put_tower("visual.transformer", v["tower"], cfg.vision_layers, mixer=not cfg.use_transformer)
+    put_ln("visual.ln_post", v["ln_post"])
+    sd["visual.proj"] = np.asarray(v["proj"], np.float32)
+
+    t = params["text"]
+    sd["token_embedding.weight"] = np.asarray(t["token_embedding"], np.float32)
+    if cfg.use_transformer:
+        sd["positional_embedding"] = np.asarray(t["pos_embedding"], np.float32)
+    put_tower("transformer", t["tower"], cfg.text_layers, mixer=not cfg.use_transformer)
+    put_ln("ln_final", t["ln_final"])
+    sd["text_projection"] = np.asarray(t["projection"], np.float32)
+    sd["logit_scale"] = np.asarray(params["logit_scale"], np.float32)
+    return sd
 
 
 def load_torch_checkpoint(path: str) -> Tuple[Dict, CLIPConfig]:

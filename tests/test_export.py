@@ -1,0 +1,72 @@
+"""Reverse-converter gates: params -> reference-format state_dict.
+
+Round-trip (export -> re-import) must be exact, and the exported dict must
+load into the reference torch model class and produce identical outputs —
+i.e. checkpoints trained here are usable by reference-ecosystem tooling.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference/training/clip")
+
+import jax
+import jax.numpy as jnp
+
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.models.convert import params_to_state_dict, state_dict_to_params
+
+CFG = CLIPConfig(
+    embed_dim=32,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=64,
+    vision_patch_size=16,
+    context_length=13,
+    vocab_size=256,
+    text_width=64,
+    text_heads=1,
+    text_layers=2,
+    tower="mixer",
+    compute_dtype="float32",
+)
+
+
+@pytest.mark.parametrize("tower", ["mixer", "transformer"])
+def test_roundtrip_exact(tower):
+    cfg = CFG.replace(tower=tower)
+    params = clip_model.init(jax.random.key(5), cfg)
+    sd = params_to_state_dict(params, cfg)
+    params2, cfg2 = state_dict_to_params(sd)
+    assert cfg2.replace(compute_dtype=cfg.compute_dtype) == cfg
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_export_loads_into_reference_model():
+    import torch
+    from model import CLIP as TorchCLIP
+
+    cfg = CFG
+    params = clip_model.init(jax.random.key(6), cfg)
+    sd = {k: torch.as_tensor(v) for k, v in params_to_state_dict(params, cfg).items()}
+
+    tm = TorchCLIP(32, 32, 2, 64, 16, 13, 256, 64, 1, 2, useTransformer=False).float()
+    missing, unexpected = tm.load_state_dict(sd, strict=True), None
+    tm = tm.eval()
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    text = np.zeros((2, 13), np.int64)
+    text[:, 0] = 254
+    text[:, 1] = 10
+    text[:, 2] = 255
+    with torch.no_grad():
+        t_img = tm.encode_image(torch.from_numpy(images)).numpy()
+    j_img = np.asarray(
+        clip_model.encode_image(params, cfg, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(j_img, t_img, atol=5e-5, rtol=1e-3)

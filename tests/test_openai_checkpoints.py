@@ -1,0 +1,46 @@
+"""OpenAI-checkpoint consistency — the reference's tests/test_consistency.py
+equivalent, gated on network/cache availability (this build environment has
+zero egress; the test runs wherever ~/.cache/clip has the checkpoint or the
+registry is reachable).
+
+The reference asserts jit vs non-jit torch models agree on the README demo
+(test_consistency.py:9-25). Here the oracle is the published demo output
+itself: OpenAI ViT-B/32 on CLIP.png x {"a diagram","a dog","a cat"} must give
+label probs [[0.9927937, 0.00421068, 0.00299572]] (README.md:59) within the
+reference's own tolerance (atol=0.01, rtol=0.1).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+ASSET = os.path.join(os.path.dirname(__file__), "assets", "CLIP.png")
+EXPECTED = np.array([[0.9927937, 0.00421068, 0.00299572]])
+
+
+def _try_load():
+    import clip_mixer_tpu as cm
+
+    try:
+        return cm.load("ViT-B/32", compute_dtype="float32")
+    except Exception as e:  # zero-egress environment and no cache
+        pytest.skip(f"ViT-B/32 checkpoint unavailable: {e}")
+
+
+def test_vit_b32_demo_probs():
+    import clip_mixer_tpu as cm
+    from clip_mixer_tpu.models import clip as clip_model
+    from clip_mixer_tpu.ops.preprocess import normalize_images
+
+    params, cfg, preprocess = _try_load()
+    image = preprocess(Image.open(ASSET))
+    text = jnp.asarray(cm.tokenize(["a diagram", "a dog", "a cat"]))
+    img = normalize_images(jnp.asarray(image[None]), dtype=jnp.float32)
+    per_image, _ = clip_model.logits(params, cfg, img, text)
+    probs = np.asarray(jax.nn.softmax(per_image, axis=-1))
+    np.testing.assert_allclose(probs, EXPECTED, atol=0.01, rtol=0.1)
