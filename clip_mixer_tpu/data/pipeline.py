@@ -183,8 +183,9 @@ def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer, don't swallow
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -192,6 +193,8 @@ def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

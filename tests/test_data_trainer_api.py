@@ -132,3 +132,14 @@ def test_api_presets_and_save_load(tmp_path):
 def test_api_unknown_name():
     with pytest.raises(RuntimeError, match="not found"):
         cm.load("definitely-not-a-model")
+
+
+def test_prefetch_propagates_errors():
+    def bad():
+        yield {"a": 1}
+        raise RuntimeError("decode failed")
+
+    it = prefetch(bad())
+    assert next(it) == {"a": 1}
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
