@@ -92,14 +92,17 @@ def save_pretrained(params, cfg: CLIPConfig, path: str) -> None:
 def load_pretrained(path: str) -> Tuple[dict, CLIPConfig]:
     import orbax.checkpoint as ocp
 
+    import dataclasses
+
     path = os.path.abspath(path)
     with open(os.path.join(path, "config.json")) as f:
         raw = json.load(f)
     if isinstance(raw.get("vision_layers"), list):
         raw["vision_layers"] = tuple(raw["vision_layers"])
-    if isinstance(raw.get("image_mean"), list):  # future-proof extra fields
-        raw.pop("image_mean"), raw.pop("image_std")
-    cfg = CLIPConfig(**raw)
+    # Ignore config keys this version doesn't know (forward compatibility
+    # with checkpoints written by newer versions).
+    known = {f.name for f in dataclasses.fields(CLIPConfig)}
+    cfg = CLIPConfig(**{k: v for k, v in raw.items() if k in known})
     ckptr = ocp.StandardCheckpointer()
     # Restore onto the CURRENT devices: a bare restore pins arrays to the
     # shardings recorded at save time, which fails when the checkpoint was

@@ -46,6 +46,13 @@ class CLIPConfig:
     # rematerialise tower blocks during training (reference exposes
     # checkpoint_sequential but never enables it, model.py:226-249).
     remat: bool = False
+    # Use the fused Pallas LN+channel-MLP kernel (ops/pallas/mlp_kernel) in
+    # mixer blocks. Off by default: measured on v5e, XLA's own fusion runs
+    # the chain at ~180 TF/s and the kernel is parity, not a win, at B/32
+    # widths (README perf notes); the flag exists for wider models and for
+    # exercising the kernel in product paths. Ignored under tensor
+    # parallelism (the TP branch has its own collective structure).
+    fused_mlp: bool = False
     # Tensor-parallel mesh axis name. None = pure data parallel (all the
     # reference needs at 111M params — SURVEY §2.7). When set (by the TP
     # train step, under shard_map), the hidden dimension of every

@@ -25,6 +25,16 @@ from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.text import tokenize
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_text_encoder(cfg: CLIPConfig):
+    """One cached compiled encoder per config — a fresh jit(lambda) per call
+    would recompile the full text tower on every validator invocation."""
+    return jax.jit(lambda p, t: clip_model.encode_text(p, cfg, t))
+
+
 def encode_texts_batched(
     params,
     cfg: CLIPConfig,
@@ -34,7 +44,7 @@ def encode_texts_batched(
 ) -> np.ndarray:
     """Run [N, 77] tokens through jitted encode_text in fixed-shape batches
     (last batch zero-padded so there is exactly one compiled shape)."""
-    encode = jax.jit(lambda p, t: clip_model.encode_text(p, cfg, t))
+    encode = _jit_text_encoder(cfg)
     n = tokens.shape[0]
     out: List[np.ndarray] = []
     for i in range(0, n, batch_size):

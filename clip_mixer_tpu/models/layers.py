@@ -50,11 +50,15 @@ def linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_linear_normal(key, d_in: int, d_out: int, std: float, bias: bool = True) -> Dict[str, jnp.ndarray]:
-    """Normal(0, std) weights, zero bias — the explicit init the reference
-    applies to text-tower blocks (model.py:379-396)."""
-    p = {"kernel": std * jax.random.normal(key, (d_in, d_out), jnp.float32)}
+    """Normal(0, std) WEIGHTS with torch-default uniform biases — exactly the
+    reference's text-tower init: initialize_parameters overwrites only the
+    weights (model.py:379-396), so nn.Linear's kaiming-uniform biases
+    (U(+-1/sqrt(fan_in))) survive."""
+    kw, kb = jax.random.split(key)
+    p = {"kernel": std * jax.random.normal(kw, (d_in, d_out), jnp.float32)}
     if bias:
-        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+        bound = 1.0 / math.sqrt(d_in)
+        p["bias"] = jax.random.uniform(kb, (d_out,), jnp.float32, -bound, bound)
     return p
 
 

@@ -35,9 +35,10 @@ from clip_mixer_tpu.models.layers import (
 )
 
 
-def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None) -> jnp.ndarray:
+def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None, fused_mlp: bool = False) -> jnp.ndarray:
     """One MixerBlock. x: [B, T, W]. With ``model_axis`` (inside shard_map,
-    hidden-sharded params) the channel mix runs tensor-parallel."""
+    hidden-sharded params) the channel mix runs tensor-parallel; with
+    ``fused_mlp`` it runs through the Pallas LN+MLP kernel."""
     dt = x.dtype
     # Token mix: LN -> contract T -> gelu -> contract back -> residual.
     # (Always replicated: its params are ~1% of the block.)
@@ -51,6 +52,11 @@ def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None) -> jnp.ndarray:
     x = x + h
 
     # Channel mix: LN -> W -> 4W -> W -> residual.
+    if model_axis is None and fused_mlp:
+        from clip_mixer_tpu.ops.pallas.mlp_kernel import ln_mlp
+
+        B, T, W = x.shape
+        return ln_mlp(params["ln_channel"], params["channel_mix"], x.reshape(B * T, W)).reshape(B, T, W)
     y = layer_norm(params["ln_channel"], x)
     if model_axis is not None:
         from clip_mixer_tpu.parallel.tp import sharded_mlp
@@ -108,14 +114,16 @@ def init_mixer_tower(key, width: int, tokens: int, n_layers: int, text_tower: bo
     return {"blocks": stack_layers([init_mixer_block(k, width, tokens, text_tower, n_layers) for k in keys])}
 
 
-def mixer_tower(params: Dict, x: jnp.ndarray, remat: bool = False, model_axis=None) -> jnp.ndarray:
+def mixer_tower(
+    params: Dict, x: jnp.ndarray, remat: bool = False, model_axis=None, fused_mlp: bool = False
+) -> jnp.ndarray:
     """Scan the stacked blocks. x: [B, T, W]."""
     body = mixer_block
     if remat:
-        body = jax.checkpoint(body, static_argnums=(2,))
+        body = jax.checkpoint(body, static_argnums=(2, 3))
 
     def step(h, layer_params):
-        return body(layer_params, h, model_axis), None
+        return body(layer_params, h, model_axis, fused_mlp), None
 
     out, _ = jax.lax.scan(step, x, params["blocks"])
     return out

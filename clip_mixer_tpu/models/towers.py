@@ -93,7 +93,7 @@ def vision_encoder(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
             params["tower"], x, cfg.vision_heads, mask=None, remat=cfg.remat, model_axis=cfg.model_axis
         )
     else:
-        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis)
+        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis, fused_mlp=cfg.fused_mlp)
 
     x = layer_norm(params["ln_post"], x[:, 0, :])  # CLS token only (model.py:285)
     return x @ params["proj"].astype(dt)
@@ -137,7 +137,7 @@ def text_encoder(params: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarra
             model_axis=cfg.model_axis,
         )
     else:
-        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis)
+        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis, fused_mlp=cfg.fused_mlp)
     x = layer_norm(params["ln_final"], x).astype(dt)
     # EOT pooling: feature at argmax token id (eot=49407 is the max id).
     eot_idx = jnp.argmax(text, axis=-1)  # [B]

@@ -72,7 +72,9 @@ def fused_ln_mlp(
     R, W = x.shape
     H = mlp_params["w_in"].shape[1]
     if row_tile is None:
-        row_tile = R if R <= 512 else 512
+        # largest divisor of R up to 512 (R is rarely a multiple of 512 —
+        # e.g. B*T = 32*50 = 1600)
+        row_tile = next((t for t in (512, 400, 320, 256, 200, 160, 128, 100, 80, 64, 50, 32, 25, 16, 8) if R % t == 0), R)
     assert R % row_tile == 0, (R, row_tile)
     assert H % hidden_chunks == 0
     hc = H // hidden_chunks

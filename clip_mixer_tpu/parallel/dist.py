@@ -1,0 +1,38 @@
+"""Multi-host bootstrap.
+
+On a Cloud TPU pod slice, ``jax.distributed.initialize()`` auto-discovers the
+slice topology from TPU metadata (the NCCL/MASTER_ADDR rendezvous of the
+reference's launchJob.py:134-138 has no TPU equivalent to configure). On a
+single host or in non-TPU environments initialization is unnecessary and can
+raise — hence the guarded helper every entry point calls.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def maybe_initialize_distributed(verbose: bool = False) -> bool:
+    """Call jax.distributed.initialize() when a multi-host environment is
+    detectable; no-op otherwise. Returns True if initialized."""
+    import jax
+
+    if jax.process_count() > 1:  # already initialized
+        return True
+    multi_host_hint = any(
+        os.environ.get(k)
+        for k in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
+    )
+    if not multi_host_hint:
+        return False
+    try:
+        jax.distributed.initialize()
+        if verbose:
+            print(
+                f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}"
+            )
+        return True
+    except Exception as e:  # single-host TPU VM sets the hint vars too
+        if verbose:
+            print(f"jax.distributed.initialize skipped: {e}")
+        return False

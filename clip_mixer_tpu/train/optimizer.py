@@ -20,8 +20,17 @@ from clip_mixer_tpu.train.schedule import warmup_cosine
 def decay_mask(params):
     """True (decay) exactly where torch's ndim>=2 rule decays
     (training.py:66-71): matrices/embeddings/convs decay; vectors, scalars,
-    norm params, biases, logit_scale do not."""
-    return jax.tree.map(lambda p: p.ndim >= 2, params)
+    norm params, biases, logit_scale do not.
+
+    Tower block params are stacked with a leading layer axis for lax.scan, so
+    the torch-equivalent ndim is (ndim - 1) inside the "blocks" subtree — a
+    naive ndim>=2 check would wrongly decay every stacked bias/LayerNorm."""
+
+    def rule(path, p):
+        stacked = any(getattr(k, "key", None) == "blocks" for k in path)
+        return (p.ndim - (1 if stacked else 0)) >= 2
+
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def make_optimizer(tcfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:

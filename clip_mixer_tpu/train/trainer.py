@@ -122,6 +122,10 @@ class Trainer:
                     self.save(epoch, batch_idx)
                     self.validate(step)
                     t0 = time.monotonic()
+                # enforce the per-epoch cap the LR schedule was sized with
+                # (the reference's iterationPerEpoch break, training.py:192-194)
+                if batch_idx >= self.steps_per_epoch:
+                    break
             self.start_batch = 0
         # Final save unless the cadence save already captured this exact step
         # (orbax would silently skip a duplicate step id).
@@ -141,4 +145,6 @@ class Trainer:
         params = jax.device_get(self.state.params)
         for v in self.validators:
             v.params = params
+            if getattr(v, "writer", None) is None:
+                v.writer = self.writer  # scalars land in the run's TB log
             v.validate(step, verbose=self.verbose)

@@ -140,7 +140,9 @@ def test_sst2_probe_separable():
     # synthetic sentences whose labels correlate with an easy lexical signal
     pos = [(f"great wonderful amazing movie number {i}", 1) for i in range(48)]
     neg = [(f"terrible awful boring movie number {i}", 0) for i in range(48)]
-    train = pos[:32] + neg[:32]
+    # Interleave labels: the probe mini-batches WITHOUT shuffling (faithful
+    # to validation.py:346), so label-sorted batches would make it oscillate.
+    train = [s for pair in zip(pos[:32], neg[:32]) for s in pair]
     test = pos[32:] + neg[32:]
     v = SST2Validator(params, CFG, train_data=train, test_data=test)
     res = v.validate(step=0)

@@ -44,16 +44,26 @@ def test_schedule_matches_reference_shape():
     assert float(sched(2000)) == pytest.approx(5e-6, rel=1e-3)  # clamped after end
 
 
-def test_decay_mask_matches_ndim_rule():
+def test_decay_mask_matches_reference_rule():
+    """Decay exactly the params torch's ndim>=2 rule decays (training.py:
+    66-71) — accounting for our stacked [L, ...] block layout: stacked biases
+    and LayerNorms must NOT decay, stacked weight matrices must."""
     params = clip_model.init(jax.random.key(0), CFG)
     mask = decay_mask(params)
-    flat_p = jax.tree.leaves(params)
-    flat_m = jax.tree.leaves(mask)
-    assert any(flat_m) and not all(flat_m)
-    for p, m in zip(flat_p, flat_m):
-        assert m == (p.ndim >= 2)
+    blocks = mask["visual"]["tower"]["blocks"]
+    assert blocks["channel_mix"]["w_in"] is True
+    assert blocks["channel_mix"]["b_in"] is False
+    assert blocks["token_mix"]["w_out"] is True
+    assert blocks["token_mix"]["b_out"] is False
+    assert blocks["ln_token"]["scale"] is False
+    assert blocks["ln_channel"]["bias"] is False
     assert mask["logit_scale"] is False
     assert mask["text"]["token_embedding"] is True
+    assert mask["text"]["projection"] is True
+    assert mask["visual"]["proj"] is True
+    assert mask["visual"]["class_embedding"] is False
+    assert mask["visual"]["ln_pre"]["scale"] is False
+    assert mask["visual"]["patch_embed"]["kernel"] is True
 
 
 def test_remat_forward_identical():

@@ -51,6 +51,10 @@ def main():
     args = parse_args()
     import jax
 
+    from clip_mixer_tpu.parallel.dist import maybe_initialize_distributed
+
+    maybe_initialize_distributed(verbose=args.verbose)
+
     cfg = PRESETS[args.preset].replace(remat=not args.no_remat)
     tcfg = TrainConfig(
         global_batch_size=args.global_batch_size,
