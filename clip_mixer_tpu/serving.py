@@ -1,0 +1,245 @@
+"""Inference serving: HTTP endpoints over a micro-batching executor.
+
+The reference has no serving story (its inference surface is the Python API).
+For production deployment this module provides:
+
+* :class:`InferenceEngine` — fixed-shape jitted encoders (one compile per
+  batch bucket) with zero-padding, plus an optional zero-shot classifier head;
+* :class:`MicroBatcher` — request coalescing: concurrent requests are merged
+  into device-efficient batches (up to ``max_batch`` or ``max_wait_ms``),
+  amortising the per-dispatch latency that dominates small-batch TPU serving;
+* :func:`serve` — a dependency-free ThreadingHTTPServer exposing
+  POST /encode_text {"texts": [...]}, POST /encode_image {"images_b64":
+  [...]} (PNG/JPEG), POST /classify {"images_b64": [...]} against a loaded
+  classifier, and GET /healthz.
+
+Single-process, single-device by design: cross-replica serving is a router
+concern, not a model concern.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.ops.preprocess import normalize_images, preprocess_pil
+from clip_mixer_tpu.text.fast import fast_tokenize
+
+
+class InferenceEngine:
+    """Padded fixed-shape encoders; one compiled program per batch bucket."""
+
+    def __init__(self, params, cfg: CLIPConfig, batch_buckets: Sequence[int] = (8, 32, 128)):
+        self.params = jax.device_put(params)
+        self.cfg = cfg
+        self.buckets = sorted(batch_buckets)
+
+        @jax.jit
+        def _encode_text(p, tokens):
+            return clip_model.l2_normalize(clip_model.encode_text(p, cfg, tokens))
+
+        @jax.jit
+        def _encode_image(p, images_u8):
+            images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+            return clip_model.l2_normalize(clip_model.encode_image(p, cfg, images))
+
+        self._encode_text = _encode_text
+        self._encode_image = _encode_image
+        self._classifier: Optional[jnp.ndarray] = None
+        self._classnames: Optional[List[str]] = None
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _run_padded(self, fn, arr: np.ndarray) -> np.ndarray:
+        n = arr.shape[0]
+        out: List[np.ndarray] = []
+        i = 0
+        while i < n:
+            take = min(n - i, self.buckets[-1])
+            b = self._bucket(take)
+            chunk = arr[i : i + take]
+            if take < b:
+                chunk = np.concatenate([chunk, np.zeros((b - take,) + arr.shape[1:], arr.dtype)])
+            out.append(np.asarray(fn(self.params, jnp.asarray(chunk)), np.float32)[:take])
+            i += take
+        return np.concatenate(out)
+
+    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+        tokens = fast_tokenize(list(texts), self.cfg.context_length, truncate=True)
+        return self._run_padded(self._encode_text, tokens)
+
+    def encode_image_arrays(self, images_u8: np.ndarray) -> np.ndarray:
+        return self._run_padded(self._encode_image, images_u8)
+
+    def decode_and_preprocess(self, blobs: Sequence[bytes]) -> np.ndarray:
+        from PIL import Image
+
+        out = [preprocess_pil(Image.open(io.BytesIO(b)), self.cfg.image_resolution) for b in blobs]
+        return np.stack(out)
+
+    def load_classifier(self, classnames: Sequence[str], templates: Sequence[str]) -> None:
+        from clip_mixer_tpu.evals.zeroshot import build_zeroshot_classifier
+
+        w = build_zeroshot_classifier(self.params, self.cfg, classnames, templates)
+        self._classifier = jnp.asarray(w)
+        self._classnames = list(classnames)
+
+    def classify(self, images_u8: np.ndarray, top_k: int = 5) -> List[List[dict]]:
+        if self._classifier is None:
+            raise RuntimeError("no classifier loaded; call load_classifier first")
+        feats = self.encode_image_arrays(images_u8)
+        logits = 100.0 * feats @ np.asarray(self._classifier)
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        results = []
+        for row in probs:
+            idx = np.argsort(-row)[:top_k]
+            results.append([{"label": self._classnames[i], "prob": float(row[i])} for i in idx])
+        return results
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-item requests into one device batch."""
+
+    def __init__(self, fn: Callable[[np.ndarray], np.ndarray], max_batch: int = 128, max_wait_ms: float = 5.0):
+        self._fn = fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        holder: dict = {}
+        self._q.put((item, done, holder))
+        done.wait()
+        if "error" in holder:
+            raise holder["error"]
+        return holder["result"]
+
+    def _loop(self):
+        while True:
+            item, done, holder = self._q.get()
+            batch = [(item, done, holder)]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                stacked = np.stack([b[0] for b in batch])
+                results = self._fn(stacked)
+                for (_, d, h), r in zip(batch, results):
+                    h["result"] = r
+                    d.set()
+            except Exception as e:  # pragma: no cover - propagate per-request
+                for _, d, h in batch:
+                    h["error"] = e
+                    d.set()
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "model": engine.cfg.tower})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/encode_text":
+                    feats = engine.encode_text(req["texts"])
+                    self._reply(200, {"features": feats.tolist()})
+                elif self.path == "/encode_image":
+                    blobs = [base64.b64decode(b) for b in req["images_b64"]]
+                    feats = engine.encode_image_arrays(engine.decode_and_preprocess(blobs))
+                    self._reply(200, {"features": feats.tolist()})
+                elif self.path == "/classify":
+                    blobs = [base64.b64decode(b) for b in req["images_b64"]]
+                    results = engine.classify(
+                        engine.decode_and_preprocess(blobs), top_k=int(req.get("top_k", 5))
+                    )
+                    self._reply(200, {"results": results})
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+            except RuntimeError as e:
+                self._reply(409, {"error": str(e)})
+            except Exception as e:  # pragma: no cover
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever() or use the
+    returned instance's .shutdown() from tests)."""
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    return server
+
+
+def main():  # pragma: no cover - CLI
+    import argparse
+
+    from clip_mixer_tpu.api import load
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--classifier", default=None, help="'imagenet' or a file with one classname per line")
+    args = p.parse_args()
+
+    params, cfg, _ = load(args.model)
+    engine = InferenceEngine(params, cfg)
+    if args.classifier:
+        from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
+
+        names = (
+            IMAGENET_CLASSNAMES
+            if args.classifier == "imagenet"
+            else [l.strip() for l in open(args.classifier) if l.strip()]
+        )
+        engine.load_classifier(names, PROMPT_TEMPLATES)
+    print(f"serving {args.model} on :{args.port}")
+    serve(engine, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

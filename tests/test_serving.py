@@ -1,0 +1,135 @@
+"""Serving gates: HTTP endpoints over a real socket + micro-batcher."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.serving import InferenceEngine, MicroBatcher, serve
+
+CFG = CLIPConfig(
+    embed_dim=16,
+    image_resolution=32,
+    vision_layers=1,
+    vision_width=32,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    text_width=32,
+    text_heads=1,
+    text_layers=1,
+    tower="mixer",
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    params = clip_model.init(jax.random.key(0), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4, 8))
+    engine.load_classifier(["cat", "dog", "bird"], ["a photo of a {}."])
+    srv = serve(engine, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield port
+    srv.shutdown()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _png_b64(seed=0):
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_healthz(server_port):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_encode_text_endpoint(server_port):
+    code, out = _post(server_port, "/encode_text", {"texts": ["a cat", "a dog"]})
+    assert code == 200
+    feats = np.asarray(out["features"])
+    assert feats.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_encode_image_and_classify(server_port):
+    imgs = [_png_b64(0), _png_b64(1)]
+    code, out = _post(server_port, "/encode_image", {"images_b64": imgs})
+    assert code == 200
+    assert np.asarray(out["features"]).shape == (2, 16)
+
+    code, out = _post(server_port, "/classify", {"images_b64": imgs, "top_k": 2})
+    assert code == 200
+    assert len(out["results"]) == 2
+    top = out["results"][0]
+    assert len(top) == 2 and {"label", "prob"} <= set(top[0])
+    assert top[0]["label"] in ("cat", "dog", "bird")
+
+
+def test_bad_request(server_port):
+    code, out = _post(server_port, "/encode_text", {"wrong_key": []})
+    assert code == 400 and "bad request" in out["error"]
+    code, out = _post(server_port, "/nope", {})
+    assert code == 404
+
+
+def test_batching_pads_to_buckets(server_port):
+    # 5 texts with buckets (4, 8): one bucket-8 run; results must match
+    # a 2-text call exactly (padding must not leak into outputs).
+    code, out5 = _post(server_port, "/encode_text", {"texts": ["a", "b", "c", "d", "e"]})
+    code, out2 = _post(server_port, "/encode_text", {"texts": ["a", "b"]})
+    np.testing.assert_allclose(
+        np.asarray(out5["features"])[:2], np.asarray(out2["features"]), atol=1e-5
+    )
+
+
+def test_micro_batcher_merges_and_returns_per_item():
+    calls = []
+
+    def fn(batch):
+        calls.append(batch.shape[0])
+        return batch * 2.0
+
+    mb = MicroBatcher(fn, max_batch=8, max_wait_ms=50.0)
+    items = [np.full((3,), float(i)) for i in range(6)]
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = mb.submit(items[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(6):
+        np.testing.assert_array_equal(results[i], items[i] * 2.0)
+    assert sum(calls) == 6
+    assert max(calls) > 1  # at least one merged batch
