@@ -137,7 +137,13 @@ def load(
 
         params, cfg = load_torch_checkpoint(path)
     elif os.path.isdir(name):
-        params, cfg = load_pretrained(name)
+        if os.path.exists(os.path.join(name, "config.json")):
+            params, cfg = load_pretrained(name)
+        else:  # Accelerate save_state dir (the reference's trained-checkpoint
+            # format, validateModel.py:48-50) or other torch dump
+            from clip_mixer_tpu.models.convert import load_torch_checkpoint
+
+            params, cfg = load_torch_checkpoint(name)
     elif os.path.isfile(name):
         from clip_mixer_tpu.models.convert import load_torch_checkpoint
 

@@ -308,18 +308,40 @@ def params_to_state_dict(params: Dict, cfg: CLIPConfig) -> Dict[str, np.ndarray]
 
 
 def load_torch_checkpoint(path: str) -> Tuple[Dict, CLIPConfig]:
-    """Load a .pt file (JIT archive or plain state_dict) and convert.
+    """Load a torch checkpoint and convert.
 
-    Mirrors the reference load fallback chain (clip.py:127-137). Host-side
-    only; requires torch.
+    Accepts: a .pt file (JIT archive or plain state_dict — the reference load
+    fallback chain, clip.py:127-137), a .safetensors file, or an
+    Accelerate ``save_state`` output directory (model.safetensors /
+    pytorch_model.bin) — the only format the reference's own trained Mixer
+    checkpoints exist in (validateModel.py:48-50). Host-side only.
     """
-    import torch
+    import os
 
-    try:
-        model = torch.jit.load(path, map_location="cpu").eval()
-        sd = model.state_dict()
-    except RuntimeError:
-        sd = torch.load(path, map_location="cpu")
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin", "pytorch_model/mp_rank_00_model_states.pt"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(f"no model weights found under {path}")
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = dict(load_file(path))
+    else:
+        import torch
+
+        try:
+            model = torch.jit.load(path, map_location="cpu").eval()
+            sd = model.state_dict()
+        except RuntimeError:
+            sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # DDP-wrapped state dicts (Accelerate) prefix every key with "module."
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module.") :]: v for k, v in sd.items()}
     return state_dict_to_params(sd)

@@ -70,3 +70,33 @@ def test_export_loads_into_reference_model():
         clip_model.encode_image(params, cfg, jnp.asarray(images.transpose(0, 2, 3, 1)))
     )
     np.testing.assert_allclose(j_img, t_img, atol=5e-5, rtol=1e-3)
+
+
+def test_load_accelerate_format_dir(tmp_path):
+    """Accelerate save_state directories (module.-prefixed safetensors /
+    pytorch_model.bin) load through the public API — the only format the
+    reference's own trained Mixer checkpoints exist in."""
+    import torch
+    from safetensors.torch import save_file
+
+    import clip_mixer_tpu as cm
+    from model import CLIP as TorchCLIP
+
+    torch.manual_seed(9)
+    tm = TorchCLIP(32, 32, 2, 64, 16, 13, 256, 64, 1, 2, useTransformer=False).float().eval()
+    sd = {f"module.{k}": v.contiguous() for k, v in tm.state_dict().items()}
+    d = tmp_path / "accel_ckpt"
+    d.mkdir()
+    save_file(sd, str(d / "model.safetensors"))
+
+    params, cfg, _ = cm.load(str(d), compute_dtype="float32")
+    assert cfg.tower == "mixer" and cfg.context_length == 13
+
+    rng = np.random.default_rng(1)
+    images = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_img = tm.encode_image(torch.from_numpy(images)).numpy()
+    j_img = np.asarray(
+        clip_model.encode_image(params, cfg, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(j_img, t_img, atol=5e-5, rtol=1e-3)
