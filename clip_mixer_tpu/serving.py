@@ -61,6 +61,25 @@ class InferenceEngine:
         self._classifier: Optional[jnp.ndarray] = None
         self._classnames: Optional[List[str]] = None
 
+    def enable_int8(self, sample_images_u8: np.ndarray) -> None:
+        """Switch image encoding to the calibrated W8A8 path (mixer towers
+        only; +54% imgs/s on v5e at feature cosine >0.999 — ops/quant.py).
+        sample_images_u8: [N, H, W, 3] calibration batch."""
+        from clip_mixer_tpu.ops.quant import calibrate_vision_tower, encode_image_q, quantize_vision_tower
+
+        cfg = self.cfg
+        sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
+        scales = calibrate_vision_tower(self.params, cfg, sample)
+        qparams = quantize_vision_tower(self.params, cfg, scales)
+
+        @jax.jit
+        def _encode_image_q(p, images_u8):
+            images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+            return clip_model.l2_normalize(encode_image_q(p, cfg, images))
+
+        self.params = jax.device_put(qparams)
+        self._encode_image = _encode_image_q
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:

@@ -133,3 +133,18 @@ def test_micro_batcher_merges_and_returns_per_item():
         np.testing.assert_array_equal(results[i], items[i] * 2.0)
     assert sum(calls) == 6
     assert max(calls) > 1  # at least one merged batch
+
+
+def test_enable_int8_serving_path():
+    params = clip_model.init(jax.random.key(1), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    f_bf = engine.encode_image_arrays(imgs)
+    engine.enable_int8(imgs)
+    f_q = engine.encode_image_arrays(imgs)
+    cos = (f_bf * f_q).sum(-1)
+    assert cos.min() > 0.995  # both unit-norm
+    # text path still works on the quantized param tree
+    t = engine.encode_text(["a cat"])
+    np.testing.assert_allclose(np.linalg.norm(t, axis=-1), 1.0, rtol=1e-4)
