@@ -105,8 +105,8 @@ class CosineSimValidator:
         a = [p[0] for p in pairs]
         b = [p[1] for p in pairs]
         gold = np.asarray([p[2] for p in pairs], np.float64)
-        fa = encode_texts_batched(self.params, self.cfg, tokenize(a, truncate=True), normalize=False)
-        fb = encode_texts_batched(self.params, self.cfg, tokenize(b, truncate=True), normalize=False)
+        fa = encode_texts_batched(self.params, self.cfg, tokenize(a, self.cfg.context_length, truncate=True), normalize=False)
+        fb = encode_texts_batched(self.params, self.cfg, tokenize(b, self.cfg.context_length, truncate=True), normalize=False)
         linf = np.max(np.abs(fa - fb), axis=1)
         l2 = np.linalg.norm(fa - fb, axis=1)
         cos = (fa * fb).sum(1) / (np.linalg.norm(fa, axis=1) * np.linalg.norm(fb, axis=1))
@@ -188,7 +188,7 @@ class SST2Validator:
     def _embed(self, data):
         texts = [d[0] for d in data]
         labels = np.asarray([d[1] for d in data], np.int32)
-        feats = encode_texts_batched(self.params, self.cfg, tokenize(texts, truncate=True), normalize=False)
+        feats = encode_texts_batched(self.params, self.cfg, tokenize(texts, self.cfg.context_length, truncate=True), normalize=False)
         return feats, labels
 
     def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:

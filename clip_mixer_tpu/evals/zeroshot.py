@@ -70,7 +70,7 @@ def build_zeroshot_classifier(
     """Returns W: [embed_dim, n_classes] — norm(mean(norm(encode(prompts))))
     per class (validation.py:129-133)."""
     prompts = [t.format(c) for c in classnames for t in templates]
-    tokens = tokenize(prompts, truncate=True)
+    tokens = tokenize(prompts, cfg.context_length, truncate=True)
     feats = encode_texts_batched(params, cfg, tokens, batch_size)  # [C*T, D]
     feats = feats.reshape(len(classnames), len(templates), -1)
     class_emb = feats.mean(axis=1)

@@ -35,21 +35,27 @@ from clip_mixer_tpu.models.layers import (
 )
 
 
-def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None, fused_mlp: bool = False) -> jnp.ndarray:
-    """One MixerBlock. x: [B, T, W]. With ``model_axis`` (inside shard_map,
-    hidden-sharded params) the channel mix runs tensor-parallel; with
-    ``fused_mlp`` it runs through the Pallas LN+MLP kernel."""
+def token_mix(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """The token-mixing MLP residual branch: LN -> contract T -> gelu ->
+    contract back (reference model.py:216,220-222). Shared by the bf16,
+    tensor-parallel, and int8 block variants — keep all in sync here."""
     dt = x.dtype
-    # Token mix: LN -> contract T -> gelu -> contract back -> residual.
-    # (Always replicated: its params are ~1% of the block.)
     y = layer_norm(params["ln_token"], x)
     tm = params["token_mix"]
     h = jnp.einsum("btw,tu->buw", y, tm["w_in"].astype(dt))
     h = h + tm["b_in"].astype(dt)[:, None]
     h = quick_gelu(h)
     h = jnp.einsum("buw,ut->btw", h, tm["w_out"].astype(dt))
-    h = h + tm["b_out"].astype(dt)[:, None]
-    x = x + h
+    return h + tm["b_out"].astype(dt)[:, None]
+
+
+def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None, fused_mlp: bool = False) -> jnp.ndarray:
+    """One MixerBlock. x: [B, T, W]. With ``model_axis`` (inside shard_map,
+    hidden-sharded params) the channel mix runs tensor-parallel; with
+    ``fused_mlp`` it runs through the Pallas LN+MLP kernel."""
+    dt = x.dtype
+    # Token mix (always replicated: its params are ~1% of the block).
+    x = x + token_mix(params, x)
 
     # Channel mix: LN -> W -> 4W -> W -> residual.
     if model_axis is None and fused_mlp:

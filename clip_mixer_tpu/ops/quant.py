@@ -97,16 +97,12 @@ def quantize_vision_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None =
 
 
 def _mixer_block_q(p: Dict, x: jnp.ndarray, a_scales=None) -> jnp.ndarray:
+    from clip_mixer_tpu.models.mixer import token_mix
+
     dt = x.dtype
     s_in = a_scales["ch_in"] if a_scales is not None else None
     s_hidden = a_scales["ch_hidden"] if a_scales is not None else None
-    # token mix: bf16 (small)
-    y = layer_norm(p["ln_token"], x)
-    tm = p["token_mix"]
-    h = jnp.einsum("btw,tu->buw", y, tm["w_in"].astype(dt)) + tm["b_in"].astype(dt)[:, None]
-    h = quick_gelu(h)
-    h = jnp.einsum("buw,ut->btw", h, tm["w_out"].astype(dt)) + tm["b_out"].astype(dt)[:, None]
-    x = x + h
+    x = x + token_mix(p, x)  # bf16 (small)
     # channel mix: int8
     y = layer_norm(p["ln_channel"], x)
     cm = p["channel_mix"]
@@ -167,20 +163,16 @@ def calibrate_vision_tower(
     x = jnp.concatenate([cls, x], axis=1)
     x = layer_norm(v["ln_pre"], x)
 
-    from clip_mixer_tpu.models.mixer import mixer_block
+    from clip_mixer_tpu.models.mixer import token_mix
 
     def step(h, lp):
-        # stats at the two channel-mix sites of this layer
-        y = layer_norm(lp["ln_channel"], h + _token_only(lp, h))
-        hidden = quick_gelu(y @ lp["channel_mix"]["w_in"].astype(dt) + lp["channel_mix"]["b_in"].astype(dt))
-        return mixer_block(lp, h), (q(y), q(hidden))
-
-    def _token_only(p, x):
-        yt = layer_norm(p["ln_token"], x)
-        tm = p["token_mix"]
-        hh = jnp.einsum("btw,tu->buw", yt, tm["w_in"].astype(dt)) + tm["b_in"].astype(dt)[:, None]
-        hh = quick_gelu(hh)
-        return jnp.einsum("buw,ut->btw", hh, tm["w_out"].astype(dt)) + tm["b_out"].astype(dt)[:, None]
+        # stats at the two channel-mix sites, computing each part once
+        h = h + token_mix(lp, h)
+        y = layer_norm(lp["ln_channel"], h)
+        cm = lp["channel_mix"]
+        hidden = quick_gelu(y @ cm["w_in"].astype(dt) + cm["b_in"].astype(dt))
+        out = h + hidden @ cm["w_out"].astype(dt) + cm["b_out"].astype(dt)
+        return out, (q(y), q(hidden))
 
     x, (s_in, s_hidden) = jax.lax.scan(step, x, v["tower"]["blocks"])
     x = layer_norm(v["ln_post"], x[:, 0, :])

@@ -56,10 +56,26 @@ class InferenceEngine:
             images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
             return clip_model.l2_normalize(clip_model.encode_image(p, cfg, images))
 
-        self._encode_text = _encode_text
-        self._encode_image = _encode_image
+        # (fn, params) tuples are swapped ATOMICALLY (single attribute write)
+        # so concurrent server threads never see a fn/params mismatch, e.g.
+        # during enable_int8 on a live server.
+        self._text_path = (_encode_text, self.params)
+        self._image_path = (_encode_image, self.params)
         self._classifier: Optional[jnp.ndarray] = None
         self._classnames: Optional[List[str]] = None
+        # Micro-batcher over the image path for concurrent single-image
+        # requests (created lazily; thread is only spawned if used).
+        self.__batcher: Optional[MicroBatcher] = None
+        self._batcher_lock = threading.Lock()
+
+    @property
+    def _image_batcher(self) -> "MicroBatcher":
+        with self._batcher_lock:
+            if self.__batcher is None:
+                self.__batcher = MicroBatcher(
+                    lambda batch: self._run_image(batch), max_batch=self.buckets[-1]
+                )
+            return self.__batcher
 
     def enable_int8(self, sample_images_u8: np.ndarray) -> None:
         """Switch image encoding to the calibrated W8A8 path (mixer towers
@@ -70,15 +86,14 @@ class InferenceEngine:
         cfg = self.cfg
         sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
         scales = calibrate_vision_tower(self.params, cfg, sample)
-        qparams = quantize_vision_tower(self.params, cfg, scales)
+        qparams = jax.device_put(quantize_vision_tower(self.params, cfg, scales))
 
         @jax.jit
         def _encode_image_q(p, images_u8):
             images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
             return clip_model.l2_normalize(encode_image_q(p, cfg, images))
 
-        self.params = jax.device_put(qparams)
-        self._encode_image = _encode_image_q
+        self._image_path = (_encode_image_q, qparams)  # atomic swap
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -86,8 +101,11 @@ class InferenceEngine:
                 return b
         return self.buckets[-1]
 
-    def _run_padded(self, fn, arr: np.ndarray) -> np.ndarray:
+    def _run_padded(self, path, arr: np.ndarray) -> np.ndarray:
+        fn, params = path  # one atomic read of the (fn, params) pair
         n = arr.shape[0]
+        if n == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
         out: List[np.ndarray] = []
         i = 0
         while i < n:
@@ -96,16 +114,23 @@ class InferenceEngine:
             chunk = arr[i : i + take]
             if take < b:
                 chunk = np.concatenate([chunk, np.zeros((b - take,) + arr.shape[1:], arr.dtype)])
-            out.append(np.asarray(fn(self.params, jnp.asarray(chunk)), np.float32)[:take])
+            out.append(np.asarray(fn(params, jnp.asarray(chunk)), np.float32)[:take])
             i += take
         return np.concatenate(out)
 
+    def _run_image(self, images_u8: np.ndarray) -> np.ndarray:
+        return self._run_padded(self._image_path, images_u8)
+
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
         tokens = fast_tokenize(list(texts), self.cfg.context_length, truncate=True)
-        return self._run_padded(self._encode_text, tokens)
+        return self._run_padded(self._text_path, tokens)
 
-    def encode_image_arrays(self, images_u8: np.ndarray) -> np.ndarray:
-        return self._run_padded(self._encode_image, images_u8)
+    def encode_image_arrays(self, images_u8: np.ndarray, coalesce: bool = False) -> np.ndarray:
+        """coalesce=True routes single-image requests through the
+        micro-batcher so concurrent callers share one device batch."""
+        if coalesce and images_u8.shape[0] == 1:
+            return self._image_batcher.submit(images_u8[0])[None]
+        return self._run_image(images_u8)
 
     def decode_and_preprocess(self, blobs: Sequence[bytes]) -> np.ndarray:
         from PIL import Image
@@ -207,7 +232,9 @@ def make_handler(engine: InferenceEngine):
                     self._reply(200, {"features": feats.tolist()})
                 elif self.path == "/encode_image":
                     blobs = [base64.b64decode(b) for b in req["images_b64"]]
-                    feats = engine.encode_image_arrays(engine.decode_and_preprocess(blobs))
+                    feats = engine.encode_image_arrays(
+                        engine.decode_and_preprocess(blobs), coalesce=True
+                    )
                     self._reply(200, {"features": feats.tolist()})
                 elif self.path == "/classify":
                     blobs = [base64.b64decode(b) for b in req["images_b64"]]
@@ -217,7 +244,9 @@ def make_handler(engine: InferenceEngine):
                     self._reply(200, {"results": results})
                 else:
                     self._reply(404, {"error": "unknown path"})
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
+                # OSError covers PIL's UnidentifiedImageError on non-image
+                # bytes — a client error, not a server fault.
                 self._reply(400, {"error": f"bad request: {e}"})
             except RuntimeError as e:
                 self._reply(409, {"error": str(e)})

@@ -85,11 +85,22 @@ class Trainer:
 
     def train(self) -> None:
         first_caption_logged = -1
+        # Host-side step counter (== state.step at all times): fetching
+        # state.step from the device every iteration would force a host-device
+        # sync and defeat async dispatch.
+        step = self.global_step
         for epoch in range(self.start_epoch, self.tcfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             batch_idx = start_batch
             t0 = time.monotonic()
+            steps_since_t0 = 0
+            pending = []  # (step, metrics) awaiting device_get at cadence
             for host_batch in prefetch(self.data.iter_batches(epoch, start_batch)):
+                # Per-epoch cap checked BEFORE stepping (the reference's
+                # iterationPerEpoch break, training.py:192-194): resuming from
+                # an epoch-boundary checkpoint must not train an extra step.
+                if batch_idx >= self.steps_per_epoch:
+                    break
                 if batch_idx == start_batch:
                     # Out-of-range token ids silently become NaN embeddings
                     # (jnp.take fill mode) — catch the config/data mismatch on
@@ -107,32 +118,41 @@ class Trainer:
                 batch = shard_batch(self.mesh, dict(host_batch))
                 self.state, metrics = self.step_fn(self.state, batch)
                 batch_idx += 1
-                step = self.global_step
-
+                step += 1
+                steps_since_t0 += 1
                 if self.is_lead:
-                    self.writer.add_scalar("Loss", float(metrics["loss"]), step)
-                    self.writer.add_scalar("Learning rate", float(self._schedule(step - 1)), step)
-                    self.writer.add_scalar("Gradient norm", float(metrics["grad_norm"]), step)
+                    pending.append((step, metrics))  # device arrays; no sync
 
                 if step % self.tcfg.checkpoint_every_steps == 0:
+                    self._flush_metrics(pending)
+                    pending = []
                     dt = time.monotonic() - t0
                     if self.verbose and self.is_lead:
-                        ips = self.tcfg.checkpoint_every_steps * self.tcfg.global_batch_size / dt
+                        ips = steps_since_t0 * self.tcfg.global_batch_size / dt
                         print(f"step {step}: loss {float(metrics['loss']):.4f}  {ips:.0f} imgs/s")
                     self.save(epoch, batch_idx)
                     self.validate(step)
                     t0 = time.monotonic()
-                # enforce the per-epoch cap the LR schedule was sized with
-                # (the reference's iterationPerEpoch break, training.py:192-194)
-                if batch_idx >= self.steps_per_epoch:
-                    break
+                    steps_since_t0 = 0
+            self._flush_metrics(pending)
             self.start_batch = 0
         # Final save unless the cadence save already captured this exact step
         # (orbax would silently skip a duplicate step id).
-        if self.checkpointer.latest_step() != self.global_step:
+        if self.checkpointer.latest_step() != step:
             self.save(self.tcfg.epochs, 0)
         self.checkpointer.wait()
         self.writer.flush()
+
+    def _flush_metrics(self, pending) -> None:
+        """device_get buffered per-step metrics in one sync (same scalar set
+        as training.py:188-190)."""
+        if not pending or not self.is_lead:
+            return
+        values = jax.device_get([m for _, m in pending])
+        for (s, _), m in zip(pending, values):
+            self.writer.add_scalar("Loss", float(m["loss"]), s)
+            self.writer.add_scalar("Learning rate", float(self._schedule(s - 1)), s)
+            self.writer.add_scalar("Gradient norm", float(m["grad_norm"]), s)
 
     def save(self, epoch: int, batch_idx: int) -> None:
         self.checkpointer.save(self.state, epoch=epoch, step=batch_idx)

@@ -148,3 +148,35 @@ def test_enable_int8_serving_path():
     # text path still works on the quantized param tree
     t = engine.encode_text(["a cat"])
     np.testing.assert_allclose(np.linalg.norm(t, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_empty_inputs(server_port):
+    code, out = _post(server_port, "/encode_text", {"texts": []})
+    assert code == 200 and out["features"] == []
+
+
+def test_non_image_bytes_is_bad_request(server_port):
+    blob = base64.b64encode(b"hello, not an image").decode()
+    code, out = _post(server_port, "/encode_image", {"images_b64": [blob]})
+    assert code == 400 and "bad request" in out["error"]
+
+
+def test_concurrent_single_image_posts_coalesce(server_port):
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = _post(server_port, "/encode_image", {"images_b64": [_png_b64(i)]})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for code, out in results:
+        assert code == 200
+        assert np.asarray(out["features"]).shape == (1, 16)
+    # same image via the batch path gives the same features
+    code, direct = _post(server_port, "/encode_image", {"images_b64": [_png_b64(0)]})
+    np.testing.assert_allclose(
+        np.asarray(results[0][1]["features"]), np.asarray(direct["features"]), atol=1e-5
+    )
