@@ -138,6 +138,79 @@ def encode_image_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.n
     return int8_matmul(x, v["proj_q"], a["proj"] if a else None, dt)
 
 
+def quantize_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
+    """int8-pack the text mixer tower's channel mixes and projection (the
+    token embedding stays a lookup; token mixes stay bf16)."""
+    assert not cfg.use_transformer, "int8 path implemented for the mixer tower"
+    t = params["text"]
+    qt = dict(t)
+    qt["projection_q"] = quantize_weight(t["projection"])
+    qt.pop("projection")
+    qblocks = dict(t["tower"]["blocks"])
+    qblocks["channel_mix"] = {
+        "w_in_q": jax.vmap(quantize_weight)(t["tower"]["blocks"]["channel_mix"]["w_in"]),
+        "b_in": t["tower"]["blocks"]["channel_mix"]["b_in"],
+        "w_out_q": jax.vmap(quantize_weight)(t["tower"]["blocks"]["channel_mix"]["w_out"]),
+        "b_out": t["tower"]["blocks"]["channel_mix"]["b_out"],
+    }
+    qt["tower"] = {"blocks": qblocks}
+    if a_scales is not None:
+        qt["a_scales"] = a_scales
+    out = dict(params)
+    out["text"] = qt
+    return out
+
+
+def encode_text_q(qparams: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarray:
+    """int8 mirror of towers.text_encoder (mixer mode). text: int32 [B, T]."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    t = qparams["text"]
+    a = t.get("a_scales")
+    x = jnp.take(t["token_embedding"], text, axis=0).astype(dt)
+
+    def step(h, args):
+        lp, scales = args
+        return _mixer_block_q(lp, h, scales), None
+
+    layer_scales = {"ch_in": a["ch_in"], "ch_hidden": a["ch_hidden"]} if a else None
+    x, _ = jax.lax.scan(step, x, (t["tower"]["blocks"], layer_scales))
+    x = layer_norm(t["ln_final"], x).astype(dt)
+    eot_idx = jnp.argmax(text, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    return int8_matmul(pooled, t["projection_q"], a["proj"] if a else None, dt)
+
+
+def calibrate_text_tower(
+    params: Dict, cfg: CLIPConfig, sample_text: jnp.ndarray, quantile: float = 0.9999
+) -> Dict:
+    """Static activation scales for the text tower's quantisation sites."""
+    assert not cfg.use_transformer, "int8 path implemented for the mixer tower"
+    from clip_mixer_tpu.models.mixer import token_mix
+
+    dt = jnp.dtype(cfg.compute_dtype)
+    t = params["text"]
+
+    def q(x):
+        return jnp.quantile(jnp.abs(x.astype(jnp.float32)), quantile)
+
+    x = jnp.take(t["token_embedding"], sample_text, axis=0).astype(dt)
+
+    def step(h, lp):
+        h = h + token_mix(lp, h)
+        y = layer_norm(lp["ln_channel"], h)
+        cm = lp["channel_mix"]
+        hidden = quick_gelu(y @ cm["w_in"].astype(dt) + cm["b_in"].astype(dt))
+        out = h + hidden @ cm["w_out"].astype(dt) + cm["b_out"].astype(dt)
+        return out, (q(y), q(hidden))
+
+    x, (s_in, s_hidden) = jax.lax.scan(step, x, t["tower"]["blocks"])
+    x = layer_norm(t["ln_final"], x)
+    eot_idx = jnp.argmax(sample_text, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
+    return {"ch_in": to_scale(s_in), "ch_hidden": to_scale(s_hidden), "proj": to_scale(q(pooled))}
+
+
 def calibrate_vision_tower(
     params: Dict,
     cfg: CLIPConfig,

@@ -77,11 +77,19 @@ class InferenceEngine:
                 )
             return self.__batcher
 
-    def enable_int8(self, sample_images_u8: np.ndarray) -> None:
-        """Switch image encoding to the calibrated W8A8 path (mixer towers
-        only; +54% imgs/s on v5e at feature cosine >0.999 — ops/quant.py).
+    def enable_int8(self, sample_images_u8: np.ndarray, sample_texts: Optional[Sequence[str]] = None) -> None:
+        """Switch image encoding (and, when ``sample_texts`` is given, text
+        encoding) to the calibrated W8A8 path — mixer towers only; +54%
+        imgs/s on v5e at feature cosine >0.999 (ops/quant.py).
         sample_images_u8: [N, H, W, 3] calibration batch."""
-        from clip_mixer_tpu.ops.quant import calibrate_vision_tower, encode_image_q, quantize_vision_tower
+        from clip_mixer_tpu.ops.quant import (
+            calibrate_text_tower,
+            calibrate_vision_tower,
+            encode_image_q,
+            encode_text_q,
+            quantize_text_tower,
+            quantize_vision_tower,
+        )
 
         cfg = self.cfg
         sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
@@ -94,6 +102,17 @@ class InferenceEngine:
             return clip_model.l2_normalize(encode_image_q(p, cfg, images))
 
         self._image_path = (_encode_image_q, qparams)  # atomic swap
+
+        if sample_texts:
+            tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
+            t_scales = calibrate_text_tower(self.params, cfg, tokens)
+            tparams = jax.device_put(quantize_text_tower(self.params, cfg, t_scales))
+
+            @jax.jit
+            def _encode_text_q(p, toks):
+                return clip_model.l2_normalize(encode_text_q(p, cfg, toks))
+
+            self._text_path = (_encode_text_q, tparams)  # atomic swap
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

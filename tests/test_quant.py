@@ -88,3 +88,46 @@ def test_calibration_scale_shapes():
     assert s["ch_hidden"].shape == (CFG.vision_layers,)
     assert s["patch"].shape == () and s["proj"].shape == ()
     assert all(float(v) > 0 for v in (s["patch"], s["proj"]))
+
+
+def test_encode_text_q_fidelity():
+    from clip_mixer_tpu.ops.quant import calibrate_text_tower, encode_text_q, quantize_text_tower
+    from clip_mixer_tpu.text import tokenize
+
+    cfg = CFG.replace(context_length=77, vocab_size=49408)
+    params = clip_model.init(jax.random.key(4), cfg)
+    texts = tokenize(
+        ["a photo of a cat", "an aerial view of the city at night", "two dogs playing"],
+        truncate=True,
+    )
+    t = jnp.asarray(texts)
+    f_ref = np.asarray(clip_model.encode_text(params, cfg, t), np.float32)
+
+    q_dyn = quantize_text_tower(params, cfg)
+    f_dyn = np.asarray(encode_text_q(q_dyn, cfg, t), np.float32)
+    scales = calibrate_text_tower(params, cfg, t)
+    q_stat = quantize_text_tower(params, cfg, scales)
+    f_stat = np.asarray(encode_text_q(q_stat, cfg, t), np.float32)
+
+    for f in (f_dyn, f_stat):
+        cos = (f_ref * f).sum(-1) / (np.linalg.norm(f_ref, axis=-1) * np.linalg.norm(f, axis=-1))
+        assert cos.min() > 0.995, cos.min()
+
+
+def test_quantize_both_towers_compose():
+    from clip_mixer_tpu.ops.quant import (
+        encode_image_q,
+        encode_text_q,
+        quantize_text_tower,
+        quantize_vision_tower,
+    )
+
+    params = clip_model.init(jax.random.key(5), CFG)
+    q = quantize_text_tower(quantize_vision_tower(params, CFG), CFG)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    txt = jnp.zeros((2, 12), jnp.int32).at[:, 0].set(126).at[:, 1].set(127)
+    fi = encode_image_q(q, CFG, imgs)
+    ft = encode_text_q(q, CFG, txt)
+    assert fi.shape == (2, 32) and ft.shape == (2, 32)
+    assert np.isfinite(np.asarray(fi)).all() and np.isfinite(np.asarray(ft)).all()

@@ -180,3 +180,16 @@ def test_concurrent_single_image_posts_coalesce(server_port):
     np.testing.assert_allclose(
         np.asarray(results[0][1]["features"]), np.asarray(direct["features"]), atol=1e-5
     )
+
+
+def test_enable_int8_with_text():
+    params = clip_model.init(jax.random.key(3), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    t_bf = engine.encode_text(["a photo of a cat"])
+    rng = np.random.default_rng(0)
+    engine.enable_int8(
+        rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8),
+        sample_texts=["a photo of a cat", "a dog running"],
+    )
+    t_q = engine.encode_text(["a photo of a cat"])
+    assert float((t_bf * t_q).sum(-1)) > 0.995
