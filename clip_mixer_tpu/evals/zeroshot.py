@@ -78,22 +78,28 @@ def build_zeroshot_classifier(
     return class_emb.T.astype(np.float32)  # [D, C]
 
 
-def make_image_classifier(params, cfg: CLIPConfig, classifier_weights: np.ndarray) -> Callable:
-    """Jitted uint8-images -> class logits (100 * normalised feats @ W,
-    validation.py:162). Takes raw [B, H, W, 3] uint8; normalisation happens
-    in-graph like the train loop."""
+@functools.lru_cache(maxsize=8)
+def _jit_image_classifier(cfg: CLIPConfig):
+    """Cached per config; classifier weights are an argument so rebuilding
+    the zero-shot head every validation round never recompiles the tower."""
     from clip_mixer_tpu.ops.preprocess import normalize_images
 
-    w = jnp.asarray(classifier_weights)
-
     @jax.jit
-    def classify(p, images_u8):
+    def classify(p, images_u8, w):
         images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
         feats = clip_model.encode_image(p, cfg, images)
         feats = clip_model.l2_normalize(feats).astype(jnp.float32)
         return 100.0 * feats @ w
 
-    return lambda images_u8: classify(params, images_u8)
+    return classify
+
+
+def make_image_classifier(params, cfg: CLIPConfig, classifier_weights: np.ndarray) -> Callable:
+    """uint8 images [B, H, W, 3] -> class logits (100 * normalised feats @ W,
+    validation.py:162); normalisation happens in-graph like the train loop."""
+    classify = _jit_image_classifier(cfg)
+    w = jnp.asarray(classifier_weights)
+    return lambda images_u8: classify(params, images_u8, w)
 
 
 def topk_accuracy(logits: np.ndarray, targets: np.ndarray, ks: Tuple[int, ...] = (1, 5)) -> List[float]:
