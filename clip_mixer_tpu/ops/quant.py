@@ -138,6 +138,154 @@ def encode_image_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.n
     return int8_matmul(x, v["proj_q"], a["proj"] if a else None, dt)
 
 
+def _quantize_attn_blocks(blocks: Dict) -> Dict:
+    """int8-pack a stacked transformer block tree: QKV, attention out, and
+    MLP in/out are all plain matmuls; only the score/softmax math stays
+    bf16."""
+    return {
+        "ln_1": blocks["ln_1"],
+        "attn": {
+            "qkv_q": jax.vmap(quantize_weight)(blocks["attn"]["qkv_kernel"]),
+            "qkv_bias": blocks["attn"]["qkv_bias"],
+            "out_q": jax.vmap(quantize_weight)(blocks["attn"]["out_kernel"]),
+            "out_bias": blocks["attn"]["out_bias"],
+        },
+        "ln_2": blocks["ln_2"],
+        "mlp": {
+            "w_in_q": jax.vmap(quantize_weight)(blocks["mlp"]["w_in"]),
+            "b_in": blocks["mlp"]["b_in"],
+            "w_out_q": jax.vmap(quantize_weight)(blocks["mlp"]["w_out"]),
+            "b_out": blocks["mlp"]["b_out"],
+        },
+    }
+
+
+def _attention_block_q(p: Dict, x: jnp.ndarray, n_heads: int, mask, a=None) -> jnp.ndarray:
+    """int8 ResidualAttentionBlock; ``a`` carries this layer's calibrated
+    static activation scales (None -> dynamic per-row, measured SLOWER than
+    bf16 — use calibrate_vit_vision_tower)."""
+    B, T, W = x.shape
+    dt = x.dtype
+    g = lambda k: (a[k] if a is not None else None)
+    y = layer_norm(p["ln_1"], x)
+    qkv = int8_matmul(y, p["attn"]["qkv_q"], g("qkv_in"), dt) + p["attn"]["qkv_bias"].astype(dt)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, T, n_heads, W // n_heads).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * ((W // n_heads) ** -0.5)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(B, T, W)
+    x = x + int8_matmul(out, p["attn"]["out_q"], g("attn_out_in"), dt) + p["attn"]["out_bias"].astype(dt)
+
+    y = layer_norm(p["ln_2"], x)
+    h = int8_matmul(y, p["mlp"]["w_in_q"], g("mlp_in"), dt) + p["mlp"]["b_in"].astype(dt)
+    h = quick_gelu(h)
+    return x + int8_matmul(h, p["mlp"]["w_out_q"], g("mlp_hidden"), dt) + p["mlp"]["b_out"].astype(dt)
+
+
+def quantize_vit_vision_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
+    """int8-pack a ViT (transformer) vision tower: patchify, QKV/out, MLPs,
+    projection. Serves the converted OpenAI checkpoints faster. Pass
+    ``a_scales`` from :func:`calibrate_vit_vision_tower` for the fast static
+    mode."""
+    assert cfg.use_transformer and not cfg.is_resnet
+    v = params["visual"]
+    qv = dict(v)
+    qv["patch_embed"] = {"kernel_q": quantize_weight(v["patch_embed"]["kernel"])}
+    qv["proj_q"] = quantize_weight(v["proj"])
+    qv.pop("proj")
+    qv["tower"] = {"blocks": _quantize_attn_blocks(v["tower"]["blocks"])}
+    if a_scales is not None:
+        qv["a_scales"] = a_scales
+    out = dict(params)
+    out["visual"] = qv
+    return out
+
+
+def encode_image_vit_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """int8 mirror of the ViT vision encoder. images: normalised [B,H,W,3]."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    v = qparams["visual"]
+    a = v.get("a_scales")
+    x = patchify(images.astype(dt), cfg.vision_patch_size)
+    x = int8_matmul(x, v["patch_embed"]["kernel_q"], a["patch"] if a else None, dt)
+    cls = jnp.broadcast_to(v["class_embedding"].astype(dt), (x.shape[0], 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["pos_embedding"].astype(dt)
+    x = layer_norm(v["ln_pre"], x)
+
+    layer_scales = (
+        {k: a[k] for k in ("qkv_in", "attn_out_in", "mlp_in", "mlp_hidden")} if a else None
+    )
+
+    def step(h, args):
+        lp, scales = args
+        return _attention_block_q(lp, h, cfg.vision_heads, None, scales), None
+
+    x, _ = jax.lax.scan(step, x, (v["tower"]["blocks"], layer_scales))
+    x = layer_norm(v["ln_post"], x[:, 0, :])
+    return int8_matmul(x, v["proj_q"], a["proj"] if a else None, dt)
+
+
+def calibrate_vit_vision_tower(
+    params: Dict, cfg: CLIPConfig, sample_images: jnp.ndarray, quantile: float = 0.9999
+) -> Dict:
+    """Static activation scales for the ViT vision tower's quantisation
+    sites: patchify input, per-layer qkv/attn-out/mlp-in/mlp-hidden, proj."""
+    assert cfg.use_transformer and not cfg.is_resnet
+    from clip_mixer_tpu.models.transformer import multi_head_attention
+
+    dt = jnp.dtype(cfg.compute_dtype)
+    v = params["visual"]
+
+    def q(x):
+        return jnp.quantile(jnp.abs(x.astype(jnp.float32)), quantile)
+
+    x = patchify(sample_images.astype(dt), cfg.vision_patch_size)
+    s_patch = q(x)
+    x = x @ v["patch_embed"]["kernel"].astype(dt)
+    cls = jnp.broadcast_to(v["class_embedding"].astype(dt), (x.shape[0], 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["pos_embedding"].astype(dt)
+    x = layer_norm(v["ln_pre"], x)
+
+    def step(h, lp):
+        y1 = layer_norm(lp["ln_1"], h)
+        # attention output before the out-projection (the attn_out_in site):
+        # recompute MHA pieces to expose it
+        B, T, W = h.shape
+        nh = cfg.vision_heads
+        qkv = y1 @ lp["attn"]["qkv_kernel"].astype(dt) + lp["attn"]["qkv_bias"].astype(dt)
+        qq, kk, vv = jnp.split(qkv, 3, axis=-1)
+        hd = W // nh
+        hs = lambda t: t.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", hs(qq), hs(kk)).astype(jnp.float32) * (hd**-0.5)
+        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ao = jnp.einsum("bhqk,bhkd->bhqd", attn, hs(vv)).transpose(0, 2, 1, 3).reshape(B, T, W)
+        h = h + ao @ lp["attn"]["out_kernel"].astype(dt) + lp["attn"]["out_bias"].astype(dt)
+        y2 = layer_norm(lp["ln_2"], h)
+        hid = quick_gelu(y2 @ lp["mlp"]["w_in"].astype(dt) + lp["mlp"]["b_in"].astype(dt))
+        h = h + hid @ lp["mlp"]["w_out"].astype(dt) + lp["mlp"]["b_out"].astype(dt)
+        return h, (q(y1), q(ao), q(y2), q(hid))
+
+    x, (s_qkv, s_ao, s_mlp, s_hid) = jax.lax.scan(step, x, v["tower"]["blocks"])
+    x = layer_norm(v["ln_post"], x[:, 0, :])
+    to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
+    return {
+        "patch": to_scale(s_patch),
+        "qkv_in": to_scale(s_qkv),
+        "attn_out_in": to_scale(s_ao),
+        "mlp_in": to_scale(s_mlp),
+        "mlp_hidden": to_scale(s_hid),
+        "proj": to_scale(q(x)),
+    }
+
+
 def quantize_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
     """int8-pack the text mixer tower's channel mixes and projection (the
     token embedding stays a lookup; token mixes stay bf16)."""

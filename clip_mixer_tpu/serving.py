@@ -82,35 +82,34 @@ class InferenceEngine:
         encoding) to the calibrated W8A8 path — mixer towers only; +54%
         imgs/s on v5e at feature cosine >0.999 (ops/quant.py).
         sample_images_u8: [N, H, W, 3] calibration batch."""
-        from clip_mixer_tpu.ops.quant import (
-            calibrate_text_tower,
-            calibrate_vision_tower,
-            encode_image_q,
-            encode_text_q,
-            quantize_text_tower,
-            quantize_vision_tower,
-        )
+        from clip_mixer_tpu.ops import quant
 
         cfg = self.cfg
         sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
-        scales = calibrate_vision_tower(self.params, cfg, sample)
-        qparams = jax.device_put(quantize_vision_tower(self.params, cfg, scales))
+        if cfg.use_transformer:
+            scales = quant.calibrate_vit_vision_tower(self.params, cfg, sample)
+            qparams = jax.device_put(quant.quantize_vit_vision_tower(self.params, cfg, scales))
+            encode_q = quant.encode_image_vit_q
+        else:
+            scales = quant.calibrate_vision_tower(self.params, cfg, sample)
+            qparams = jax.device_put(quant.quantize_vision_tower(self.params, cfg, scales))
+            encode_q = quant.encode_image_q
 
         @jax.jit
         def _encode_image_q(p, images_u8):
             images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-            return clip_model.l2_normalize(encode_image_q(p, cfg, images))
+            return clip_model.l2_normalize(encode_q(p, cfg, images))
 
         self._image_path = (_encode_image_q, qparams)  # atomic swap
 
-        if sample_texts:
+        if sample_texts and not cfg.use_transformer:  # text int8: mixer towers only
             tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
-            t_scales = calibrate_text_tower(self.params, cfg, tokens)
-            tparams = jax.device_put(quantize_text_tower(self.params, cfg, t_scales))
+            t_scales = quant.calibrate_text_tower(self.params, cfg, tokens)
+            tparams = jax.device_put(quant.quantize_text_tower(self.params, cfg, t_scales))
 
             @jax.jit
             def _encode_text_q(p, toks):
-                return clip_model.l2_normalize(encode_text_q(p, cfg, toks))
+                return clip_model.l2_normalize(quant.encode_text_q(p, cfg, toks))
 
             self._text_path = (_encode_text_q, tparams)  # atomic swap
 

@@ -131,3 +131,36 @@ def test_quantize_both_towers_compose():
     ft = encode_text_q(q, CFG, txt)
     assert fi.shape == (2, 32) and ft.shape == (2, 32)
     assert np.isfinite(np.asarray(fi)).all() and np.isfinite(np.asarray(ft)).all()
+
+
+def test_vit_int8_fidelity():
+    from clip_mixer_tpu.ops.quant import encode_image_vit_q, quantize_vit_vision_tower
+
+    cfg = CFG.replace(tower="transformer", vision_width=64, text_width=64)
+    params = clip_model.init(jax.random.key(6), cfg)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32)
+    f_ref = np.asarray(clip_model.encode_image(params, cfg, imgs), np.float32)
+    q = quantize_vit_vision_tower(params, cfg)
+    f_q = np.asarray(encode_image_vit_q(q, cfg, imgs), np.float32)
+    cos = (f_ref * f_q).sum(-1) / (np.linalg.norm(f_ref, axis=-1) * np.linalg.norm(f_q, axis=-1))
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_vit_int8_calibrated_fidelity():
+    from clip_mixer_tpu.ops.quant import (
+        calibrate_vit_vision_tower,
+        encode_image_vit_q,
+        quantize_vit_vision_tower,
+    )
+
+    cfg = CFG.replace(tower="transformer", vision_width=64, text_width=64)
+    params = clip_model.init(jax.random.key(8), cfg)
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32)
+    f_ref = np.asarray(clip_model.encode_image(params, cfg, imgs), np.float32)
+    scales = calibrate_vit_vision_tower(params, cfg, imgs)
+    q = quantize_vit_vision_tower(params, cfg, scales)
+    f_q = np.asarray(encode_image_vit_q(q, cfg, imgs), np.float32)
+    cos = (f_ref * f_q).sum(-1) / (np.linalg.norm(f_ref, axis=-1) * np.linalg.norm(f_q, axis=-1))
+    assert cos.min() > 0.99, cos.min()
