@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-import jax
+
 import jax.numpy as jnp
 
 # CLIP RGB normalisation constants (training.py:115).

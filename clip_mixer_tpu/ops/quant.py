@@ -238,7 +238,6 @@ def calibrate_vit_vision_tower(
     """Static activation scales for the ViT vision tower's quantisation
     sites: patchify input, per-layer qkv/attn-out/mlp-in/mlp-hidden, proj."""
     assert cfg.use_transformer and not cfg.is_resnet
-    from clip_mixer_tpu.models.transformer import multi_head_attention
 
     dt = jnp.dtype(cfg.compute_dtype)
     v = params["visual"]

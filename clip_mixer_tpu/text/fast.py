@@ -22,7 +22,7 @@ from typing import List, Optional, Sequence, Union
 
 import numpy as np
 
-from clip_mixer_tpu.text.bpe import SOT, EOT, get_tokenizer, normalize_text
+from clip_mixer_tpu.text.bpe import get_tokenizer, normalize_text
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fast_bpe.cpp")

@@ -18,7 +18,7 @@ files to Azure blobs; no extra upload loop is needed.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
