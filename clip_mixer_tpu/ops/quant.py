@@ -285,6 +285,100 @@ def calibrate_vit_vision_tower(
     }
 
 
+def quantize_vit_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
+    """int8-pack a transformer text tower (causal-masked, reference
+    model.py:333-338): QKV/out and MLP matmuls per block plus the final
+    text projection. Token + positional embeddings stay float lookups."""
+    assert cfg.use_transformer
+    t = params["text"]
+    qt = dict(t)
+    qt["projection_q"] = quantize_weight(t["projection"])
+    qt.pop("projection")
+    qt["tower"] = {"blocks": _quantize_attn_blocks(t["tower"]["blocks"])}
+    if a_scales is not None:
+        qt["a_scales"] = a_scales
+    out = dict(params)
+    out["text"] = qt
+    return out
+
+
+def encode_text_vit_q(qparams: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarray:
+    """int8 mirror of towers.text_encoder in transformer mode (causal mask +
+    EOT-argmax pooling, reference model.py:413-426). text: int32 [B, T]."""
+    from clip_mixer_tpu.models.transformer import causal_mask
+
+    dt = jnp.dtype(cfg.compute_dtype)
+    t = qparams["text"]
+    a = t.get("a_scales")
+    x = jnp.take(t["token_embedding"], text, axis=0).astype(dt)
+    x = x + t["pos_embedding"].astype(dt)
+    mask = causal_mask(cfg.context_length)
+
+    layer_scales = (
+        {k: a[k] for k in ("qkv_in", "attn_out_in", "mlp_in", "mlp_hidden")} if a else None
+    )
+
+    def step(h, args):
+        lp, scales = args
+        return _attention_block_q(lp, h, cfg.text_heads, mask, scales), None
+
+    x, _ = jax.lax.scan(step, x, (t["tower"]["blocks"], layer_scales))
+    x = layer_norm(t["ln_final"], x).astype(dt)
+    eot_idx = jnp.argmax(text, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    return int8_matmul(pooled, t["projection_q"], a["proj"] if a else None, dt)
+
+
+def calibrate_vit_text_tower(
+    params: Dict, cfg: CLIPConfig, sample_text: jnp.ndarray, quantile: float = 0.9999
+) -> Dict:
+    """Static activation scales for the transformer text tower's sites:
+    per-layer qkv/attn-out/mlp-in/mlp-hidden plus the projection input."""
+    assert cfg.use_transformer
+    from clip_mixer_tpu.models.transformer import causal_mask
+
+    dt = jnp.dtype(cfg.compute_dtype)
+    t = params["text"]
+    mask = causal_mask(cfg.context_length)
+
+    def q(x):
+        return jnp.quantile(jnp.abs(x.astype(jnp.float32)), quantile)
+
+    x = jnp.take(t["token_embedding"], sample_text, axis=0).astype(dt)
+    x = x + t["pos_embedding"].astype(dt)
+
+    def step(h, lp):
+        y1 = layer_norm(lp["ln_1"], h)
+        B, T, W = h.shape
+        nh = cfg.text_heads
+        qkv = y1 @ lp["attn"]["qkv_kernel"].astype(dt) + lp["attn"]["qkv_bias"].astype(dt)
+        qq, kk, vv = jnp.split(qkv, 3, axis=-1)
+        hd = W // nh
+        hs = lambda u: u.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", hs(qq), hs(kk)).astype(jnp.float32) * (hd**-0.5)
+        scores = scores + mask.astype(jnp.float32)
+        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+        ao = jnp.einsum("bhqk,bhkd->bhqd", attn, hs(vv)).transpose(0, 2, 1, 3).reshape(B, T, W)
+        h = h + ao @ lp["attn"]["out_kernel"].astype(dt) + lp["attn"]["out_bias"].astype(dt)
+        y2 = layer_norm(lp["ln_2"], h)
+        hid = quick_gelu(y2 @ lp["mlp"]["w_in"].astype(dt) + lp["mlp"]["b_in"].astype(dt))
+        h = h + hid @ lp["mlp"]["w_out"].astype(dt) + lp["mlp"]["b_out"].astype(dt)
+        return h, (q(y1), q(ao), q(y2), q(hid))
+
+    x, (s_qkv, s_ao, s_mlp, s_hid) = jax.lax.scan(step, x, t["tower"]["blocks"])
+    x = layer_norm(t["ln_final"], x)
+    eot_idx = jnp.argmax(sample_text, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
+    return {
+        "qkv_in": to_scale(s_qkv),
+        "attn_out_in": to_scale(s_ao),
+        "mlp_in": to_scale(s_mlp),
+        "mlp_hidden": to_scale(s_hid),
+        "proj": to_scale(q(pooled)),
+    }
+
+
 def quantize_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
     """int8-pack the text mixer tower's channel mixes and projection (the
     token embedding stays a lookup; token mixes stay bf16)."""

@@ -79,8 +79,9 @@ class InferenceEngine:
 
     def enable_int8(self, sample_images_u8: np.ndarray, sample_texts: Optional[Sequence[str]] = None) -> None:
         """Switch image encoding (and, when ``sample_texts`` is given, text
-        encoding) to the calibrated W8A8 path — mixer towers only; +54%
-        imgs/s on v5e at feature cosine >0.999 (ops/quant.py).
+        encoding) to the calibrated W8A8 path — all non-ResNet presets
+        (mixer and transformer towers); +54% imgs/s on v5e at feature
+        cosine >0.999 (ops/quant.py).
         sample_images_u8: [N, H, W, 3] calibration batch."""
         from clip_mixer_tpu.ops import quant
 
@@ -102,14 +103,20 @@ class InferenceEngine:
 
         self._image_path = (_encode_image_q, qparams)  # atomic swap
 
-        if sample_texts and not cfg.use_transformer:  # text int8: mixer towers only
+        if sample_texts:
             tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
-            t_scales = quant.calibrate_text_tower(self.params, cfg, tokens)
-            tparams = jax.device_put(quant.quantize_text_tower(self.params, cfg, t_scales))
+            if cfg.use_transformer:
+                t_scales = quant.calibrate_vit_text_tower(self.params, cfg, tokens)
+                tparams = jax.device_put(quant.quantize_vit_text_tower(self.params, cfg, t_scales))
+                encode_text_q = quant.encode_text_vit_q
+            else:
+                t_scales = quant.calibrate_text_tower(self.params, cfg, tokens)
+                tparams = jax.device_put(quant.quantize_text_tower(self.params, cfg, t_scales))
+                encode_text_q = quant.encode_text_q
 
             @jax.jit
             def _encode_text_q(p, toks):
-                return clip_model.l2_normalize(quant.encode_text_q(p, cfg, toks))
+                return clip_model.l2_normalize(encode_text_q(p, cfg, toks))
 
             self._text_path = (_encode_text_q, tparams)  # atomic swap
 

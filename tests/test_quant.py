@@ -164,3 +164,47 @@ def test_vit_int8_calibrated_fidelity():
     f_q = np.asarray(encode_image_vit_q(q, cfg, imgs), np.float32)
     cos = (f_ref * f_q).sum(-1) / (np.linalg.norm(f_ref, axis=-1) * np.linalg.norm(f_q, axis=-1))
     assert cos.min() > 0.99, cos.min()
+
+
+def test_vit_text_int8_fidelity():
+    """Transformer text tower int8 (dynamic + calibrated) vs float reference."""
+    from clip_mixer_tpu.ops.quant import (
+        calibrate_vit_text_tower,
+        encode_text_vit_q,
+        quantize_vit_text_tower,
+    )
+    from clip_mixer_tpu.text import tokenize
+
+    cfg = CFG.replace(tower="transformer", context_length=77, vocab_size=49408)
+    params = clip_model.init(jax.random.key(10), cfg)
+    texts = tokenize(
+        ["a photo of a cat", "an aerial view of the city at night", "two dogs playing"],
+        truncate=True,
+    )
+    t = jnp.asarray(texts)
+    f_ref = np.asarray(clip_model.encode_text(params, cfg, t), np.float32)
+
+    q_dyn = quantize_vit_text_tower(params, cfg)
+    f_dyn = np.asarray(encode_text_vit_q(q_dyn, cfg, t), np.float32)
+    scales = calibrate_vit_text_tower(params, cfg, t)
+    q_stat = quantize_vit_text_tower(params, cfg, scales)
+    f_stat = np.asarray(encode_text_vit_q(q_stat, cfg, t), np.float32)
+
+    for f in (f_dyn, f_stat):
+        cos = (f_ref * f).sum(-1) / (np.linalg.norm(f_ref, axis=-1) * np.linalg.norm(f, axis=-1))
+        assert cos.min() > 0.99, cos.min()
+
+
+def test_vit_text_int8_causality():
+    """The int8 text path must keep the causal mask: features at EOT position
+    i must not depend on tokens after position i."""
+    from clip_mixer_tpu.ops.quant import encode_text_vit_q, quantize_vit_text_tower
+
+    cfg = CFG.replace(tower="transformer", context_length=12, vocab_size=128)
+    params = clip_model.init(jax.random.key(11), cfg)
+    q = quantize_vit_text_tower(params, cfg)
+    base = jnp.zeros((1, 12), jnp.int32).at[:, 0].set(10).at[:, 1].set(127)  # eot at pos 1
+    changed = base.at[:, 5].set(55)  # token after EOT differs
+    f0 = np.asarray(encode_text_vit_q(q, cfg, base), np.float32)
+    f1 = np.asarray(encode_text_vit_q(q, cfg, changed), np.float32)
+    np.testing.assert_allclose(f0, f1, rtol=0, atol=0)

@@ -192,4 +192,21 @@ def test_enable_int8_with_text():
         sample_texts=["a photo of a cat", "a dog running"],
     )
     t_q = engine.encode_text(["a photo of a cat"])
-    assert float((t_bf * t_q).sum(-1)) > 0.995
+    assert float((t_bf * t_q).sum(-1)[0]) > 0.995
+
+
+def test_enable_int8_transformer_preset_full():
+    """int8 serving now covers ALL non-ResNet presets: transformer vision AND
+    text towers are quantized when sample_texts is given."""
+    cfg = CFG.replace(tower="transformer", vision_width=64, text_width=64)
+    params = clip_model.init(jax.random.key(4), cfg)
+    engine = InferenceEngine(params, cfg, batch_buckets=(4,))
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    f_bf = engine.encode_image_arrays(imgs)
+    t_bf = engine.encode_text(["a photo of a cat"])
+    engine.enable_int8(imgs, sample_texts=["a photo of a cat", "a dog running"])
+    f_q = engine.encode_image_arrays(imgs)
+    t_q = engine.encode_text(["a photo of a cat"])
+    assert (f_bf * f_q).sum(-1).min() > 0.99
+    assert float((t_bf * t_q).sum(-1)[0]) > 0.99
