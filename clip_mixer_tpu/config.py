@@ -138,6 +138,9 @@ class TrainConfig:
     grad_clip_norm: float = 20.0  # training.py:181
     logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
     checkpoint_every_steps: int = 400  # training.py:197
+    # validation cadence; None -> follow checkpoint_every_steps (the
+    # reference couples them, training.py:197-205 — decoupled here by design)
+    validate_every_steps: Optional[int] = None
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,

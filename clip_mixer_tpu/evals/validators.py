@@ -1,6 +1,7 @@
 """Validation harnesses — the reference's four validators, TPU-native.
 
-Each validator has ``validate(step, verbose=False) -> dict`` mirroring the
+Each validator has ``validate(step, verbose=False, params=None) -> dict``
+(explicit params override the construction-time tree) mirroring the
 reference classes (training/clip/validation.py:19,184,314,375) and logs the
 same scalar names to the metrics writer. Dataset access is offline-gated:
 when a dataset cannot be fetched the validator returns {} and logs a skip
@@ -33,10 +34,11 @@ class ImageNetValidator:
         self.params, self.cfg, self.writer = params, cfg, writer
         self.image_batches_fn = image_batches_fn or _imagenetv2_batches
 
-    def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:
+    def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, float]:
+        p = params if params is not None else self.params
         try:
             batches = self.image_batches_fn()
-            res = zero_shot_eval(self.params, self.cfg, IMAGENET_CLASSNAMES, PROMPT_TEMPLATES, batches)
+            res = zero_shot_eval(p, self.cfg, IMAGENET_CLASSNAMES, PROMPT_TEMPLATES, batches)
         except DatasetUnavailable as e:
             if verbose:
                 print(f"[imagenet] skipped: {e}")
@@ -99,14 +101,15 @@ class CosineSimValidator:
         self.datasets = datasets if datasets is not None else STS_SETS
         self.figures = figures
 
-    def _validate_pairs(self, name: str, pairs, step, verbose) -> Dict[str, float]:
+    def _validate_pairs(self, name: str, pairs, step, verbose, params=None) -> Dict[str, float]:
         from scipy.stats import pearsonr, spearmanr
 
+        model_params = params if params is not None else self.params
         a = [p[0] for p in pairs]
         b = [p[1] for p in pairs]
         gold = np.asarray([p[2] for p in pairs], np.float64)
-        fa = encode_texts_batched(self.params, self.cfg, tokenize(a, self.cfg.context_length, truncate=True), normalize=False)
-        fb = encode_texts_batched(self.params, self.cfg, tokenize(b, self.cfg.context_length, truncate=True), normalize=False)
+        fa = encode_texts_batched(model_params, self.cfg, tokenize(a, self.cfg.context_length, truncate=True), normalize=False)
+        fb = encode_texts_batched(model_params, self.cfg, tokenize(b, self.cfg.context_length, truncate=True), normalize=False)
         linf = np.max(np.abs(fa - fb), axis=1)
         l2 = np.linalg.norm(fa - fb, axis=1)
         cos = (fa * fb).sum(1) / (np.linalg.norm(fa, axis=1) * np.linalg.norm(fb, axis=1))
@@ -162,7 +165,7 @@ class CosineSimValidator:
                 fig.savefig(f"{tag}.png")
             plt.close(fig)
 
-    def validate(self, step: int, verbose: bool = False) -> Dict[str, Dict[str, float]]:
+    def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, Dict[str, float]]:
         results = {}
         for name in self.datasets:
             try:
@@ -172,7 +175,7 @@ class CosineSimValidator:
                 if verbose:
                     print(f"[sts:{name}] skipped: {e}")
                 continue
-            results[key] = self._validate_pairs(key, pairs, step, verbose)
+            results[key] = self._validate_pairs(key, pairs, step, verbose, params=params)
         return results
 
 
@@ -185,13 +188,14 @@ class SST2Validator:
         self.params, self.cfg, self.writer = params, cfg, writer
         self._train, self._test = train_data, test_data
 
-    def _embed(self, data):
+    def _embed(self, data, params=None):
+        model_params = params if params is not None else self.params
         texts = [d[0] for d in data]
         labels = np.asarray([d[1] for d in data], np.int32)
-        feats = encode_texts_batched(self.params, self.cfg, tokenize(texts, self.cfg.context_length, truncate=True), normalize=False)
+        feats = encode_texts_batched(model_params, self.cfg, tokenize(texts, self.cfg.context_length, truncate=True), normalize=False)
         return feats, labels
 
-    def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:
+    def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, float]:
         import optax
 
         try:
@@ -201,8 +205,8 @@ class SST2Validator:
             if verbose:
                 print(f"[sst2] skipped: {e}")
             return {}
-        xtr, ytr = self._embed(train)
-        xte, yte = self._embed(test)
+        xtr, ytr = self._embed(train, params)
+        xte, yte = self._embed(test, params)
 
         dim = xtr.shape[1]
         probe = {"w": jnp.zeros((dim, 2), jnp.float32), "b": jnp.zeros((2,), jnp.float32)}
@@ -242,10 +246,11 @@ class MNISTValidator:
         self.params, self.cfg, self.writer = params, cfg, writer
         self.image_batches_fn = image_batches_fn or (lambda: mnist_batches("test", 256, self.cfg.image_resolution))
 
-    def validate(self, step: int, verbose: bool = False) -> Dict[str, float]:
+    def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, float]:
+        p = params if params is not None else self.params
         try:
             res = zero_shot_eval(
-                self.params, self.cfg, MNIST_CLASSNAMES, PROMPT_TEMPLATES, self.image_batches_fn()
+                p, self.cfg, MNIST_CLASSNAMES, PROMPT_TEMPLATES, self.image_batches_fn()
             )
         except DatasetUnavailable as e:
             if verbose:

@@ -66,6 +66,14 @@ class Trainer:
         self.writer = MetricsWriter(log_dir=f"{run_dir}/runs" if self.is_lead else None)
         self.checkpointer = Checkpointer(f"{run_dir}/checkpoints")
         self.validators = list(validators)
+        # Validation cadence is decoupled from the checkpoint cadence (the
+        # reference couples both at 400 steps, training.py:197-205).
+        self.validate_every_steps = tcfg.validate_every_steps or tcfg.checkpoint_every_steps
+        # Wire the run's metrics writer into validators once, at construction
+        # (not mutated per validate call).
+        for v in self.validators:
+            if getattr(v, "writer", None) is None:
+                v.writer = self.writer
 
         if params is None:
             params = clip_model.init(jax.random.key(tcfg.seed), cfg)
@@ -131,9 +139,10 @@ class Trainer:
                         ips = steps_since_t0 * self.tcfg.global_batch_size / dt
                         print(f"step {step}: loss {float(metrics['loss']):.4f}  {ips:.0f} imgs/s")
                     self.save(epoch, batch_idx)
-                    self.validate(step)
                     t0 = time.monotonic()
                     steps_since_t0 = 0
+                if step % self.validate_every_steps == 0:
+                    self.validate(step)
             self._flush_metrics(pending)
             self.start_batch = 0
         # Final save unless the cadence save already captured this exact step
@@ -159,12 +168,10 @@ class Trainer:
 
     def validate(self, step: int) -> None:
         """Rank-0 validation pass over all registered validators
-        (training.py:211-216)."""
-        if not self.is_lead:
+        (training.py:211-216). The live params are passed explicitly — the
+        validator's own params (if any) are untouched."""
+        if not self.is_lead or not self.validators:
             return
         params = jax.device_get(self.state.params)
         for v in self.validators:
-            v.params = params
-            if getattr(v, "writer", None) is None:
-                v.writer = self.writer  # scalars land in the run's TB log
-            v.validate(step, verbose=self.verbose)
+            v.validate(step, verbose=self.verbose, params=params)
