@@ -61,6 +61,29 @@ def forward(
     return img, txt, jnp.exp(params["logit_scale"])
 
 
+def forward_train(
+    params: Dict,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    text: jnp.ndarray,
+    axis_name: str | None = None,
+):
+    """Training forward. Returns (img, txt, scale, bn_stats): bn_stats is {}
+    for BN-free towers (mixer/transformer) and the per-site batch moments for
+    the ResNet tower (batch-stat / SyncBN normalisation, to be merged into
+    the running stats after the optimizer step — resnet.apply_bn_updates)."""
+    if cfg.is_resnet:
+        feats, bn_stats = resnet_mod.resnet_encoder_train(
+            params["visual"], cfg, images, axis_name=axis_name
+        )
+        img = l2_normalize(feats)
+    else:
+        img = l2_normalize(encode_image(params, cfg, images))
+        bn_stats = {}
+    txt = l2_normalize(encode_text(params, cfg, text))
+    return img, txt, jnp.exp(params["logit_scale"]), bn_stats
+
+
 def logits(
     params: Dict, cfg: CLIPConfig, images: jnp.ndarray, text: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

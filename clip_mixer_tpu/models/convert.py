@@ -282,8 +282,51 @@ def params_to_state_dict(params: Dict, cfg: CLIPConfig) -> Dict[str, np.ndarray]
                 sd[f"{p}.mlp.c_proj.weight"] = b["mlp"]["w_out"].T
                 sd[f"{p}.mlp.c_proj.bias"] = b["mlp"]["b_out"]
 
+    def put_conv(key, conv):
+        # HWIO -> torch OIHW
+        sd[key] = np.asarray(conv["kernel"], np.float32).transpose(3, 2, 0, 1)
+
+    def put_bn(prefix, bn):
+        sd[f"{prefix}.weight"] = np.asarray(bn["scale"], np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(bn["bias"], np.float32)
+        sd[f"{prefix}.running_mean"] = np.asarray(bn["mean"], np.float32)
+        sd[f"{prefix}.running_var"] = np.asarray(bn["var"], np.float32)
+        # torch BatchNorm2d buffers include this; emit it so the reference
+        # model loads with strict=True (the importer ignores it).
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
     if cfg.is_resnet:
-        raise NotImplementedError("ResNet export not implemented (load-only)")
+        v = params["visual"]
+        for i in (1, 2, 3):
+            put_conv(f"visual.conv{i}.weight", v[f"conv{i}"])
+            put_bn(f"visual.bn{i}", v[f"bn{i}"])
+        for li, blocks in enumerate(cfg.vision_layers):
+            for b in range(blocks):
+                p = f"visual.layer{li + 1}.{b}"
+                bp = v[f"layer{li + 1}"][b]
+                for j in (1, 2, 3):
+                    put_conv(f"{p}.conv{j}.weight", bp[f"conv{j}"])
+                    put_bn(f"{p}.bn{j}", bp[f"bn{j}"])
+                if "downsample" in bp:
+                    # reference Bottleneck downsample: ("-1" avgpool, "0" conv,
+                    # "1" bn) — model.py:36-41
+                    put_conv(f"{p}.downsample.0.weight", bp["downsample"]["conv"])
+                    put_bn(f"{p}.downsample.1", bp["downsample"]["bn"])
+        ap = v["attnpool"]
+        sd["visual.attnpool.positional_embedding"] = np.asarray(ap["pos_embedding"], np.float32)
+        for name in ("q", "k", "v", "c"):
+            sd[f"visual.attnpool.{name}_proj.weight"] = np.asarray(ap[name]["kernel"], np.float32).T
+            sd[f"visual.attnpool.{name}_proj.bias"] = np.asarray(ap[name]["bias"], np.float32)
+
+        t = params["text"]
+        sd["token_embedding.weight"] = np.asarray(t["token_embedding"], np.float32)
+        sd["positional_embedding"] = np.asarray(t["pos_embedding"], np.float32)
+        put_tower("transformer", t["tower"], cfg.text_layers, mixer=not cfg.use_transformer)
+        put_ln("ln_final", t["ln_final"])
+        sd["text_projection"] = np.asarray(t["projection"], np.float32)
+        sd["logit_scale"] = np.asarray(params["logit_scale"], np.float32)
+        return sd
+
     v = params["visual"]
     w = np.asarray(v["patch_embed"]["kernel"], np.float32)  # [(ph pw c), W]
     p_sz = cfg.vision_patch_size

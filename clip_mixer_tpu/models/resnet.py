@@ -5,10 +5,12 @@ bottlenecks (avgpool before every stride-2 conv), and QKV attention pooling
 with a mean-token query. Needed to load/evaluate the RN* checkpoints
 (build_model dispatches on the ``visual.proj`` key, reference model.py:470-485).
 
-Round-1 scope: inference path with running-stat BatchNorm (the reference only
-ever *trains* the ViT/Mixer towers; its SyncBatchNorm conversion is vestigial
-— SURVEY §2.7). Convolutions run NHWC via lax.conv_general_dilated so XLA
-tiles them onto the MXU directly.
+Inference uses running-stat BatchNorm; training uses batch stats (SyncBN
+across a mesh axis) via :func:`resnet_encoder_train`, with running-stat EMA
+merges through :func:`apply_bn_updates` — torch nn.BatchNorm2d semantics, the
+machinery behind the reference's SyncBatchNorm conversion (training.py:91).
+Convolutions run NHWC via lax.conv_general_dilated so XLA tiles them onto the
+MXU directly.
 """
 
 from __future__ import annotations
@@ -218,3 +220,86 @@ def resnet_encoder(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
             stride = (1 if li == 0 else 2) if b == 0 else 1
             x = bottleneck(bp, x, stride)
     return attention_pool(params["attnpool"], x, cfg.vision_heads)
+
+
+def resnet_encoder_train(
+    params: Dict, cfg: CLIPConfig, images: jnp.ndarray, axis_name: Optional[str] = None
+):
+    """Training forward: batch-stat BatchNorm (SyncBN across ``axis_name``)
+    plus the per-site batch moments needed for running-stat EMA updates.
+
+    Returns ``(features, bn_stats)``: bn_stats mirrors the params tree at the
+    BN leaves with {"mean", "var", "n"} per site (n = per-replica element
+    count, for torch's unbiased running-var correction). Merge into params
+    with :func:`apply_bn_updates` after the optimizer step — the torch
+    semantics the reference relies on implicitly via nn.BatchNorm2d
+    (training.py:91 SyncBatchNorm conversion).
+    """
+    dt = jnp.dtype(cfg.compute_dtype)
+    stats: Dict = {}
+
+    def bn_train(bnp, x, slot: Dict, key: str):
+        mean, var = batch_moments(x, axis_name)
+        n = jnp.asarray(x.shape[0] * x.shape[1] * x.shape[2], jnp.float32)
+        if axis_name is not None:  # SyncBN: global element count
+            n = n * jax.lax.psum(jnp.float32(1.0), axis_name)
+        slot[key] = {"mean": mean, "var": var, "n": n}
+        x32 = x.astype(jnp.float32)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        return ((x32 - mean) * inv * bnp["scale"] + bnp["bias"]).astype(x.dtype)
+
+    x = images.astype(dt)
+    x = jax.nn.relu(bn_train(params["bn1"], conv(params["conv1"], x, stride=2, padding=1), stats, "bn1"))
+    x = jax.nn.relu(bn_train(params["bn2"], conv(params["conv2"], x, padding=1), stats, "bn2"))
+    x = jax.nn.relu(bn_train(params["bn3"], conv(params["conv3"], x, padding=1), stats, "bn3"))
+    x = avg_pool(x, 2)
+    for li in range(4):
+        stage_stats = []
+        for b, bp in enumerate(params[f"layer{li + 1}"]):
+            stride = (1 if li == 0 else 2) if b == 0 else 1
+            bstats: Dict = {}
+            out = jax.nn.relu(bn_train(bp["bn1"], conv(bp["conv1"], x), bstats, "bn1"))
+            out = jax.nn.relu(bn_train(bp["bn2"], conv(bp["conv2"], out, padding=1), bstats, "bn2"))
+            if stride > 1:
+                out = avg_pool(out, stride)
+            out = bn_train(bp["bn3"], conv(bp["conv3"], out), bstats, "bn3")
+            identity = x
+            if "downsample" in bp:
+                identity = x if stride == 1 else avg_pool(x, stride)
+                ds: Dict = {}
+                identity = bn_train(bp["downsample"]["bn"], conv(bp["downsample"]["conv"], identity), ds, "bn")
+                bstats["downsample"] = ds
+            x = jax.nn.relu(out + identity)
+            stage_stats.append(bstats)
+        stats[f"layer{li + 1}"] = stage_stats
+    return attention_pool(params["attnpool"], x, cfg.vision_heads), stats
+
+
+def apply_bn_updates(visual_params: Dict, bn_stats: Dict, momentum: float = 0.1) -> Dict:
+    """EMA-merge batch moments into the running stats (new tree returned).
+
+    torch nn.BatchNorm2d semantics: running = (1 - m) * running + m * batch,
+    with the running VAR updated from the UNBIASED batch variance
+    (var * n / (n - 1)). Gradients never flow here — call after the
+    optimizer step on the updated params.
+    """
+
+    def merge(node, stats):
+        if isinstance(node, list):
+            return [merge(c, s) for c, s in zip(node, stats)]
+        out = dict(node)
+        for k, s in stats.items():
+            if isinstance(s, list):  # a stage: list of per-block stat dicts
+                out[k] = merge(out[k], s)
+            elif set(s.keys()) == {"mean", "var", "n"}:  # a BN site
+                bn = dict(out[k])
+                n = s["n"]
+                unbiased = s["var"] * (n / jnp.maximum(n - 1.0, 1.0))
+                bn["mean"] = (1.0 - momentum) * bn["mean"] + momentum * s["mean"]
+                bn["var"] = (1.0 - momentum) * bn["var"] + momentum * unbiased
+                out[k] = bn
+            else:
+                out[k] = merge(out[k], s)
+        return out
+
+    return merge(visual_params, bn_stats)

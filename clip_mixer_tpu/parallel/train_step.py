@@ -61,8 +61,12 @@ def make_train_step(
 
     def local_loss(params, images_u8, texts):
         images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-        img, txt, scale = clip_model.forward(params, loss_cfg, images, texts)
-        return info_nce(
+        # BN towers (ResNet) train on batch stats (SyncBN over the data axis)
+        # and surface the moments for the running-stat EMA merge below.
+        img, txt, scale, bn_stats = clip_model.forward_train(
+            params, loss_cfg, images, texts, axis_name=DATA_AXIS
+        )
+        loss = info_nce(
             img,
             txt,
             scale,
@@ -70,10 +74,14 @@ def make_train_step(
             grad_through_gather=grad_through_gather,
             chunk_size=chunk_size,
         )
+        return loss, bn_stats
 
     def sharded_loss_and_grad(params, images, texts):
-        loss, grads = jax.value_and_grad(local_loss)(params, images, texts)
-        return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
+        (loss, bn_stats), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params, images, texts
+        )
+        # bn moments were already pmean'd inside (SyncBN) — replicated as-is.
+        return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), bn_stats
 
     def run_loss_and_grad(params, images, texts):
         if use_tp:
@@ -86,12 +94,12 @@ def make_train_step(
             sharded_loss_and_grad,
             mesh=mesh,
             in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(), pspecs),
+            out_specs=(P(), pspecs, P()),
             check_vma=False,
         )(params, images, texts)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict]:
-        loss, grads = run_loss_and_grad(state.params, batch["images"], batch["texts"])
+        loss, grads, bn_stats = run_loss_and_grad(state.params, batch["images"], batch["texts"])
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -99,6 +107,10 @@ def make_train_step(
         # correct branch — see SURVEY "reference bugs not replicated").
         params = dict(params)
         params["logit_scale"] = jnp.minimum(params["logit_scale"], tcfg.logit_scale_max)
+        if bn_stats:  # ResNet tower: EMA-merge running BN stats (no gradients)
+            from clip_mixer_tpu.models.resnet import apply_bn_updates
+
+            params["visual"] = apply_bn_updates(params["visual"], bn_stats)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,

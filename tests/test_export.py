@@ -100,3 +100,52 @@ def test_load_accelerate_format_dir(tmp_path):
         clip_model.encode_image(params, cfg, jnp.asarray(images.transpose(0, 2, 3, 1)))
     )
     np.testing.assert_allclose(j_img, t_img, atol=5e-5, rtol=1e-3)
+
+
+RN_CFG = CLIPConfig(
+    embed_dim=32,
+    image_resolution=64,
+    vision_layers=(1, 1, 1, 1),
+    vision_width=8,
+    vision_patch_size=None,
+    context_length=13,
+    vocab_size=256,
+    text_width=64,
+    text_heads=1,
+    text_layers=1,
+    tower="transformer",
+    compute_dtype="float32",
+)
+
+
+def test_resnet_roundtrip_exact():
+    params = clip_model.init(jax.random.key(7), RN_CFG)
+    sd = params_to_state_dict(params, RN_CFG)
+    params2, cfg2 = state_dict_to_params(sd)
+    assert cfg2.replace(compute_dtype="float32") == RN_CFG
+    leaves_a = jax.tree.leaves(params)
+    leaves_b = jax.tree.leaves(params2)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_resnet_export_loads_into_reference_model():
+    import torch
+    from model import CLIP as TorchCLIP
+
+    params = clip_model.init(jax.random.key(8), RN_CFG)
+    sd = {k: torch.as_tensor(np.asarray(v)) for k, v in params_to_state_dict(params, RN_CFG).items()}
+
+    tm = TorchCLIP(32, 64, (1, 1, 1, 1), 8, None, 13, 256, 64, 1, 1, useTransformer=True).float()
+    tm.load_state_dict(sd, strict=True)
+    tm = tm.eval()
+
+    rng = np.random.default_rng(1)
+    images = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t_img = tm.encode_image(torch.from_numpy(images)).numpy()
+    j_img = np.asarray(
+        clip_model.encode_image(params, RN_CFG, jnp.asarray(images.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(j_img, t_img, atol=2e-4, rtol=1e-3)
