@@ -2,15 +2,35 @@
 
 This is the BASELINE.json metric: the full inference front-end — antialiased
 bicubic 256->224 resize (dataset-native 256px input, generateDataset.sh:18)
-fused with normalisation, then the Mixer vision tower — in bf16 on one chip,
-steady-state, best over a batch-size sweep.
+fused with normalisation, then the Mixer vision tower — on one chip,
+steady-state, calibrated-int8 W8A8 serving path as the headline with the bf16
+path reported alongside.
+
+Headline policy: the int8 number is the headline ONLY if it passes the
+accuracy gate (evals/quant_gate.noise_floor_gate) — on a deterministic
+synthetic image set at full model scale, the int8 path's top-1 flip rate vs
+f32 must stay within 2.5x the flip rate bf16 numerics themselves introduce
+(measured: bf16 flips ~0.9% vs f32 on this worst-case random-init set; the
+reference's own fp16 deployment sits on the same noise floor). If the gate
+fails, the bf16 number is the headline and the failure is recorded in
+detail.
 
 vs_baseline: the reference publishes NO absolute imgs/sec (BASELINE.md), so
 the denominator is an analytic A100 estimate on identical work:
   FLOPs/img  = vision-tower forward + preprocess matmuls (computed below)
   A100 est.  = 312 TFLOP/s fp16 dense peak x 40% assumed inference MFU
-40% is a generous production-grade MFU for an unfused torch fp16 pipeline of
-this shape; the north-star target is vs_baseline >= 2.0 against that bar.
+MFU-assumption sensitivity (the denominator is self-chosen — README has the
+discussion): at 30%/50% assumed A100 MFU the reported ratio scales by
+40/30 = 1.333x / 40/50 = 0.8x; detail carries all three.
+
+Also in detail: text-tower texts/sec and full train-step imgs/sec (batch
+1024, remat), so round-over-round regressions are caught on more than one
+path.
+
+Methodology (see ~axon tunnel quirks): every throughput number comes from a
+single jitted loop-carried fori_loop chain whose body perturbs the input with
+the previous result (nothing is loop-invariant, no dispatch gaps measured),
+timed as the slope between two loop lengths; scalars fetched via float().
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
@@ -24,6 +44,10 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/root/.jax_cache"))
+
+MAX_FLIP_RATIO = 2.5  # int8 may add <= 1.5x the top-1 noise bf16 already has
 
 
 def mixer_vision_flops_per_image(cfg) -> float:
@@ -43,10 +67,24 @@ def mixer_vision_flops_per_image(cfg) -> float:
     return float(preprocess + patchify + tower + proj)
 
 
+def _slope_time(run, n1=5, n2=45):
+    """Per-iteration seconds as the slope between two chained loop lengths."""
+    float(run(2))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(n1))
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(n2))
+    dt2 = time.perf_counter() - t0
+    return (dt2 - dt1) / (n2 - n1)
+
+
 def main():
-    from clip_mixer_tpu.config import PRESETS
+    from clip_mixer_tpu.config import PRESETS, TrainConfig
     from clip_mixer_tpu.models import clip as clip_model
     from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+
+    fast = os.environ.get("BENCH_FAST") == "1"  # iteration aid: image paths only
 
     cfg = PRESETS["mixer-b32"]
     # One jitted dispatch for the whole init: the axon tunnel has ~200ms
@@ -55,17 +93,14 @@ def main():
     jax.block_until_ready(params)
 
     flops = mixer_vision_flops_per_image(cfg)
-    a100_est = 312e12 * 0.40 / flops  # imgs/sec at 40% MFU on an A100
+    a100_est = 312e12 * 0.40 / flops  # imgs/sec at 40% assumed MFU on an A100
 
-    # Honest steady-state methodology for a remote/async device: a single
-    # jitted loop whose body perturbs the INPUT with the previous iteration's
-    # result, so no iteration is loop-invariant (XLA would hoist it) and no
-    # host->device dispatch gap is measured. Per-iteration time is the slope
-    # between two loop lengths, cancelling fixed overheads.
     batch = 512
     rng = np.random.default_rng(0)
     pre = make_batch_preprocess((256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16)
+    images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
 
+    # ---- bf16 image path -------------------------------------------------
     @jax.jit
     def chained(p, images_u8, n):
         def body(_, carry):
@@ -74,59 +109,135 @@ def main():
             return feats.astype(jnp.float32).mean() * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    images = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
-    float(chained(params, images, jnp.int32(2)))  # compile + warm
-    n1, n2 = 5, 45
-    t0 = time.perf_counter()
-    float(chained(params, images, jnp.int32(n1)))
-    dt1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(params, images, jnp.int32(n2)))
-    dt2 = time.perf_counter() - t0
-    per_iter = (dt2 - dt1) / (n2 - n1)
-    best, best_batch = batch / per_iter, batch
+    bf16_ips = batch / _slope_time(lambda n: chained(params, images, jnp.int32(n)))
 
-    # Optional: also measure the calibrated int8 serving path (BENCH_INT8=1).
-    # Kept off the default run to bound bench wall-time (one extra ~3min
-    # compile through the remote tunnel); measured 34.5k imgs/s (+54%) at
-    # feature cosine >0.999 vs bf16 — see ops/quant.py and README.
-    int8_ips = None
-    if os.environ.get("BENCH_INT8") == "1":
-        from clip_mixer_tpu.ops.quant import calibrate_vision_tower, encode_image_q, quantize_vision_tower
+    # ---- int8 calibrated image path (the serving headline) ---------------
+    from clip_mixer_tpu.ops.quant import (
+        calibrate_vision_tower,
+        encode_image_q,
+        quantize_vision_tower,
+    )
 
-        scales = jax.jit(lambda p, x: calibrate_vision_tower(p, cfg, x))(params, pre(images[:128]))
-        qparams = jax.jit(lambda p, s: quantize_vision_tower(p, cfg, s))(params, scales)
+    scales = jax.jit(lambda p, x: calibrate_vision_tower(p, cfg, x))(params, pre(images[:128]))
+    qparams = jax.jit(lambda p, s: quantize_vision_tower(p, cfg, s))(params, scales)
+
+    @jax.jit
+    def chained_q(p, images_u8, n):
+        def body(_, carry):
+            f = encode_image_q(p, cfg, pre(images_u8 + carry.astype(jnp.uint8)))
+            return f.astype(jnp.float32).mean() * 1e-9
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    int8_ips = batch / _slope_time(lambda n: chained_q(qparams, images, jnp.int32(n)))
+
+    # ---- int8 accuracy gate: zero-shot top-1 agreement at full scale -----
+    gate = None
+    text_ips = None
+    train_ips = None
+    if not fast:
+        from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
+        from clip_mixer_tpu.evals.quant_gate import (
+            build_float_classifier,
+            noise_floor_gate,
+            synthetic_images,
+        )
+
+        gate_imgs = synthetic_images(768, cfg.image_resolution, seed=1)
+        w = build_float_classifier(
+            params, cfg, IMAGENET_CLASSNAMES[:64], PROMPT_TEMPLATES[:4], batch_size=256
+        )
+        gate = noise_floor_gate(
+            params, cfg, gate_imgs, w, calibrate_n=128, batch_size=256,
+            max_flip_ratio=MAX_FLIP_RATIO,
+        )
+
+        # ---- text tower texts/sec (bf16) ---------------------------------
+        tbatch = 2048
+        texts = np.zeros((tbatch, cfg.context_length), np.int32)
+        texts[:, 0] = 49406
+        texts[:, 1:8] = rng.integers(1, 49000, (tbatch, 7))
+        texts[:, 8] = 49407
+        texts_j = jnp.asarray(texts)
 
         @jax.jit
-        def chained_q(p, images_u8, n):
+        def chained_t(p, toks, n):
             def body(_, carry):
-                f = encode_image_q(p, cfg, pre(images_u8 + carry.astype(jnp.uint8)))
-                return f.astype(jnp.float32).mean() * 1e-9
+                perturbed = (toks + carry.astype(jnp.int32)) % cfg.vocab_size
+                f = clip_model.encode_text(p, cfg, perturbed)
+                return (f.astype(jnp.float32).mean() * 1e-9).astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        float(chained_q(qparams, images, jnp.int32(2)))
-        t0 = time.perf_counter()
-        float(chained_q(qparams, images, jnp.int32(n1)))
-        d1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chained_q(qparams, images, jnp.int32(n2)))
-        d2 = time.perf_counter() - t0
-        int8_ips = batch / ((d2 - d1) / (n2 - n1))
+        text_ips = tbatch / _slope_time(lambda n: chained_t(params, texts_j, jnp.int32(n)), 5, 45)
+
+        # ---- full train step imgs/sec (batch 1024, remat) ----------------
+        import optax
+
+        from clip_mixer_tpu.ops.losses import info_nce
+        from clip_mixer_tpu.ops.preprocess import normalize_images
+        from clip_mixer_tpu.train.optimizer import make_optimizer
+
+        tcfg = TrainConfig()
+        rcfg = cfg.replace(remat=True)
+        tb = 1024
+        opt = make_optimizer(tcfg, total_steps=1000)
+        opt_state = jax.jit(opt.init)(params)
+        timgs = jnp.asarray(rng.integers(0, 256, (tb, 256, 256, 3), dtype=np.uint8))
+        ttxt = jnp.asarray(
+            np.concatenate([texts[:tb // 2], texts[:tb - tb // 2]])
+        )
+        pre_t = make_batch_preprocess((256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16)
+
+        def loss_fn(p, imgs_u8, toks):
+            img, txt, scale = clip_model.forward(p, rcfg, pre_t(imgs_u8), toks)
+            return info_nce(img, txt, scale)
+
+        @jax.jit
+        def chained_train(state, imgs_u8, toks, n):
+            def body(_, carry):
+                p, o = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, imgs_u8, toks)
+                updates, o = opt.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                p = dict(p)
+                p["logit_scale"] = jnp.minimum(p["logit_scale"], tcfg.logit_scale_max)
+                return (p, o)
+            p, o = jax.lax.fori_loop(0, n, body, state)
+            return p["logit_scale"].astype(jnp.float32)  # forces the chain
+
+        train_ips = tb / _slope_time(
+            lambda n: chained_train((params, opt_state), timgs, ttxt, jnp.int32(n)), 3, 13
+        )
+
+    # ---- headline selection ----------------------------------------------
+    gate_ok = gate is not None and gate["passed"]
+    if fast:
+        gate_ok = False  # no gate run -> no int8 headline
+    headline = int8_ips if gate_ok else bf16_ips
+    which = "int8-calibrated" if gate_ok else "bf16"
 
     print(
         json.dumps(
             {
-                "metric": "mixer-b32 preprocess+encode_image imgs/sec/chip (bf16, 256px uint8 in)",
-                "value": round(best, 1),
+                "metric": f"mixer-b32 preprocess+encode_image imgs/sec/chip ({which}, 256px uint8 in)",
+                "value": round(headline, 1),
                 "unit": "imgs/sec/chip",
-                "vs_baseline": round(best / a100_est, 3),
+                "vs_baseline": round(headline / a100_est, 3),
                 "detail": {
-                    "best_batch": best_batch,
+                    "bf16_imgs_per_sec": round(bf16_ips, 1),
+                    "int8_imgs_per_sec": round(int8_ips, 1),
+                    "int8_accuracy_gate": gate,
+                    "encode_text_texts_per_sec_bf16": round(text_ips, 1) if text_ips else None,
+                    "train_step_imgs_per_sec_b1024_remat": round(train_ips, 1) if train_ips else None,
+                    "batch": batch,
                     "flops_per_image": flops,
                     "a100_estimate_imgs_per_sec": round(a100_est, 1),
-                    "achieved_tflops": round(best * flops / 1e12, 1),
+                    "vs_baseline_sensitivity": {
+                        "a100_mfu_30pct": round(headline / (312e12 * 0.30 / flops), 3),
+                        "a100_mfu_40pct": round(headline / a100_est, 3),
+                        "a100_mfu_50pct": round(headline / (312e12 * 0.50 / flops), 3),
+                    },
+                    "achieved_tflops_bf16": round(bf16_ips * flops / 1e12, 1),
                     "device": str(jax.devices()[0]),
-                    "int8_imgs_per_sec": round(int8_ips, 1) if int8_ips else None,
                 },
             }
         )

@@ -2,10 +2,12 @@
 
 v5e's MXU runs int8 x int8 -> int32 at ~2x bf16 peak (measured: 329 vs 193
 TOP/s on the channel-mix shape). This module quantizes the FLOPs-dominant
-matmuls of the Mixer vision tower — patchify embed, channel-mix in/out, final
-projection — with symmetric per-output-channel weight scales. Token mixes
-(~1% of FLOPs), LayerNorms and residuals stay in bf16/f32, preserving the
-model's numerics backbone.
+matmuls — patchify embed and channel-mix in/out (mixer) or QKV/out + MLPs
+(transformer) — with symmetric per-output-channel weight scales. Token
+mixes (~11% of FLOPs but MXU-padding-bound at K=50, no int8 win), LayerNorms,
+residuals, and the FINAL PROJECTIONS stay bf16/f32: the projection is ~0.01%
+of FLOPs but was measured (full-size, 768-image gate set) to contribute ~46%
+of the int8 feature error — quantizing it costs accuracy for no speed.
 
 Activation scales come in two flavours:
 
@@ -71,16 +73,17 @@ def int8_matmul(
 
 def quantize_vision_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
     """Quantize the Mixer vision tower's heavy matmuls. Returns a new params
-    tree where channel_mix w_in/w_out, patch_embed and proj are int8 packs;
-    everything else is shared by reference. Pass ``a_scales`` from
-    :func:`calibrate_vision_tower` for the fast static-scale mode."""
+    tree where channel_mix w_in/w_out and patch_embed are int8 packs;
+    everything else is shared by reference. The final projection stays bf16:
+    it is ~0.01% of the FLOPs but (measured, full-size) ~46% of the int8
+    feature error — quantizing it costs accuracy for no speed. Pass
+    ``a_scales`` from :func:`calibrate_vision_tower` for the fast
+    static-scale mode."""
     assert not cfg.use_transformer and not cfg.is_resnet, "int8 path implemented for the mixer tower"
     v = params["visual"]
     blocks = v["tower"]["blocks"]
     qv = dict(v)
     qv["patch_embed"] = {"kernel_q": quantize_weight(v["patch_embed"]["kernel"])}
-    qv["proj_q"] = quantize_weight(v["proj"])
-    qv.pop("proj")
     qblocks = dict(blocks)
     qblocks["channel_mix"] = {
         "w_in_q": jax.vmap(quantize_weight)(blocks["channel_mix"]["w_in"]),
@@ -135,7 +138,7 @@ def encode_image_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.n
     )
     x, _ = jax.lax.scan(step, x, (v["tower"]["blocks"], layer_scales))
     x = layer_norm(v["ln_post"], x[:, 0, :])
-    return int8_matmul(x, v["proj_q"], a["proj"] if a else None, dt)
+    return x @ v["proj"].astype(dt)  # bf16 by design (see quantize_vision_tower)
 
 
 def _quantize_attn_blocks(blocks: Dict) -> Dict:
@@ -197,8 +200,6 @@ def quantize_vit_vision_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | No
     v = params["visual"]
     qv = dict(v)
     qv["patch_embed"] = {"kernel_q": quantize_weight(v["patch_embed"]["kernel"])}
-    qv["proj_q"] = quantize_weight(v["proj"])
-    qv.pop("proj")
     qv["tower"] = {"blocks": _quantize_attn_blocks(v["tower"]["blocks"])}
     if a_scales is not None:
         qv["a_scales"] = a_scales
@@ -229,7 +230,7 @@ def encode_image_vit_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> j
 
     x, _ = jax.lax.scan(step, x, (v["tower"]["blocks"], layer_scales))
     x = layer_norm(v["ln_post"], x[:, 0, :])
-    return int8_matmul(x, v["proj_q"], a["proj"] if a else None, dt)
+    return x @ v["proj"].astype(dt)  # bf16 by design (see quantize_vision_tower)
 
 
 def calibrate_vit_vision_tower(
@@ -292,8 +293,6 @@ def quantize_vit_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None
     assert cfg.use_transformer
     t = params["text"]
     qt = dict(t)
-    qt["projection_q"] = quantize_weight(t["projection"])
-    qt.pop("projection")
     qt["tower"] = {"blocks": _quantize_attn_blocks(t["tower"]["blocks"])}
     if a_scales is not None:
         qt["a_scales"] = a_scales
@@ -326,7 +325,7 @@ def encode_text_vit_q(qparams: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.
     x = layer_norm(t["ln_final"], x).astype(dt)
     eot_idx = jnp.argmax(text, axis=-1)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
-    return int8_matmul(pooled, t["projection_q"], a["proj"] if a else None, dt)
+    return pooled @ t["projection"].astype(dt)  # bf16 by design
 
 
 def calibrate_vit_text_tower(
@@ -385,8 +384,6 @@ def quantize_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = N
     assert not cfg.use_transformer, "int8 path implemented for the mixer tower"
     t = params["text"]
     qt = dict(t)
-    qt["projection_q"] = quantize_weight(t["projection"])
-    qt.pop("projection")
     qblocks = dict(t["tower"]["blocks"])
     qblocks["channel_mix"] = {
         "w_in_q": jax.vmap(quantize_weight)(t["tower"]["blocks"]["channel_mix"]["w_in"]),
@@ -418,7 +415,7 @@ def encode_text_q(qparams: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndar
     x = layer_norm(t["ln_final"], x).astype(dt)
     eot_idx = jnp.argmax(text, axis=-1)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
-    return int8_matmul(pooled, t["projection_q"], a["proj"] if a else None, dt)
+    return pooled @ t["projection"].astype(dt)  # bf16 by design
 
 
 def calibrate_text_tower(

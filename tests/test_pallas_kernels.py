@@ -78,3 +78,44 @@ def test_fused_ln_mlp_grad_matches_plain():
     g2 = jax.grad(lambda p, x: _plain_ln_mlp(p[0], p[1], x).sum(), argnums=(0, 1))((ln, mlp), x)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_fused_mixer_block_matches_plain():
+    from clip_mixer_tpu.models.mixer import init_mixer_block
+    from clip_mixer_tpu.ops.pallas.block_kernel import _plain_block_tbd, fused_mixer_block_tbd
+
+    T, B, D = 8, 16, 128
+    params = init_mixer_block(jax.random.key(0), width=D, tokens=T, text_tower=True, n_layers=2)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (T, B, D)), jnp.float32)
+    got = np.asarray(fused_mixer_block_tbd(params, x, batch_tile=8, token_chunks=2, hidden_chunks=2))
+    want = np.asarray(_plain_block_tbd(params, x))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mixer_tower_matches_plain_tower():
+    from clip_mixer_tpu.models.mixer import init_mixer_tower, mixer_tower
+    from clip_mixer_tpu.ops.pallas.block_kernel import mixer_tower_fused
+
+    T, B, D = 8, 12, 128  # B=12 exercises the pad-to-batch_tile path
+    tower = init_mixer_tower(jax.random.key(1), width=D, tokens=T, n_layers=2, text_tower=False)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, D)), jnp.float32)
+    got = np.asarray(mixer_tower_fused(tower, x))
+    want = np.asarray(mixer_tower(tower, x))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mixer_block_grad_matches_plain():
+    from clip_mixer_tpu.models.mixer import init_mixer_block
+    from clip_mixer_tpu.ops.pallas.block_kernel import _plain_block_tbd, mixer_block_fused
+
+    T, B, D = 8, 8, 128
+    params = init_mixer_block(jax.random.key(4), width=D, tokens=T, text_tower=True, n_layers=2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (T, B, D)), jnp.float32)
+
+    g1 = jax.grad(lambda p, v: mixer_block_fused(p, v).sum(), argnums=(0, 1))(params, x)
+    g2 = jax.grad(lambda p, v: _plain_block_tbd(p, v).sum(), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)

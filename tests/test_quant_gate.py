@@ -1,0 +1,81 @@
+"""int8 accuracy gate: zero-shot top-1 agreement float vs calibrated int8.
+
+Small-scale pin of the gate bench.py runs at full model scale on TPU
+(clip_mixer_tpu/evals/quant_gate.py). Random-init weights give the smallest
+decision margins, so agreement here is a conservative floor.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.evals.quant_gate import (
+    build_float_classifier,
+    synthetic_images,
+    zeroshot_top1_agreement,
+)
+from clip_mixer_tpu.models import clip as clip_model
+
+CLASSNAMES = ["cat", "dog", "car", "tree", "house", "bird", "boat", "chair"]
+TEMPLATES = ["a photo of a {}.", "an image of a {}."]
+
+
+def make_cfg(tower: str) -> CLIPConfig:
+    return CLIPConfig(
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=2,
+        vision_width=64,
+        vision_patch_size=16,
+        context_length=77,
+        vocab_size=49408,
+        text_width=64,
+        text_heads=1,
+        text_layers=2,
+        tower=tower,
+        compute_dtype="float32",
+    )
+
+
+def test_synthetic_images_deterministic():
+    a = synthetic_images(10, 32, seed=0)
+    b = synthetic_images(10, 32, seed=0)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.uint8 and a.shape == (10, 32, 32, 3)
+    # structured variety: per-image std spans a range, not all-noise
+    stds = a.reshape(10, -1).std(axis=1)
+    assert stds.min() > 1.0 and stds.max() > 40.0
+
+
+@pytest.mark.parametrize("tower", ["mixer", "transformer"])
+def test_zeroshot_agreement_gate(tower):
+    cfg = make_cfg(tower)
+    params = clip_model.init(jax.random.key(0), cfg)
+    imgs = synthetic_images(32, cfg.image_resolution, seed=1)
+    w = build_float_classifier(params, cfg, CLASSNAMES, TEMPLATES)
+    assert w.shape == (cfg.embed_dim, len(CLASSNAMES))
+    stats = zeroshot_top1_agreement(params, cfg, imgs, w, calibrate_n=16, batch_size=16)
+    assert stats["n"] == 32
+    assert stats["min_cosine"] > 0.99
+    # random-init small model: require a high floor; full-scale TPU value is
+    # recorded by bench.py
+    assert stats["agreement"] >= 0.9, stats
+    assert stats["median_margin"] > 0.0
+
+
+def test_noise_floor_gate_small():
+    from clip_mixer_tpu.evals.quant_gate import noise_floor_gate
+
+    cfg = make_cfg("mixer")
+    params = clip_model.init(jax.random.key(2), cfg)
+    imgs = synthetic_images(32, cfg.image_resolution, seed=3)
+    w = build_float_classifier(params, cfg, CLASSNAMES, TEMPLATES)
+    gate = noise_floor_gate(params, cfg, imgs, w, calibrate_n=16, batch_size=16)
+    # On CPU compute_dtype is f32, so the bf16 "control" IS the f32 path:
+    # flip_bf16 == 0 and the denominator guard kicks in.
+    assert gate["n"] == 32
+    assert 0.0 <= gate["flip_int8_vs_f32"] <= 1.0
+    assert gate["min_cosine_int8_vs_f32"] > 0.99
+    assert isinstance(gate["passed"], bool)
