@@ -243,3 +243,23 @@ def test_validation_cadence_decoupled(tmp_path):
     assert [s for s, _ in calls] == [2, 4, 6]
     assert all(has_params for _, has_params in calls)
     assert spy.params == "sentinel-untouched"
+
+
+def test_tar_source_process_decode_matches_thread(tmp_path):
+    """decode_mode='process' yields identical batches to the thread pool."""
+    import io as _io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    samples = []
+    for i in range(12):
+        arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        samples.append((arr, f"cap {i}"))
+    paths = write_tar_shards(iter(samples), str(tmp_path / "p"), samples_per_shard=6)
+
+    a = TarShardSource(paths, batch_size=4, image_size=16, context_length=16, decode_mode="thread")
+    b = TarShardSource(paths, batch_size=4, image_size=16, context_length=16, decode_mode="process", decode_workers=2)
+    for ba, bb in zip(a.iter_batches(0), b.iter_batches(0)):
+        np.testing.assert_array_equal(ba["images"], bb["images"])
+        np.testing.assert_array_equal(ba["texts"], bb["texts"])

@@ -88,7 +88,7 @@ def test_fused_mixer_block_matches_plain():
     params = init_mixer_block(jax.random.key(0), width=D, tokens=T, text_tower=True, n_layers=2)
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(0, 1, (T, B, D)), jnp.float32)
-    got = np.asarray(fused_mixer_block_tbd(params, x, batch_tile=8, token_chunks=2, hidden_chunks=2))
+    got = np.asarray(fused_mixer_block_tbd(params, x, batch_tile=8, hidden_chunks=2))
     want = np.asarray(_plain_block_tbd(params, x))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
