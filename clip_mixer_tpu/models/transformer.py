@@ -63,14 +63,19 @@ def attention_block(
     params: Dict, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray], model_axis=None
 ) -> jnp.ndarray:
     """One ResidualAttentionBlock (reference model.py:196-199). With
-    ``model_axis`` the 4x MLP runs tensor-parallel (attention stays
-    replicated: at T<=77 it is a small fraction of block FLOPs)."""
+    ``model_axis`` (inside shard_map, params pre-sharded by
+    parallel.tp.tp_param_specs on the head-major-reordered tree) both the
+    attention (head-sharded) and the 4x MLP (hidden-sharded) run
+    tensor-parallel."""
+    if model_axis is not None:
+        from clip_mixer_tpu.parallel.tp import sharded_mlp, tp_attention
+
+        head_dim = x.shape[-1] // n_heads
+        x = x + tp_attention(params["attn"], layer_norm(params["ln_1"], x), head_dim, mask, model_axis)
+        y = layer_norm(params["ln_2"], x)
+        return x + sharded_mlp(params["mlp"], y, quick_gelu, model_axis)
     x = x + multi_head_attention(params["attn"], layer_norm(params["ln_1"], x), n_heads, mask)
     y = layer_norm(params["ln_2"], x)
-    if model_axis is not None:
-        from clip_mixer_tpu.parallel.tp import sharded_mlp
-
-        return x + sharded_mlp(params["mlp"], y, quick_gelu, model_axis)
     mlp = params["mlp"]
     dt = x.dtype
     h = y @ mlp["w_in"].astype(dt) + mlp["b_in"].astype(dt)

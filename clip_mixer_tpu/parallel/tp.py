@@ -1,11 +1,11 @@
-"""Tensor parallelism over the mesh's "model" axis (megatron-style MLP split).
+"""Tensor parallelism over the mesh's "model" axis (megatron-style).
 
 The reference needs only data parallelism (111M params), but the mesh design
-reserves a model axis (SURVEY §2.7); this module makes it real for the MLP
-hot path: each block's hidden dimension (4W) is column/row-sharded —
-``w_in [W, 4W/m]``, ``w_out [4W/m, W]`` — so a block computes a partial
-result locally and one ``psum`` over the model axis reassembles it. Token
-mixes, attention, norms and embeddings stay replicated (they are a small
+reserves a model axis (SURVEY §2.7); this module makes it real for both hot
+paths: each block's MLP hidden dimension (4W) is column/row-sharded —
+``w_in [W, 4W/m]``, ``w_out [4W/m, W]`` — and attention is HEAD-sharded
+(each rank computes nh/m heads end-to-end, one psum reassembles the
+out-projection). Token mixes, norms and embeddings stay replicated (a small
 fraction of FLOPs/params at these widths).
 
 Manual-SPMD correctness: under shard_map autodiff, the backward of the
@@ -68,14 +68,100 @@ def tp_param_specs(params) -> dict:
 
     def spec_for(path, leaf):
         keys = [getattr(p, "key", None) for p in path]
+        name = keys[-1]
         if "channel_mix" in keys or "mlp" in keys:
-            name = keys[-1]
             if name in ("w_in",):  # [L, W, H]
                 return P(None, None, MODEL_AXIS)
             if name in ("b_in",):  # [L, H]
                 return P(None, MODEL_AXIS)
             if name in ("w_out",):  # [L, H, W]
                 return P(None, MODEL_AXIS, None)
+        if "attn" in keys:
+            # head-major packed QKV (reorder_attn_head_major) shards heads
+            # contiguously; the out-proj input dim is head-major natively.
+            if name in ("qkv_kernel",):  # [L, W, 3W]
+                return P(None, None, MODEL_AXIS)
+            if name in ("qkv_bias",):  # [L, 3W]
+                return P(None, MODEL_AXIS)
+            if name in ("out_kernel",):  # [L, W, W]
+                return P(None, MODEL_AXIS, None)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+# ---- head-sharded attention (megatron attention TP) -----------------------
+#
+# The packed-QKV canonical layout ([W, 3W] with columns ordered q|k|v,
+# matching torch nn.MultiheadAttention / the checkpoint converter) cannot be
+# head-sharded with a contiguous PartitionSpec. The train step therefore
+# permutes the packed dim to HEAD-MAJOR order (for each head h: q_h|k_h|v_h)
+# right before shard_map and permutes the gradients back right after — a
+# linear bijection, so optimizer state and checkpoints stay canonical. The
+# out-projection's input dim is already head-major (it consumes the concat
+# of head outputs) and shards directly.
+
+import numpy as np
+
+
+def _head_major_perm(width: int, n_heads: int) -> np.ndarray:
+    """Column permutation: canonical packed q|k|v -> per-head q_h|k_h|v_h."""
+    hd = width // n_heads
+    idx = np.arange(3 * width).reshape(3, n_heads, hd)  # [kind, head, elem]
+    return idx.transpose(1, 0, 2).reshape(-1)
+
+
+def _apply_qkv_perm(attn: dict, perm: np.ndarray) -> dict:
+    out = dict(attn)
+    out["qkv_kernel"] = jnp.take(attn["qkv_kernel"], perm, axis=-1)
+    out["qkv_bias"] = jnp.take(attn["qkv_bias"], perm, axis=-1)
+    return out
+
+
+def reorder_attn_head_major(params: dict, cfg, inverse: bool = False) -> dict:
+    """Permute every transformer tower's packed QKV to head-major order
+    (or back with ``inverse=True`` — used to map gradients to canonical)."""
+    out = dict(params)
+    for tower_key, heads, is_tf in (
+        ("visual", cfg.vision_heads, cfg.use_transformer and not cfg.is_resnet),
+        ("text", cfg.text_heads, cfg.use_transformer),
+    ):
+        if not is_tf or tower_key not in params:
+            continue
+        sub = params[tower_key]
+        blocks = sub["tower"]["blocks"]
+        width = blocks["attn"]["qkv_kernel"].shape[-2]
+        perm = _head_major_perm(width, heads)
+        if inverse:
+            perm = np.argsort(perm)
+        new_blocks = dict(blocks)
+        new_blocks["attn"] = _apply_qkv_perm(blocks["attn"], perm)
+        new_sub = dict(sub)
+        new_sub["tower"] = {"blocks": new_blocks}
+        out[tower_key] = new_sub
+    return out
+
+
+def tp_attention(attn_params: dict, y: jnp.ndarray, head_dim: int, mask, model_axis: str) -> jnp.ndarray:
+    """Head-sharded MHA INSIDE shard_map. attn_params hold this rank's heads
+    in head-major packing: qkv_kernel [W, nh_local*3*hd], out_kernel
+    [nh_local*hd, W] (a contiguous row-slice of the canonical out kernel);
+    out_bias replicated, added after the psum."""
+    B, T, W = y.shape
+    dt = y.dtype
+    local3 = attn_params["qkv_kernel"].shape[-1]
+    nh_local = local3 // (3 * head_dim)
+
+    y = f_psum(y, model_axis)
+    qkv = y @ attn_params["qkv_kernel"].astype(dt) + attn_params["qkv_bias"].astype(dt)
+    qkv = qkv.reshape(B, T, nh_local, 3, head_dim)
+    q = qkv[..., 0, :].transpose(0, 2, 1, 3)  # [B, nh_local, T, hd]
+    k = qkv[..., 1, :].transpose(0, 2, 1, 3)
+    v = qkv[..., 2, :].transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (head_dim**-0.5)
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(B, T, nh_local * head_dim)
+    partial = out @ attn_params["out_kernel"].astype(dt)
+    return g_psum(partial, model_axis) + attn_params["out_bias"].astype(dt)

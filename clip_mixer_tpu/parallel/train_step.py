@@ -54,9 +54,14 @@ def make_train_step(
             "texts": int32 [B, 77]}.
     """
 
-    # Tensor parallelism: with a >1 "model" axis, MLP hidden dims are sharded
-    # over it (parallel/tp.py) and the blocks insert the psum collectives.
+    # Tensor parallelism: with a >1 "model" axis, MLP hidden dims are
+    # hidden-sharded and attention is head-sharded over it (parallel/tp.py);
+    # the blocks insert the psum collectives.
     use_tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    if use_tp and cfg.use_transformer:
+        m = mesh.shape[MODEL_AXIS]
+        assert cfg.text_heads % m == 0, (cfg.text_heads, m)
+        assert cfg.is_resnet or cfg.vision_heads % m == 0, (cfg.vision_heads, m)
     loss_cfg = cfg.replace(model_axis=MODEL_AXIS) if use_tp else cfg
 
     def local_loss(params, images_u8, texts):
@@ -85,11 +90,23 @@ def make_train_step(
 
     def run_loss_and_grad(params, images, texts):
         if use_tp:
-            from clip_mixer_tpu.parallel.tp import tp_param_specs
+            from clip_mixer_tpu.parallel.tp import reorder_attn_head_major, tp_param_specs
 
-            pspecs = tp_param_specs(params)
-        else:
-            pspecs = jax.tree.map(lambda _: P(), params)
+            # Head-shard attention: permute packed QKV to head-major before
+            # sharding, permute the grads back after (a linear bijection —
+            # optimizer state and checkpoints stay canonical).
+            params_tp = reorder_attn_head_major(params, cfg)
+            pspecs = tp_param_specs(params_tp)
+            loss, grads_tp, bn_stats = jax.shard_map(
+                sharded_loss_and_grad,
+                mesh=mesh,
+                in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=(P(), pspecs, P()),
+                check_vma=False,
+            )(params_tp, images, texts)
+            grads = reorder_attn_head_major(grads_tp, cfg, inverse=True)
+            return loss, grads, bn_stats
+        pspecs = jax.tree.map(lambda _: P(), params)
         return jax.shard_map(
             sharded_loss_and_grad,
             mesh=mesh,

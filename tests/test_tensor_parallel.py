@@ -57,8 +57,9 @@ def test_tp_param_specs_structure():
 
 @pytest.mark.parametrize("tower", ["mixer", "transformer"])
 def test_tp_matches_dp(tower):
-    # transformer needs width//64 >= 1 head (the sniffing rule)
-    cfg = CFG.replace(tower=tower, vision_width=64, text_width=64)
+    # transformer: 128-wide -> 2 heads, so head-sharded attention splits
+    # across the model=2 axis (1 head per rank)
+    cfg = CFG.replace(tower=tower, vision_width=128, text_width=128, text_heads=2)
     batch = _batch()
     results = []
     for n_data, n_model in ((4, 1), (2, 2)):
