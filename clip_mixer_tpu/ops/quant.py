@@ -14,8 +14,9 @@ Activation scales come in two flavours:
 * **static (calibrated)** — :func:`calibrate_vision_tower` measures a high
   quantile of |activation| per quantisation site on sample batches; the
   runtime quant is then pure elementwise and fuses into the producing op.
-  Measured end-to-end on v5e: **34.0k imgs/sec/chip vs 22.3k bf16 (+52%)**
-  at feature cosine >0.999 vs the bf16 path.
+  Measured end-to-end on v5e: **33.8k imgs/sec/chip vs 22.4k bf16 (+51%)**,
+  passing the noise-floor top-1 gate (evals/quant_gate.py) with flip ratio
+  1.00 — int8 adds zero top-1 instability beyond bf16's own numerics.
 * **dynamic (per-row max)** — no calibration needed, slightly higher
   fidelity, but the per-row reductions cost more than the int8 matmuls save
   (measured ~21.5k imgs/s — SLOWER than bf16); kept for accuracy reference.

@@ -1,0 +1,96 @@
+"""Serving-path benchmark: InferenceEngine on real TPU.
+
+Measures the production serving machinery end to end — padded fixed-shape
+encoders, bucket selection, micro-batching under concurrency, and the int8
+swap — with pre-decoded uint8 arrays (JPEG decode is a host-sizing question,
+scripts/bench_input.py).
+
+Caveat on absolute latency: this machine reaches its TPU through the axon
+tunnel (~200ms per dispatch round-trip), so single-request latency here is
+tunnel-dominated and NOT representative of a co-located TPU; the numbers
+that transfer are the throughput ratios (bf16 vs int8, solo vs coalesced)
+and that the machinery sustains them.
+
+Usage: python scripts/bench_serving.py   (one JSON line)
+"""
+
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+
+def pct(v, q):
+    return float(np.percentile(np.asarray(v), q))
+
+
+def main():
+    from clip_mixer_tpu.config import PRESETS
+    from clip_mixer_tpu.models import clip as clip_model
+    from clip_mixer_tpu.serving import InferenceEngine
+
+    cfg = PRESETS["mixer-b32"]
+    params = jax.jit(lambda k: clip_model.init(k, cfg))(jax.random.key(0))
+    jax.block_until_ready(params)
+    engine = InferenceEngine(params, cfg, batch_buckets=(8, 32, 128))
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (128, 224, 224, 3), dtype=np.uint8)
+
+    out = {}
+    for mode in ("bf16", "int8"):
+        if mode == "int8":
+            engine.enable_int8(imgs, sample_texts=["a photo of a cat", "a dog"])
+        # warm all buckets
+        for b in (8, 32, 128):
+            engine.encode_image_arrays(imgs[:b])
+
+        # batch throughput (bucket 128), amortised over several calls
+        t0 = time.perf_counter()
+        reps = 8
+        for _ in range(reps):
+            engine.encode_image_arrays(imgs)
+        dt = time.perf_counter() - t0
+        out[f"{mode}_batch128_imgs_per_sec"] = round(reps * 128 / dt, 1)
+
+        # coalesced single-image requests: 16 threads x 8 requests
+        lat = []
+        def worker():
+            for i in range(8):
+                t = time.perf_counter()
+                engine.encode_image_arrays(imgs[i % 128 : i % 128 + 1], coalesce=True)
+                lat.append(time.perf_counter() - t)
+        threads = [threading.Thread(target=worker) for _ in range(16)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        out[f"{mode}_coalesced_reqs_per_sec"] = round(128 / dt, 1)
+        out[f"{mode}_coalesced_p50_ms"] = round(pct(lat, 50) * 1e3, 1)
+        out[f"{mode}_coalesced_p99_ms"] = round(pct(lat, 99) * 1e3, 1)
+
+        # text path (tokenize + encode), batch of 64 prompts
+        prompts = [f"a photo of object number {i}" for i in range(64)]
+        engine.encode_text(prompts)  # warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            engine.encode_text(prompts)
+        out[f"{mode}_text64_texts_per_sec"] = round(reps * 64 / (time.perf_counter() - t0), 1)
+
+    out["note"] = "latency is axon-tunnel-dominated (~200ms/dispatch); ratios transfer"
+    out["device"] = str(jax.devices()[0])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
