@@ -111,6 +111,21 @@ PRESETS = {
         text_heads=12,
         text_layers=12,
     ),
+    # Tiny twin for CPU smoke runs and launch rehearsals (full 49408 vocab so
+    # the real tokenizer/data path applies; everything else minimal).
+    "mixer-debug": CLIPConfig(
+        embed_dim=32,
+        image_resolution=32,
+        vision_layers=2,
+        vision_width=64,
+        vision_patch_size=16,
+        context_length=16,
+        text_width=64,
+        text_heads=1,
+        text_layers=2,
+        tower="mixer",
+        compute_dtype="float32",
+    ),
     "rn50": CLIPConfig(
         tower="transformer",
         embed_dim=1024,
@@ -136,6 +151,13 @@ class TrainConfig:
     beta2: float = 0.98
     eps: float = 1e-6
     grad_clip_norm: float = 20.0  # training.py:181
+    # Exact (GradCache-style two-pass) gradient accumulation: each step's
+    # per-device batch is split into this many sequential microbatches with
+    # activation memory of one microbatch, while the InfoNCE loss/gradient
+    # still sees the step's FULL global batch (parallel/train_step.py). How
+    # the reference's 32k global batch (training.py:56, 8xA100-80GB) fits
+    # 16GB v5e chips. 1 = off.
+    accum_steps: int = 1
     logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
     checkpoint_every_steps: int = 400  # training.py:197
     # validation cadence; None -> follow checkpoint_every_steps (the

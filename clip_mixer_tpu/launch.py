@@ -73,15 +73,86 @@ def render_commands(preset: LaunchPreset, project: str, data_glob: Optional[str]
     return "\n".join((create, setup, run))
 
 
+def rehearse_local(
+    n_processes: int = 2,
+    train_args: str = (
+        "--preset mixer-debug --synthetic --global-batch-size 8 "
+        "--steps-per-epoch 2 --epochs 1 --checkpoint-every 2 "
+        "--no-validators --run-name rehearsal"
+    ),
+    cwd: Optional[str] = None,
+    timeout: float = 600.0,
+) -> list:
+    """Pod-slice launch rehearsal: run the EXACT per-worker train.py command
+    a pod launch fans out (render_commands' run line), as ``n_processes``
+    local CPU processes with a real jax.distributed coordinator.
+
+    Exercises the full multi-process path end to end — CLI, rendezvous,
+    per-host data sharding, the sharded train step's cross-process
+    collectives, and the multihost orbax checkpoint — with no TPUs. Returns
+    the per-process stdouts; raises on any nonzero exit.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    train_py = str(Path(__file__).resolve().parents[1] / "train.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one CPU device per process, like one chip per host
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, train_py, *shlex.split(train_args),
+                "--platform", "cpu",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", str(n_processes),
+                "--process-id", str(i),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=cwd,
+            text=True,
+        )
+        for i in range(n_processes)
+    ]
+    outs = []
+    failed = None
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+        if p.returncode != 0 and failed is None:
+            failed = (p.returncode, out)
+    if failed is not None:
+        raise RuntimeError(f"rehearsal worker rc={failed[0]}:\n{failed[1][-3000:]}")
+    return outs
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--preset", required=True, choices=sorted(PRESETS.keys()))
-    p.add_argument("--project", required=True)
+    p.add_argument("--preset", choices=sorted(PRESETS.keys()))
+    p.add_argument("--project")
     p.add_argument("--data", default=None)
     p.add_argument("--execute", action="store_true", help="run the commands instead of printing")
+    p.add_argument("--rehearse", type=int, default=None, metavar="N",
+                   help="instead of gcloud: rehearse an N-process launch locally on CPU")
     args = p.parse_args()
+    if args.rehearse:
+        outs = rehearse_local(args.rehearse)
+        print(f"rehearsal ok: {args.rehearse} processes")
+        print(outs[0][-500:])
+        return
+    if not (args.preset and args.project):
+        p.error("--preset and --project are required (or use --rehearse N)")
     cmds = render_commands(PRESETS[args.preset], args.project, args.data)
     print(cmds)
     if args.execute:

@@ -496,3 +496,181 @@ def calibrate_vision_tower(
         "ch_hidden": to_scale(s_hidden),
         "proj": to_scale(s_proj),
     }
+
+
+# --------------------------------------------------------------------------
+# ResNet tower (W8A8 convolutions with folded BatchNorm)
+#
+# The RN* presets exist to load/eval OpenAI RN checkpoints (reference
+# model.py:12-163; build_model dispatch model.py:470-485). Serving-path
+# quantisation: every conv's BatchNorm is FOLDED into the kernel first
+# (inference BN is an affine per-channel map), the folded kernel is
+# quantised per-output-channel, and activations use static calibrated
+# scales — the convolution itself runs int8 x int8 -> int32 on the MXU.
+# The attention pool (one 50-token attention, ~0.1% of FLOPs) stays bf16,
+# matching the policy that tiny-FLOPs output-critical ops are not worth
+# their accuracy cost (see module docstring).
+# --------------------------------------------------------------------------
+
+
+def fold_bn_into_conv(conv_p: Dict, bn_p: Dict, eps: float = 1e-5):
+    """Inference-time conv+BN -> single conv with bias.
+
+    y = (conv(x) - mean) * rsqrt(var+eps) * scale + bias
+      = conv(x; kernel * g) + (bias - mean * g),  g = scale * rsqrt(var+eps)
+    """
+    g = (bn_p["scale"] * jax.lax.rsqrt(bn_p["var"] + eps)).astype(jnp.float32)
+    kernel = conv_p["kernel"].astype(jnp.float32) * g  # [kh,kw,in,out] * [out]
+    bias = bn_p["bias"].astype(jnp.float32) - bn_p["mean"].astype(jnp.float32) * g
+    return kernel, bias
+
+
+def quantize_conv_weight(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[kh, kw, in, out] float -> int8 with per-output-channel scales."""
+    k = kernel.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def int8_conv(
+    x: jnp.ndarray,
+    cp: Dict[str, jnp.ndarray],
+    stride: int = 1,
+    padding: int = 0,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """y = conv(x, dequant(cp)) + bias as s8 x s8 -> s32 (NHWC).
+
+    cp: {"q" int8 [kh,kw,in,out], "scale" [out], "a" scalar activation
+    scale, "bias" [out]}. The input quantisation is pure elementwise and
+    fuses into the producer; the s32 accumulator dequant + bias fuses into
+    the consumer.
+    """
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / cp["a"]), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        cp["q"],
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (cp["a"] * cp["scale"]) + cp["bias"]
+    return y.astype(out_dtype)
+
+
+def quantize_resnet_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict) -> Dict:
+    """Quantize every conv of the RN vision tower (BN folded, per-out-channel
+    weights, static activation scales from :func:`calibrate_resnet_tower`).
+    Returns a new params tree; the attention pool is shared by reference."""
+    assert cfg.is_resnet
+    v = params["visual"]
+
+    def site(path, conv_p, bn_p):
+        kernel, bias = fold_bn_into_conv(conv_p, bn_p)
+        pack = quantize_conv_weight(kernel)
+        node = a_scales
+        for k in path:
+            node = node[k]
+        pack["bias"] = bias
+        pack["a"] = node
+        return pack
+
+    qv: Dict = {"attnpool": v["attnpool"]}
+    for name in ("conv1", "conv2", "conv3"):
+        qv[name] = site((name,), v[name], v[f"bn{name[-1]}"])
+    for li in range(4):
+        stage = []
+        for b, bp in enumerate(v[f"layer{li + 1}"]):
+            qb = {
+                name: site((f"layer{li + 1}", b, name), bp[name], bp[f"bn{name[-1]}"])
+                for name in ("conv1", "conv2", "conv3")
+            }
+            if "downsample" in bp:
+                qb["downsample"] = site(
+                    (f"layer{li + 1}", b, "downsample"), bp["downsample"]["conv"], bp["downsample"]["bn"]
+                )
+            stage.append(qb)
+        qv[f"layer{li + 1}"] = stage
+    out = dict(params)
+    out["visual"] = qv
+    return out
+
+
+def encode_image_rn_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """int8 ModifiedResNet forward (mirror of resnet.resnet_encoder)."""
+    from clip_mixer_tpu.models.resnet import attention_pool, avg_pool
+
+    assert cfg.is_resnet
+    dt = jnp.dtype(cfg.compute_dtype)
+    v = qparams["visual"]
+    x = images.astype(dt)
+    x = jax.nn.relu(int8_conv(x, v["conv1"], stride=2, padding=1, out_dtype=dt))
+    x = jax.nn.relu(int8_conv(x, v["conv2"], padding=1, out_dtype=dt))
+    x = jax.nn.relu(int8_conv(x, v["conv3"], padding=1, out_dtype=dt))
+    x = avg_pool(x, 2)
+    for li in range(4):
+        for b, bp in enumerate(v[f"layer{li + 1}"]):
+            stride = (1 if li == 0 else 2) if b == 0 else 1
+            out = jax.nn.relu(int8_conv(x, bp["conv1"], out_dtype=dt))
+            out = jax.nn.relu(int8_conv(out, bp["conv2"], padding=1, out_dtype=dt))
+            if stride > 1:
+                out = avg_pool(out, stride)
+            out = int8_conv(out, bp["conv3"], out_dtype=dt)
+            identity = x
+            if "downsample" in bp:
+                identity = x if stride == 1 else avg_pool(x, stride)
+                identity = int8_conv(identity, bp["downsample"], out_dtype=dt)
+            x = jax.nn.relu(out + identity)
+    return attention_pool(v["attnpool"], x, cfg.vision_heads)
+
+
+def calibrate_resnet_tower(
+    params: Dict,
+    cfg: CLIPConfig,
+    sample_images: jnp.ndarray,
+    quantile: float = 0.9999,
+) -> Dict:
+    """|input| quantile at every conv site on sample (normalised) images,
+    running the float inference forward. Returns the a_scales tree for
+    :func:`quantize_resnet_tower` (scale = quantile/127)."""
+    from clip_mixer_tpu.models.resnet import avg_pool, batch_norm, conv
+
+    assert cfg.is_resnet
+    dt = jnp.dtype(cfg.compute_dtype)
+    v = params["visual"]
+
+    def q(x):
+        return jnp.maximum(jnp.quantile(jnp.abs(x.astype(jnp.float32)), quantile) / 127.0, 1e-8)
+
+    scales: Dict = {}
+    x = sample_images.astype(dt)
+    scales["conv1"] = q(x)
+    x = jax.nn.relu(batch_norm(v["bn1"], conv(v["conv1"], x, stride=2, padding=1)))
+    scales["conv2"] = q(x)
+    x = jax.nn.relu(batch_norm(v["bn2"], conv(v["conv2"], x, padding=1)))
+    scales["conv3"] = q(x)
+    x = jax.nn.relu(batch_norm(v["bn3"], conv(v["conv3"], x, padding=1)))
+    x = avg_pool(x, 2)
+    for li in range(4):
+        stage = []
+        for b, bp in enumerate(v[f"layer{li + 1}"]):
+            stride = (1 if li == 0 else 2) if b == 0 else 1
+            s: Dict = {"conv1": q(x)}
+            out = jax.nn.relu(batch_norm(bp["bn1"], conv(bp["conv1"], x)))
+            s["conv2"] = q(out)
+            out = jax.nn.relu(batch_norm(bp["bn2"], conv(bp["conv2"], out, padding=1)))
+            if stride > 1:
+                out = avg_pool(out, stride)
+            s["conv3"] = q(out)
+            out = batch_norm(bp["bn3"], conv(bp["conv3"], out))
+            identity = x
+            if "downsample" in bp:
+                identity = x if stride == 1 else avg_pool(x, stride)
+                s["downsample"] = q(identity)
+                identity = batch_norm(bp["downsample"]["bn"], conv(bp["downsample"]["conv"], identity))
+            x = jax.nn.relu(out + identity)
+            stage.append(s)
+        scales[f"layer{li + 1}"] = stage
+    return scales

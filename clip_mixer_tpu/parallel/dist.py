@@ -12,10 +12,33 @@ from __future__ import annotations
 import os
 
 
-def maybe_initialize_distributed(verbose: bool = False) -> bool:
+def maybe_initialize_distributed(
+    verbose: bool = False,
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
     """Call jax.distributed.initialize() when a multi-host environment is
-    detectable; no-op otherwise. Returns True if initialized."""
+    detectable; no-op otherwise. Returns True if initialized.
+
+    Explicit ``coordinator``/``num_processes``/``process_id`` force an
+    initialization with a known rendezvous — the launch-rehearsal path
+    (launch.rehearse_local) and any cluster whose topology JAX cannot
+    auto-discover."""
     import jax
+
+    if coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        if verbose:
+            print(
+                f"jax.distributed initialized (explicit): process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+        return True
 
     if jax.process_count() > 1:  # already initialized
         return True

@@ -47,12 +47,44 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     grad_through_gather: bool = False,
     chunk_size: Optional[int] = None,
+    accum_steps: int = 1,
 ):
     """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
     batch: {"images": uint8 [B, H, W, 3] (global B, sharded over data),
             "texts": int32 [B, 77]}.
+
+    ``accum_steps > 1`` enables EXACT gradient accumulation for the
+    contrastive loss (GradCache-style two-pass). Naive microbatch
+    accumulation is wrong for InfoNCE — the loss couples every sample in the
+    step's batch (each row's logsumexp runs over the full global batch), so
+    summing per-microbatch losses changes the objective. Instead:
+
+      pass 1   run each microbatch forward WITHOUT differentiation, keeping
+               only the [local_B, D] feature matrices (activations are
+               never stored);
+      loss     compute InfoNCE + its cotangents d loss/d features ONCE on
+               the full local feature matrices (the all_gather over the
+               data axis sees the step's whole global batch, exactly as in
+               the accum_steps=1 path);
+      pass 2   re-run each microbatch under jax.vjp with its cotangent
+               slice and sum the parameter gradients (lax.scan, so peak
+               activation memory is one microbatch).
+
+    The result is bit-for-bit the same objective and (numerics aside — the
+    per-microbatch VJP sums in a different order) the same gradients as a
+    single step over the whole batch, at 1/accum_steps the activation
+    memory. This is how the reference's 32k global batch
+    (training.py:56-62, 8xA100-80GB) fits 16GB v5e chips. The reference
+    itself has no equivalent (Accelerate's accumulate() would silently
+    compute the wrong loss for InfoNCE).
     """
+    assert accum_steps >= 1
+    if accum_steps > 1 and cfg.is_resnet:
+        raise NotImplementedError(
+            "grad accumulation with BN batch stats (ResNet tower) is not supported: "
+            "per-microbatch moments are not the full-batch moments"
+        )
 
     # Tensor parallelism: with a >1 "model" axis, MLP hidden dims are
     # hidden-sharded and attention is head-sharded over it (parallel/tp.py);
@@ -87,6 +119,58 @@ def make_train_step(
         )
         # bn moments were already pmean'd inside (SyncBN) — replicated as-is.
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), bn_stats
+
+    def sharded_loss_and_grad_accum(params, images, texts):
+        """Two-pass exact-gradient accumulation (see make_train_step docstring)."""
+        local_b = images.shape[0]
+        assert local_b % accum_steps == 0, (local_b, accum_steps)
+        mb = local_b // accum_steps
+        imgs = images.reshape(accum_steps, mb, *images.shape[1:])
+        txts = texts.reshape(accum_steps, mb, *texts.shape[1:])
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        def micro_feats(p, im_u8, tx):
+            im = normalize_images(im_u8, dtype=dtype)
+            img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
+            return img, txt
+
+        # Pass 1: features only — not differentiated, nothing retained.
+        f_img, f_txt = jax.lax.map(
+            lambda a: micro_feats(params, a[0], a[1]), (imgs, txts)
+        )  # [A, mb, D] each
+
+        def feat_loss(fi, ft, logit_scale):
+            return info_nce(
+                fi.reshape(local_b, -1),
+                ft.reshape(local_b, -1),
+                jnp.exp(logit_scale),
+                axis_name=DATA_AXIS,
+                grad_through_gather=grad_through_gather,
+                chunk_size=chunk_size,
+            )
+
+        loss, (ct_img, ct_txt, g_scale) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
+            f_img, f_txt, params["logit_scale"]
+        )
+
+        # Pass 2: per-microbatch VJP with the cotangent slices; scan keeps
+        # only one microbatch's activations live.
+        def body(acc, xs):
+            im, tx, ci, ct = xs
+            _, vjp_fn = jax.vjp(lambda p: micro_feats(p, im, tx), params)
+            (g,) = vjp_fn((ci, ct))
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grads, _ = jax.lax.scan(body, zero, (imgs, txts, ct_img, ct_txt))
+        grads = dict(grads)
+        # micro_feats discards the scale output, so the logit_scale gradient
+        # arrives solely through the loss's direct cotangent.
+        grads["logit_scale"] = grads["logit_scale"] + g_scale
+        return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), {}
+
+    if accum_steps > 1:
+        sharded_loss_and_grad = sharded_loss_and_grad_accum
 
     def run_loss_and_grad(params, images, texts):
         if use_tp:

@@ -61,7 +61,8 @@ class Trainer:
             tcfg.learning_rate, tcfg.learning_rate * tcfg.min_lr_ratio, tcfg.warmup_steps, self.total_steps
         )
         self.step_fn = make_train_step(
-            cfg, tcfg, self.mesh, self.optimizer, grad_through_gather, chunk_size
+            cfg, tcfg, self.mesh, self.optimizer, grad_through_gather, chunk_size,
+            accum_steps=tcfg.accum_steps,
         )
         self.writer = MetricsWriter(log_dir=f"{run_dir}/runs" if self.is_lead else None)
         self.checkpointer = Checkpointer(f"{run_dir}/checkpoints")

@@ -1,0 +1,55 @@
+"""Launch layer gates.
+
+The reference's launch layer was AzureML job submission + accelerate-launch
+command strings (launchJob.py:46-96,122-142) — never testable offline. Ours
+renders gcloud pod-slice commands (string-level gate) and can REHEARSE a
+pod launch locally: the exact per-worker train.py command, run as N real
+coordinated CPU processes through the full CLI -> jax.distributed ->
+sharded-step -> multihost-checkpoint path.
+"""
+
+from clip_mixer_tpu.launch import PRESETS, rehearse_local, render_commands
+
+
+def test_render_commands_structure():
+    cmds = render_commands(PRESETS["mixer-b32-pod8"], project="my-proj", data_glob="gs://b/shards/*.tar")
+    lines = cmds.splitlines()
+    assert len(lines) == 3
+    create, setup, run = lines
+    assert "tpu-vm create clip-mixer-b32" in create
+    assert "--accelerator-type v5litepod-8" in create
+    # every worker gets the same command; data glob is shell-quoted
+    assert "--worker=all" in setup and "--worker=all" in run
+    assert "python train.py --preset mixer-b32" in run
+    assert "'gs://b/shards/*.tar'" in run
+    assert "--global-batch-size 32768" in run
+
+
+def test_render_all_presets_distinct():
+    rendered = {name: render_commands(p, "proj") for name, p in PRESETS.items()}
+    assert len(set(rendered.values())) == len(rendered)
+    for text in rendered.values():
+        assert "gcloud compute tpus tpu-vm" in text
+
+
+def test_rehearse_local_two_process(tmp_path):
+    """2-process local rehearsal of the pod launch: train.py end to end
+    (CLI, explicit rendezvous, per-host synthetic shards, cross-process
+    train step, multihost orbax checkpoint)."""
+    outs = rehearse_local(
+        n_processes=2,
+        train_args=(
+            "--preset mixer-debug --synthetic --global-batch-size 8 "
+            "--steps-per-epoch 2 --epochs 1 --checkpoint-every 2 "
+            "--no-validators --run-name rehearsal --verbose"
+        ),
+        cwd=str(tmp_path),
+        timeout=420.0,
+    )
+    assert len(outs) == 2
+    # process 0 printed the distributed bootstrap and trained
+    joined = "\n".join(outs)
+    assert "process 0/2" in joined and "process 1/2" in joined
+    # the multihost checkpoint exists
+    ckpt_dir = tmp_path / "outputs" / "rehearsal" / "checkpoints"
+    assert ckpt_dir.exists() and any(ckpt_dir.iterdir())

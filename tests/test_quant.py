@@ -208,3 +208,88 @@ def test_vit_text_int8_causality():
     f0 = np.asarray(encode_text_vit_q(q, cfg, base), np.float32)
     f1 = np.asarray(encode_text_vit_q(q, cfg, changed), np.float32)
     np.testing.assert_allclose(f0, f1, rtol=0, atol=0)
+
+
+# ---- ResNet tower ---------------------------------------------------------
+
+RN_CFG = CFG.replace(vision_layers=(1, 1, 1, 1), vision_width=16, vision_patch_size=None)
+
+
+def _rn_params(seed=0):
+    """Random-init RN params with non-trivial BN stats so folding is real
+    (init leaves running mean 0 / var 1 and bn3 scale 0)."""
+    params = clip_model.init(jax.random.key(seed), RN_CFG)
+    rng = np.random.default_rng(seed)
+
+    def perturb(node):
+        if isinstance(node, list):
+            return [perturb(c) for c in node]
+        if isinstance(node, dict):
+            if set(node.keys()) == {"scale", "bias", "mean", "var"}:  # a BN site
+                c = node["scale"].shape[0]
+                return {
+                    "scale": jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32),
+                    "bias": jnp.asarray(rng.normal(0, 0.1, c), jnp.float32),
+                    "mean": jnp.asarray(rng.normal(0, 0.2, c), jnp.float32),
+                    "var": jnp.asarray(rng.uniform(0.5, 2.0, c), jnp.float32),
+                }
+            return {k: perturb(v) for k, v in node.items()}
+        return node
+    params["visual"] = perturb(params["visual"])
+    return params
+
+
+def test_bn_fold_exact():
+    """Folded conv+bias == conv followed by inference BN."""
+    from clip_mixer_tpu.models.resnet import batch_norm, conv
+    from clip_mixer_tpu.ops.quant import fold_bn_into_conv
+
+    params = _rn_params(3)
+    v = params["visual"]
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)), jnp.float32)
+    want = batch_norm(v["bn1"], conv(v["conv1"], x, stride=2, padding=1))
+    kernel, bias = fold_bn_into_conv(v["conv1"], v["bn1"])
+    got = conv({"kernel": kernel}, x, stride=2, padding=1) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_resnet_int8_fidelity():
+    """Calibrated W8A8 RN forward tracks the float forward (cosine)."""
+    from clip_mixer_tpu.ops.quant import (
+        calibrate_resnet_tower,
+        encode_image_rn_q,
+        quantize_resnet_tower,
+    )
+
+    params = _rn_params(5)
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+
+    scales = calibrate_resnet_tower(params, RN_CFG, imgs[:4])
+    qparams = quantize_resnet_tower(params, RN_CFG, scales)
+    got = np.asarray(encode_image_rn_q(qparams, RN_CFG, imgs), np.float32)
+    want = np.asarray(clip_model.encode_image(params, RN_CFG, imgs), np.float32)
+
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.99, cos
+    # and the quantized tree really is int8 at every conv
+    assert qparams["visual"]["conv1"]["q"].dtype == jnp.int8
+    assert qparams["visual"]["layer4"][0]["conv3"]["q"].dtype == jnp.int8
+
+
+def test_resnet_int8_serving_engine():
+    """InferenceEngine.enable_int8 covers the RN preset end to end."""
+    from clip_mixer_tpu.serving import InferenceEngine
+
+    params = _rn_params(7)
+    rng = np.random.default_rng(8)
+    engine = InferenceEngine(params, RN_CFG, batch_buckets=(8,))
+    imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    before = engine.encode_image_arrays(imgs)
+    engine.enable_int8(imgs[:4])
+    after = engine.encode_image_arrays(imgs)
+    cos = (before * after).sum(-1)  # both l2-normalised
+    assert cos.min() > 0.99, cos

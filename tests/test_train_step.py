@@ -99,6 +99,83 @@ def test_dp_invariance_vs_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
 
+def test_grad_accum_matches_full_batch():
+    """accum_steps=4 must give the SAME optimizer step as one full-batch step:
+    the two-pass (GradCache) scheme keeps the InfoNCE coupling over the whole
+    batch exact — only float reduction order differs."""
+    batch = _batch(seed=5)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+
+    results = []
+    for accum in (1, 4):
+        opt = make_optimizer(TCFG, total_steps=10)
+        params = clip_model.init(jax.random.key(7), CFG)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(CFG, TCFG, mesh, opt, accum_steps=accum)
+        b = shard_batch(mesh, batch)
+        state, m = step(state, b)
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p4, m4) = results
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m4["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(p4), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_grad_accum_under_dp_and_exact_gather():
+    """Accumulation composes with data parallelism and grad_through_gather:
+    2-device mesh x accum 2 == 2-device mesh x accum 1 (the all_gather still
+    sees the full global batch in both)."""
+    batch = _batch(seed=9)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+
+    results = []
+    for accum in (1, 2):
+        opt = make_optimizer(TCFG, total_steps=10)
+        params = clip_model.init(jax.random.key(11), CFG)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(
+            CFG, TCFG, mesh, opt, grad_through_gather=True, accum_steps=accum
+        )
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p2, m2) = results
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_grad_accum_learns_and_logit_scale_flows():
+    """The accumulated step optimizes (incl. the logit_scale gradient, which
+    arrives only via the loss cotangent in the two-pass scheme)."""
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(TCFG, total_steps=60)
+    params = clip_model.init(jax.random.key(0), CFG)
+    ls0 = float(params["logit_scale"])
+    state = replicate(mesh, init_train_state(params, opt))
+    step = make_train_step(CFG, TCFG, mesh, opt, accum_steps=2)
+    batch = shard_batch(mesh, _batch())
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
+    assert float(state.params["logit_scale"]) != ls0
+
+
+def test_grad_accum_resnet_unsupported():
+    import pytest
+
+    cfg = CFG.replace(vision_layers=(1, 1, 1, 1), vision_width=8, vision_patch_size=None)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(TCFG, total_steps=10)
+    with pytest.raises(NotImplementedError):
+        make_train_step(cfg, TCFG, mesh, opt, accum_steps=2)
+
+
 def test_logit_scale_clamp():
     mesh = make_mesh()
     tcfg = TrainConfig(learning_rate=0.0, warmup_steps=0)

@@ -39,11 +39,22 @@ def parse_args():
                    help="exact global-batch InfoNCE gradient (default: reference detach semantics)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help="chunked logits (avoid materialising [localB, globalB])")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="exact (GradCache) gradient accumulation: microbatches per "
+                        "step at one-microbatch activation memory; the InfoNCE loss "
+                        "still couples the full global batch")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
                         "Mixer-B/32 at 1024 imgs/chip OOMs a 16GB v5e without remat)")
     p.add_argument("--verbose", action="store_true")
+    # Explicit rendezvous/platform — used by launch.rehearse_local (a pod
+    # launch on real TPUs needs none of these: jax.distributed.initialize()
+    # auto-discovers the slice).
+    p.add_argument("--platform", default=None, help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--coordinator", default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -51,9 +62,17 @@ def main():
     args = parse_args()
     import jax
 
+    if args.platform:  # before any backend touch
+        jax.config.update("jax_platforms", args.platform)
+
     from clip_mixer_tpu.parallel.dist import maybe_initialize_distributed
 
-    maybe_initialize_distributed(verbose=args.verbose)
+    maybe_initialize_distributed(
+        verbose=args.verbose,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
 
     cfg = PRESETS[args.preset].replace(remat=not args.no_remat)
     tcfg = TrainConfig(
@@ -62,6 +81,7 @@ def main():
         steps_per_epoch=args.steps_per_epoch,
         learning_rate=args.learning_rate,
         checkpoint_every_steps=args.checkpoint_every,
+        accum_steps=args.accum_steps,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
