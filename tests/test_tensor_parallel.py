@@ -83,3 +83,26 @@ def test_tp_matches_dp(tower):
     # reduction-order noise on near-zero grads (see test_train_step.py).
     for a, b_ in zip(jax.tree.leaves(params_dp), jax.tree.leaves(params_tp)):
         np.testing.assert_allclose(a, b_, atol=5e-4)
+
+
+@pytest.mark.parametrize("tower", ["mixer", "transformer"])
+def test_tp_with_grad_accum_matches_plain_tp(tower):
+    """Exact grad accumulation composes with tensor parallelism: the
+    two-pass VJP re-enters the TP blocks' psum collectives per microbatch."""
+    cfg = CFG.replace(tower=tower, vision_width=128, text_width=128, text_heads=2)
+    batch = _batch()
+    results = []
+    for accum in (1, 2):
+        mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+        opt = make_optimizer(TCFG, total_steps=5)
+        params = clip_model.init(jax.random.key(7), cfg)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(cfg, TCFG, mesh, opt, accum_steps=accum)
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p2, m2) = results
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
