@@ -122,7 +122,13 @@ def zeroshot_top1_agreement(
     from clip_mixer_tpu.ops.preprocess import normalize_images
 
     dt = jnp.dtype(cfg.compute_dtype)
-    if cfg.use_transformer:
+    if cfg.is_resnet:
+        calibrate, quantize, encode_q = (
+            quant.calibrate_resnet_tower,
+            quant.quantize_resnet_tower,
+            quant.encode_image_rn_q,
+        )
+    elif cfg.use_transformer:
         calibrate, quantize, encode_q = (
             quant.calibrate_vit_vision_tower,
             quant.quantize_vit_vision_tower,

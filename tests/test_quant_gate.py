@@ -49,9 +49,14 @@ def test_synthetic_images_deterministic():
     assert stds.min() > 1.0 and stds.max() > 40.0
 
 
-@pytest.mark.parametrize("tower", ["mixer", "transformer"])
+@pytest.mark.parametrize("tower", ["mixer", "transformer", "resnet"])
 def test_zeroshot_agreement_gate(tower):
-    cfg = make_cfg(tower)
+    if tower == "resnet":
+        cfg = make_cfg("transformer").replace(
+            vision_layers=(1, 1, 1, 1), vision_width=16, vision_patch_size=None
+        )
+    else:
+        cfg = make_cfg(tower)
     params = clip_model.init(jax.random.key(0), cfg)
     imgs = synthetic_images(32, cfg.image_resolution, seed=1)
     w = build_float_classifier(params, cfg, CLASSNAMES, TEMPLATES)
