@@ -158,6 +158,14 @@ class TrainConfig:
     # the reference's 32k global batch (training.py:56, 8xA100-80GB) fits
     # 16GB v5e chips. 1 = off.
     accum_steps: int = 1
+    # FSDP / ZeRO-3: store parameters AND Adam moments sharded over the data
+    # axis (parallel/fsdp.py) — XLA all-gathers weights just-in-time and
+    # reduce-scatters gradients. Trains with the EXACT globally-coupled
+    # InfoNCE gradient (grad_through_gather is implied). For models too big
+    # to replicate per chip (vit-l14 and up); the 111M flagship doesn't need
+    # it. Composes with accum_steps; mutually exclusive with tensor
+    # parallelism (model axis must be 1).
+    fsdp: bool = False
     logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
     checkpoint_every_steps: int = 400  # training.py:197
     # validation cadence; None -> follow checkpoint_every_steps (the

@@ -60,10 +60,14 @@ class Trainer:
         self._schedule = warmup_cosine(
             tcfg.learning_rate, tcfg.learning_rate * tcfg.min_lr_ratio, tcfg.warmup_steps, self.total_steps
         )
-        self.step_fn = make_train_step(
-            cfg, tcfg, self.mesh, self.optimizer, grad_through_gather, chunk_size,
-            accum_steps=tcfg.accum_steps,
-        )
+        self._chunk_size = chunk_size
+        if not tcfg.fsdp:
+            self.step_fn = make_train_step(
+                cfg, tcfg, self.mesh, self.optimizer, grad_through_gather, chunk_size,
+                accum_steps=tcfg.accum_steps,
+            )
+        # else: the FSDP step needs the state pytree as a shape template —
+        # built below, after init/restore.
         self.writer = MetricsWriter(log_dir=f"{run_dir}/runs" if self.is_lead else None)
         self.checkpointer = Checkpointer(f"{run_dir}/checkpoints")
         self.validators = list(validators)
@@ -86,7 +90,22 @@ class Trainer:
                 state, self.start_epoch, self.start_batch = restored
                 if self.verbose and self.is_lead:
                     print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
-        self.state = replicate(self.mesh, state)
+        if tcfg.fsdp:
+            # ZeRO-3: params + optimizer moments live sharded over the data
+            # axis; the step trains with the exact global InfoNCE gradient
+            # (parallel/fsdp.py — grad_through_gather is implied).
+            from clip_mixer_tpu.parallel.fsdp import make_fsdp_train_step, shard_state
+            from clip_mixer_tpu.parallel.mesh import MODEL_AXIS
+
+            if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+                raise ValueError("fsdp does not compose with tensor parallelism (model axis > 1)")
+            self.state = shard_state(self.mesh, state)
+            self.step_fn = make_fsdp_train_step(
+                cfg, tcfg, self.mesh, self.optimizer, self.state,
+                chunk_size=chunk_size, accum_steps=tcfg.accum_steps,
+            )
+        else:
+            self.state = replicate(self.mesh, state)
 
     @property
     def global_step(self) -> int:

@@ -43,6 +43,10 @@ def parse_args():
                    help="exact (GradCache) gradient accumulation: microbatches per "
                         "step at one-microbatch activation memory; the InfoNCE loss "
                         "still couples the full global batch")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params + Adam moments over the data axis "
+                        "(for models too big to replicate per chip); trains with "
+                        "the exact global InfoNCE gradient")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -82,6 +86,7 @@ def main():
         learning_rate=args.learning_rate,
         checkpoint_every_steps=args.checkpoint_every,
         accum_steps=args.accum_steps,
+        fsdp=args.fsdp,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
