@@ -59,6 +59,13 @@ class CLIPConfig:
     # channel-mix / transformer-MLP is sharded over this axis and the blocks
     # insert the matching psum collectives (parallel/tp.py).
     model_axis: Optional[str] = None
+    # Pipeline-parallel mesh axis (set by the PP train step, under
+    # shard_map): tower block stacks run the GPipe fill-drain schedule over
+    # this axis instead of a plain lax.scan, with `pipeline_stages` ranks and
+    # `pipeline_microbatches` microbatches per step (parallel/pp.py).
+    pipeline_axis: Optional[str] = None
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 1
 
     @property
     def use_transformer(self) -> bool:
@@ -166,6 +173,10 @@ class TrainConfig:
     # it. Composes with accum_steps; mutually exclusive with tensor
     # parallelism (model axis must be 1).
     fsdp: bool = False
+    # Microbatches per step for pipeline parallelism (used when the Trainer's
+    # mesh has a >1 "stage" axis — parallel/pp.py). Bubble fraction is
+    # (S-1)/(n_micro+S-1); keep n_micro >= 4*stages.
+    pipeline_microbatches: int = 8
     logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
     checkpoint_every_steps: int = 400  # training.py:197
     # validation cadence; None -> follow checkpoint_every_steps (the

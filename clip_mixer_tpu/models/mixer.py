@@ -121,9 +121,31 @@ def init_mixer_tower(key, width: int, tokens: int, n_layers: int, text_tower: bo
 
 
 def mixer_tower(
-    params: Dict, x: jnp.ndarray, remat: bool = False, model_axis=None, fused_mlp: bool = False
+    params: Dict,
+    x: jnp.ndarray,
+    remat: bool = False,
+    model_axis=None,
+    fused_mlp: bool = False,
+    pipeline=None,
 ) -> jnp.ndarray:
-    """Scan the stacked blocks. x: [B, T, W]."""
+    """Scan the stacked blocks. x: [B, T, W].
+
+    ``pipeline=(axis_name, n_stages, n_micro)`` (inside shard_map, blocks
+    stage-sharded on the layer axis) runs the GPipe schedule instead
+    (parallel/pp.py)."""
+    if pipeline is not None:
+        from clip_mixer_tpu.parallel.pp import pipeline_tower
+
+        axis_name, n_stages, n_micro = pipeline
+        return pipeline_tower(
+            params["blocks"],
+            x,
+            lambda lp, h: mixer_block(lp, h, model_axis, fused_mlp),
+            n_stages,
+            n_micro,
+            axis_name=axis_name,
+            remat=remat,
+        )
     body = mixer_block
     if remat:
         body = jax.checkpoint(body, static_argnums=(2, 3))

@@ -32,6 +32,13 @@ from clip_mixer_tpu.models.transformer import (
 )
 
 
+def _pipeline_of(cfg: CLIPConfig):
+    """(axis, n_stages, n_micro) for the GPipe tower schedule, or None."""
+    if cfg.pipeline_axis is None:
+        return None
+    return (cfg.pipeline_axis, cfg.pipeline_stages, cfg.pipeline_microbatches)
+
+
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3], patch-major (ph, pw, c) order.
 
@@ -88,12 +95,17 @@ def vision_encoder(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
         x = x + params["pos_embedding"].astype(dt)
     x = layer_norm(params["ln_pre"], x)
 
+    pipeline = _pipeline_of(cfg)
     if cfg.use_transformer:
         x = transformer_tower(
-            params["tower"], x, cfg.vision_heads, mask=None, remat=cfg.remat, model_axis=cfg.model_axis
+            params["tower"], x, cfg.vision_heads, mask=None, remat=cfg.remat,
+            model_axis=cfg.model_axis, pipeline=pipeline,
         )
     else:
-        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis, fused_mlp=cfg.fused_mlp)
+        x = mixer_tower(
+            params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis,
+            fused_mlp=cfg.fused_mlp, pipeline=pipeline,
+        )
 
     x = layer_norm(params["ln_post"], x[:, 0, :])  # CLS token only (model.py:285)
     return x @ params["proj"].astype(dt)
@@ -126,6 +138,7 @@ def text_encoder(params: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarra
     """text: int32 [B, context_length]. Returns [B, embed_dim]."""
     dt = jnp.dtype(cfg.compute_dtype)
     x = jnp.take(params["token_embedding"], text, axis=0).astype(dt)  # [B, T, W]
+    pipeline = _pipeline_of(cfg)
     if cfg.use_transformer:
         x = x + params["pos_embedding"].astype(dt)
         x = transformer_tower(
@@ -135,9 +148,13 @@ def text_encoder(params: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarra
             mask=causal_mask(cfg.context_length),
             remat=cfg.remat,
             model_axis=cfg.model_axis,
+            pipeline=pipeline,
         )
     else:
-        x = mixer_tower(params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis, fused_mlp=cfg.fused_mlp)
+        x = mixer_tower(
+            params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis,
+            fused_mlp=cfg.fused_mlp, pipeline=pipeline,
+        )
     x = layer_norm(params["ln_final"], x).astype(dt)
     # EOT pooling: feature at argmax token id (eot=49407 is the max id).
     eot_idx = jnp.argmax(text, axis=-1)  # [B]

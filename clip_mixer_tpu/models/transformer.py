@@ -141,7 +141,21 @@ def transformer_tower(
     mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
     model_axis=None,
+    pipeline=None,
 ) -> jnp.ndarray:
+    if pipeline is not None:
+        from clip_mixer_tpu.parallel.pp import pipeline_tower
+
+        axis_name, n_stages, n_micro = pipeline
+        return pipeline_tower(
+            params["blocks"],
+            x,
+            lambda lp, h: attention_block(lp, h, n_heads, mask, model_axis),
+            n_stages,
+            n_micro,
+            axis_name=axis_name,
+            remat=remat,
+        )
     body = attention_block
     if remat:
         body = jax.checkpoint(body, static_argnums=(2, 4))

@@ -61,7 +61,26 @@ class Trainer:
             tcfg.learning_rate, tcfg.learning_rate * tcfg.min_lr_ratio, tcfg.warmup_steps, self.total_steps
         )
         self._chunk_size = chunk_size
-        if not tcfg.fsdp:
+        from clip_mixer_tpu.parallel.pp import STAGE_AXIS
+
+        self._use_pp = STAGE_AXIS in self.mesh.axis_names and self.mesh.shape[STAGE_AXIS] > 1
+        if self._use_pp:
+            # Pipeline parallelism: tower blocks stage-sharded, GPipe
+            # schedule (parallel/pp.py). Selected by the mesh itself — pass
+            # make_pp_mesh(n_data, n_stage).
+            from clip_mixer_tpu.parallel.pp import make_pp_train_step
+
+            if tcfg.fsdp:
+                raise ValueError("fsdp and pipeline parallelism are mutually exclusive")
+            if tcfg.accum_steps > 1:
+                raise NotImplementedError("grad accumulation does not compose with the PP step yet")
+            self.step_fn = make_pp_train_step(
+                cfg, tcfg, self.mesh, self.optimizer,
+                n_micro=tcfg.pipeline_microbatches,
+                grad_through_gather=grad_through_gather,
+                chunk_size=chunk_size,
+            )
+        elif not tcfg.fsdp:
             self.step_fn = make_train_step(
                 cfg, tcfg, self.mesh, self.optimizer, grad_through_gather, chunk_size,
                 accum_steps=tcfg.accum_steps,
@@ -90,7 +109,11 @@ class Trainer:
                 state, self.start_epoch, self.start_batch = restored
                 if self.verbose and self.is_lead:
                     print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
-        if tcfg.fsdp:
+        if self._use_pp:
+            from clip_mixer_tpu.parallel.pp import place_pp_state
+
+            self.state = place_pp_state(self.mesh, state)
+        elif tcfg.fsdp:
             # ZeRO-3: params + optimizer moments live sharded over the data
             # axis; the step trains with the exact global InfoNCE gradient
             # (parallel/fsdp.py — grad_through_gather is implied).

@@ -47,6 +47,12 @@ def parse_args():
                    help="ZeRO-3: shard params + Adam moments over the data axis "
                         "(for models too big to replicate per chip); trains with "
                         "the exact global InfoNCE gradient")
+    p.add_argument("--pipeline-stages", type=int, default=1,
+                   help="pipeline parallelism: split the tower block stacks over "
+                        "this many stages (GPipe fill-drain schedule); mesh becomes "
+                        "(devices/stages) data x stages")
+    p.add_argument("--pipeline-microbatches", type=int, default=8,
+                   help="microbatches per PP step (bubble = (S-1)/(M+S-1))")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -87,6 +93,7 @@ def main():
         checkpoint_every_steps=args.checkpoint_every,
         accum_steps=args.accum_steps,
         fsdp=args.fsdp,
+        pipeline_microbatches=args.pipeline_microbatches,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
@@ -121,11 +128,19 @@ def main():
             MNISTValidator(None, cfg),
         ]
 
+    mesh = None
+    if args.pipeline_stages > 1:
+        from clip_mixer_tpu.parallel.pp import make_pp_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_pp_mesh(n_data=n_dev // args.pipeline_stages, n_stage=args.pipeline_stages)
+
     trainer = Trainer(
         cfg,
         tcfg,
         data,
         run_dir=f"outputs/{args.run_name}",
+        mesh=mesh,
         validators=validators,
         grad_through_gather=args.grad_through_gather,
         chunk_size=args.chunk_size,
