@@ -1,0 +1,57 @@
+"""Capacity-planner gates: the analytic per-chip accounting must follow the
+real sharding rules (and stay in sync with them — the divisor fns consume
+fsdp_spec / the blocks-path rule directly)."""
+
+import jax
+
+from clip_mixer_tpu.config import PRESETS
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.utils.memory import param_shapes, plan
+
+
+def test_param_shapes_match_real_init():
+    cfg = PRESETS["mixer-debug"]
+    shapes = param_shapes(cfg)
+    real = clip_model.init(jax.random.key(0), cfg)
+    assert jax.tree.map(lambda s: s.shape, shapes) == jax.tree.map(lambda a: a.shape, real)
+
+
+def test_dp_vs_sharded_modes():
+    cfg = PRESETS["mixer-b32"]
+    n = 8
+    dp = plan(cfg, "dp", n, per_chip_batch=1024)
+    fsdp = plan(cfg, "fsdp", n, per_chip_batch=1024)
+    pp = plan(cfg, "pp", n, per_chip_batch=1024)  # 12 layers not divisible by 8? 12 % 8 != 0
+    tp = plan(cfg, "tp", n, per_chip_batch=1024)
+
+    # DP replicates everything: params = 4 bytes x param count.
+    assert dp.params_bytes == 4 * clip_model.param_count(clip_model.init(jax.random.key(0), cfg))
+    # FSDP shards the bulk of the state (>70% of params at B/32 widths).
+    assert fsdp.params_bytes < 0.3 * dp.params_bytes
+    assert fsdp.opt_bytes == 2 * fsdp.params_bytes
+    # TP shards MLP/attn weights but keeps canonical (replicated) optimizer
+    # state and gradients (train_step.py reorders grads back before update).
+    assert tp.params_bytes < dp.params_bytes
+    assert tp.opt_bytes == 2 * dp.params_bytes
+    assert tp.grad_bytes == dp.params_bytes
+    # Everything positive and totals consistent.
+    for p in (dp, fsdp, pp, tp):
+        assert p.total_bytes == p.params_bytes + p.opt_bytes + p.grad_bytes + p.act_bytes
+
+
+def test_pp_divides_blocks_and_activations():
+    cfg = PRESETS["mixer-b32"]  # 12 layers
+    dp = plan(cfg, "dp", 4, per_chip_batch=1024)
+    pp = plan(cfg, "pp", 4, per_chip_batch=1024)  # 12 % 4 == 0
+    # Block params dominate; 4-stage sharding must cut params to well under
+    # half (embeddings/head stay replicated).
+    assert pp.params_bytes < 0.5 * dp.params_bytes
+    assert pp.act_bytes < dp.act_bytes
+
+
+def test_accum_divides_activations():
+    cfg = PRESETS["mixer-b32"]
+    a1 = plan(cfg, "dp", 8, per_chip_batch=4096, accum_steps=1)
+    a4 = plan(cfg, "dp", 8, per_chip_batch=4096, accum_steps=4)
+    assert a4.act_bytes * 4 == a1.act_bytes
+    assert a4.params_bytes == a1.params_bytes
