@@ -142,6 +142,27 @@ def test_pp_train_step_matches_dp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
 
+def test_pp_matches_dp_under_remat():
+    """train.py defaults remat ON — the PP schedule must stay equivalent
+    with jax.checkpoint wrapping each stage's block body."""
+    cfg = CFG.replace(remat=True)
+    batch = _batch(seed=11)
+
+    mesh_dp = make_mesh(n_data=2, devices=jax.devices()[:2])
+    opt = make_optimizer(TCFG, total_steps=10)
+    state = replicate(mesh_dp, init_train_state(clip_model.init(jax.random.key(9), cfg), opt))
+    p_dp, m_dp = _run_steps(make_train_step(cfg, TCFG, mesh_dp, opt), state, batch, mesh_dp, n=2)
+
+    mesh_pp = make_pp_mesh(n_data=2, n_stage=2, devices=jax.devices()[:4])
+    opt2 = make_optimizer(TCFG, total_steps=10)
+    state2 = place_pp_state(mesh_pp, init_train_state(clip_model.init(jax.random.key(9), cfg), opt2))
+    p_pp, m_pp = _run_steps(make_pp_train_step(cfg, TCFG, mesh_pp, opt2, n_micro=2), state2, batch, mesh_pp, n=2)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_dp["loss"]), rtol=2e-5)
+    for a, b_ in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
 def test_pp_transformer_tower_matches_dp():
     cfg = CFG.replace(tower="transformer")
     batch = _batch(seed=7)
