@@ -209,12 +209,30 @@ class Trainer:
     def save(self, epoch: int, batch_idx: int) -> None:
         self.checkpointer.save(self.state, epoch=epoch, step=batch_idx)
 
+    def _host_params(self):
+        """Fetch live params to host memory. Under FSDP/PP the state is
+        sharded across devices (possibly across hosts, where device_get on
+        non-addressable shards raises) — an identity jit with replicated
+        out_shardings all-gathers on device first, making every shard
+        host-addressable."""
+        params = self.state.params
+        if self._use_pp or self.tcfg.fsdp:
+            if not hasattr(self, "_replicate_fn"):
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                self._replicate_fn = jax.jit(lambda x: x, out_shardings=rep)
+            params = self._replicate_fn(params)
+        return jax.device_get(params)
+
     def validate(self, step: int) -> None:
         """Rank-0 validation pass over all registered validators
         (training.py:211-216). The live params are passed explicitly — the
         validator's own params (if any) are untouched."""
-        if not self.is_lead or not self.validators:
+        if not self.validators:
             return
-        params = jax.device_get(self.state.params)
+        params = self._host_params()
+        if not self.is_lead:
+            return
         for v in self.validators:
             v.validate(step, verbose=self.verbose, params=params)

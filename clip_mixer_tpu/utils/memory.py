@@ -4,9 +4,11 @@ The reference never needed this (8xA100-80GB fits everything replicated);
 on 16GB v5e chips the parallelism mode IS the capacity plan. This module
 computes per-chip bytes for parameters, Adam moments, gradients and the
 rematerialised activation working set — from ``jax.eval_shape`` over the
-REAL init and the REAL sharding rules (fsdp_spec / pp_param_specs /
-tp_param_specs), so the numbers move when the code does, and a unit test
-pins them to the rules (tests/test_memory_plan.py).
+REAL init and the REAL sharding rules (fsdp_spec / pp_param_specs), so the
+numbers move when the code does, and a unit test pins them to the rules
+(tests/test_memory_plan.py). TP is reported at its true storage cost:
+replicated masters/moments/grads (tp.py shardings are transient,
+inside-the-step only).
 
 Used by ``scripts/memory_plan.py`` (the capacity-planning CLI) and quoted
 in SCALING.md.
@@ -35,49 +37,39 @@ def param_shapes(cfg: CLIPConfig):
     return jax.eval_shape(lambda k: clip_model.init(k, cfg), jax.random.key(0))
 
 
-def _sharded_bytes(shapes, spec_fn) -> int:
-    """Sum of per-chip leaf bytes given a leaf -> divisor rule."""
+def _bytes_under_specs(shapes, specs, n: int) -> int:
+    """Per-chip bytes for a shapes tree given a matching PartitionSpec tree:
+    a leaf with any sharded dim is divided by the axis size ``n``."""
     total = 0
-    for path, leaf in jax.tree_util.tree_flatten_with_path(shapes)[0]:
-        total += _leaf_bytes(leaf.shape, leaf.dtype) // spec_fn(path, leaf)
+    from jax.sharding import PartitionSpec as P
+
+    for shape_leaf, spec in zip(
+        jax.tree.leaves(shapes),
+        jax.tree.leaves(specs, is_leaf=lambda s: isinstance(s, P)),
+    ):
+        div = n if any(s is not None for s in spec) else 1
+        total += _leaf_bytes(shape_leaf.shape, shape_leaf.dtype) // div
     return total
 
 
-def _divisor_dp(path, leaf) -> int:
-    return 1
+def _full_bytes(shapes) -> int:
+    return sum(_leaf_bytes(l.shape, l.dtype) for l in jax.tree.leaves(shapes))
 
 
-def _make_divisor_fsdp(n: int):
+def _fsdp_bytes(shapes, n: int) -> int:
+    # Consumes the REAL rule (parallel/fsdp.py) so the planner tracks it.
     from clip_mixer_tpu.parallel.fsdp import fsdp_spec
 
-    def div(path, leaf):
-        spec = fsdp_spec(leaf.shape, n)
-        return n if any(s is not None for s in spec) else 1
-
-    return div
+    specs = jax.tree.map(lambda l: fsdp_spec(l.shape, n), shapes)
+    return _bytes_under_specs(shapes, specs, n)
 
 
-def _make_divisor_pp(n_stages: int):
-    def div(path, leaf):
-        keys = [getattr(p, "key", None) for p in path]
-        if "blocks" in keys and len(leaf.shape) >= 1 and leaf.shape[0] % n_stages == 0:
-            return n_stages
-        return 1
+def _pp_bytes(shapes, n_stages: int) -> int:
+    from clip_mixer_tpu.parallel.pp import pp_param_specs
 
-    return div
+    return _bytes_under_specs(shapes, pp_param_specs(shapes, n_stages), n_stages)
 
 
-def _make_divisor_tp(n_model: int):
-    def div(path, leaf):
-        keys = [getattr(p, "key", None) for p in path]
-        name = keys[-1]
-        if ("channel_mix" in keys or "mlp" in keys) and name in ("w_in", "b_in", "w_out"):
-            return n_model
-        if "attn" in keys and name in ("qkv_kernel", "qkv_bias", "out_kernel"):
-            return n_model
-        return 1
-
-    return div
 
 
 @dataclasses.dataclass
@@ -99,14 +91,15 @@ class MemoryPlan:
 
 
 def _activation_bytes(
-    cfg: CLIPConfig, per_chip_batch: int, accum_steps: int = 1, n_micro: int = 1, n_stages: int = 1
+    cfg: CLIPConfig, per_chip_batch: int, accum_steps: int = 1, n_stages: int = 1
 ) -> int:
     """Rematerialised training working set, per chip (estimate: the scan
     carries per-block INPUTS [B, T, W] for the backward — the dominant term
     under jax.checkpoint; attention/hidden intermediates are recomputed).
 
-    accum divides the live batch; PP keeps all in-flight microbatch
-    activations for its L/S local blocks (GPipe memory profile)."""
+    accum divides the live batch; PP keeps the whole step's microbatch
+    activations in flight but only for its L/S local blocks (GPipe memory
+    profile — the microbatch count cancels out of this estimate)."""
     if cfg.is_resnet:
         # conv trunk: rough NHWC pyramid estimate at the stem resolution
         b = per_chip_batch // accum_steps
@@ -130,38 +123,40 @@ def plan(
     n_devices: int,
     per_chip_batch: int,
     accum_steps: int = 1,
-    n_micro: int = 8,
 ) -> MemoryPlan:
     """Per-chip memory plan. mode: dp | fsdp | tp | pp (tp/pp divisor = the
     model/stage axis size = n_devices for a pure mesh)."""
     shapes = param_shapes(cfg)
-    f32 = 4
+    full = _full_bytes(shapes)
+    n_stages = 1
     if mode == "dp":
-        div = _divisor_dp
-        n_stages = 1
+        p_bytes, opt_bytes, grad_bytes = full, 2 * full, full
     elif mode == "fsdp":
-        div = _make_divisor_fsdp(n_devices)
-        n_stages = 1
+        p_bytes = _fsdp_bytes(shapes, n_devices)
+        opt_bytes, grad_bytes = 2 * p_bytes, p_bytes
     elif mode == "tp":
-        div = _make_divisor_tp(n_devices)
-        n_stages = 1
+        # Our TP stores CANONICAL (replicated) masters, optimizer moments
+        # and gradients between steps — tp.py shardings exist only inside
+        # shard_map during the step (train_step.py reorders grads back).
+        # TP buys compute scaling and sharded hidden ACTIVATIONS, not state
+        # memory; the transient sharded weight copies during the step add
+        # ~_tp_bytes on top of the figures below.
+        p_bytes, opt_bytes, grad_bytes = full, 2 * full, full
     elif mode == "pp":
-        div = _make_divisor_pp(n_devices)
+        if cfg.is_resnet:
+            raise ValueError("pp needs a uniform block stack")
+        if cfg.vision_layers % n_devices or cfg.text_layers % n_devices:
+            raise ValueError(
+                f"pp needs both tower depths divisible by stages: "
+                f"{cfg.vision_layers}/{cfg.text_layers} vs {n_devices}"
+            )
+        p_bytes = _pp_bytes(shapes, n_devices)
+        opt_bytes, grad_bytes = 2 * p_bytes, p_bytes
         n_stages = n_devices
     else:
         raise ValueError(mode)
 
-    p_bytes = _sharded_bytes(shapes, div)
-    opt_bytes = 2 * p_bytes  # mu + nu follow the param shardings (or lack of)
-    if mode == "tp":
-        # TP runs the optimizer on replicated canonical grads (train_step.py
-        # reorders back before the update) — moments are NOT sharded.
-        full = _sharded_bytes(shapes, _divisor_dp)
-        opt_bytes = 2 * full
-        grad_bytes = full
-    else:
-        grad_bytes = p_bytes
-    act = _activation_bytes(cfg, per_chip_batch, accum_steps, n_micro, n_stages)
+    act = _activation_bytes(cfg, per_chip_batch, accum_steps, n_stages)
     total = p_bytes + opt_bytes + grad_bytes + act
     return MemoryPlan(
         mode=f"{mode}x{n_devices}" + (f" accum{accum_steps}" if accum_steps > 1 else ""),

@@ -31,15 +31,9 @@ def main():
     cfg = PRESETS[args.preset]
     print(f"{args.preset} @ {args.devices} devices, {args.batch}/chip, accum {args.accum}")
     for mode in ("dp", "fsdp", "tp", "pp"):
-        if mode == "pp" and (
-            cfg.is_resnet
-            or (isinstance(cfg.vision_layers, int) and cfg.vision_layers % args.devices != 0)
-        ):
-            print(f"{mode}: n/a (depth not divisible by {args.devices})")
-            continue
         try:
             print(plan(cfg, mode, args.devices, args.batch, accum_steps=args.accum).row())
-        except Exception as e:  # resnet tp etc.
+        except ValueError as e:  # pp divisibility / resnet
             print(f"{mode}: n/a ({e})")
 
 

@@ -21,7 +21,6 @@ def test_dp_vs_sharded_modes():
     n = 8
     dp = plan(cfg, "dp", n, per_chip_batch=1024)
     fsdp = plan(cfg, "fsdp", n, per_chip_batch=1024)
-    pp = plan(cfg, "pp", n, per_chip_batch=1024)  # 12 layers not divisible by 8? 12 % 8 != 0
     tp = plan(cfg, "tp", n, per_chip_batch=1024)
 
     # DP replicates everything: params = 4 bytes x param count.
@@ -29,14 +28,24 @@ def test_dp_vs_sharded_modes():
     # FSDP shards the bulk of the state (>70% of params at B/32 widths).
     assert fsdp.params_bytes < 0.3 * dp.params_bytes
     assert fsdp.opt_bytes == 2 * fsdp.params_bytes
-    # TP shards MLP/attn weights but keeps canonical (replicated) optimizer
-    # state and gradients (train_step.py reorders grads back before update).
-    assert tp.params_bytes < dp.params_bytes
+    # TP stores CANONICAL replicated masters/moments/grads between steps
+    # (tp.py shardings are transient, inside shard_map only) — the planner
+    # must report true storage, not the transient shards.
+    assert tp.params_bytes == dp.params_bytes
     assert tp.opt_bytes == 2 * dp.params_bytes
     assert tp.grad_bytes == dp.params_bytes
-    # Everything positive and totals consistent.
-    for p in (dp, fsdp, pp, tp):
+    for p in (dp, fsdp, tp):
         assert p.total_bytes == p.params_bytes + p.opt_bytes + p.grad_bytes + p.act_bytes
+
+
+def test_pp_rejects_indivisible_and_resnet():
+    import pytest
+
+    cfg = PRESETS["mixer-b32"]  # 12 layers: 8 stages do not divide
+    with pytest.raises(ValueError, match="divisible"):
+        plan(cfg, "pp", 8, per_chip_batch=1024)
+    with pytest.raises(ValueError):
+        plan(PRESETS["rn50"], "pp", 2, per_chip_batch=256)
 
 
 def test_pp_divides_blocks_and_activations():

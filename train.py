@@ -133,6 +133,11 @@ def main():
         from clip_mixer_tpu.parallel.pp import make_pp_mesh
 
         n_dev = len(jax.devices())
+        if n_dev % args.pipeline_stages != 0:
+            raise SystemExit(
+                f"--pipeline-stages {args.pipeline_stages} does not divide the "
+                f"{n_dev} available devices (stranded chips / empty mesh)"
+            )
         mesh = make_pp_mesh(n_data=n_dev // args.pipeline_stages, n_stage=args.pipeline_stages)
 
     trainer = Trainer(
