@@ -102,13 +102,11 @@ class Trainer:
         if params is None:
             params = clip_model.init(jax.random.key(tcfg.seed), cfg)
         state = init_train_state(params, self.optimizer)
-        self.start_epoch, self.start_batch = 0, 0
-        if resume:
-            restored = self.checkpointer.restore(state)
-            if restored is not None:
-                state, self.start_epoch, self.start_batch = restored
-                if self.verbose and self.is_lead:
-                    print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
+
+        # Place FIRST, restore into the placed template: the template's
+        # shardings flow through orbax (to_shape_dtype_struct preserves
+        # them), so FSDP/PP checkpoints restore DIRECTLY into their sharded
+        # layout — the full state is never materialised per host.
         if self._use_pp:
             from clip_mixer_tpu.parallel.pp import place_pp_state
 
@@ -129,6 +127,14 @@ class Trainer:
             )
         else:
             self.state = replicate(self.mesh, state)
+
+        self.start_epoch, self.start_batch = 0, 0
+        if resume:
+            restored = self.checkpointer.restore(self.state)
+            if restored is not None:
+                self.state, self.start_epoch, self.start_batch = restored
+                if self.verbose and self.is_lead:
+                    print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
 
     @property
     def global_step(self) -> int:
