@@ -68,10 +68,24 @@ step = make_train_step(cfg, tcfg, mesh, opt)
 local = next(src.iter_batches(epoch=0))
 batch = shard_batch(mesh, dict(local))   # make_array_from_process_local_data path
 state, metrics = step(state, batch)
+
+# FSDP leg: params + Adam moments sharded ACROSS PROCESSES (each process
+# device_puts its addressable shard), GSPMD step over the same global batch.
+from clip_mixer_tpu.parallel.fsdp import make_fsdp_train_step, shard_state
+opt_f = make_optimizer(tcfg, total_steps=10)
+state_f = shard_state(mesh, init_train_state(clip_model.init(jax.random.key(0), cfg), opt_f))
+emb = state_f.params["text"]["token_embedding"]
+local_shard_shapes = [tuple(s.data.shape) for s in emb.addressable_shards]
+step_f = make_fsdp_train_step(cfg, tcfg, mesh, opt_f, state_f)
+state_f, metrics_f = step_f(state_f, shard_batch(mesh, dict(local)))
+
 out = {
     "pid": pid,
     "shards": [p.split("/")[-1] for p in src.shards],
     "loss": float(jax.device_get(metrics["loss"])),
+    "fsdp_loss": float(jax.device_get(metrics_f["loss"])),
+    "fsdp_local_shards": local_shard_shapes,
+    "fsdp_emb_shape": list(emb.shape),
     "local_texts_sum": int(np.asarray(local["texts"]).sum()),
 }
 print("RESULT " + json.dumps(out), flush=True)
@@ -127,6 +141,15 @@ def test_two_process_distributed_train_step(tmp_path):
     assert r0["local_texts_sum"] != r1["local_texts_sum"]
     # Both processes computed the SAME global loss (pmean'd over the mesh).
     assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
+    # FSDP: each process holds exactly ONE addressable half-shard of the
+    # embedding ([49408, 16] of [49408, 32]) — the state is genuinely
+    # partitioned across hosts — and both agree on the global loss, which
+    # matches the DP loss (same params, same objective value at step 1).
+    for r in (r0, r1):
+        assert r["fsdp_emb_shape"] == [49408, 32]
+        assert r["fsdp_local_shards"] == [[49408, 16]]
+    assert r0["fsdp_loss"] == pytest.approx(r1["fsdp_loss"], abs=1e-6)
+    assert r0["fsdp_loss"] == pytest.approx(r0["loss"], abs=1e-5)
 
     # Oracle: single-process run over the same global batch on a 2-virtual-
     # device mesh (conftest provides 8) must produce the same loss.
