@@ -167,6 +167,7 @@ def make_pp_train_step(
     n_micro: int,
     grad_through_gather: bool = False,
     chunk_size: Optional[int] = None,
+    accum_steps: int = 1,
 ):
     """Pipeline-parallel training step over a (data, stage) mesh.
 
@@ -177,17 +178,26 @@ def make_pp_train_step(
     all other gradients are replicated (bit-identical across stages thanks
     to the f_psum/g_psum fixups). ResNet towers are not pipelineable (their
     trunk is not a uniform block stack).
+
+    ``accum_steps > 1`` composes the exact two-pass (GradCache) gradient
+    accumulation with the pipeline: each accumulation chunk runs the full
+    GPipe schedule (its ``n_micro`` pipeline microbatches within the chunk),
+    features are cached, the InfoNCE loss/cotangents are computed ONCE over
+    the step's whole batch, and a per-chunk VJP scan replays the pipeline
+    backward — activation memory of one chunk's pipeline.
     """
     if cfg.is_resnet:
         raise NotImplementedError("pipeline parallelism needs a uniform block stack (mixer/transformer)")
+    assert accum_steps >= 1
     n_stages = mesh.shape[STAGE_AXIS]
     assert cfg.vision_layers % n_stages == 0, (cfg.vision_layers, n_stages)
     assert cfg.text_layers % n_stages == 0, (cfg.text_layers, n_stages)
     loss_cfg = cfg.replace(pipeline_axis=STAGE_AXIS, pipeline_stages=n_stages,
                            pipeline_microbatches=n_micro)
+    dtype = jnp.dtype(cfg.compute_dtype)
 
     def local_loss(params, images_u8, texts):
-        images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+        images = normalize_images(images_u8, dtype=dtype)
         img, txt, scale, _bn = clip_model.forward_train(
             params, loss_cfg, images, texts, axis_name=DATA_AXIS
         )
@@ -204,6 +214,55 @@ def make_pp_train_step(
         # Mean over data replicas; stage-sharded block grads are exclusive to
         # their stage, replicated grads are bit-identical across stages.
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
+
+    def sharded_loss_and_grad_accum(params, images, texts):
+        """Two-pass exact accumulation with the pipelined forward (same
+        scheme as train_step.sharded_loss_and_grad_accum — see its
+        docstring for why naive accumulation is wrong for InfoNCE)."""
+        local_b = images.shape[0]
+        assert local_b % accum_steps == 0, (local_b, accum_steps)
+        mb = local_b // accum_steps
+        assert mb % n_micro == 0, (mb, n_micro)
+        imgs = images.reshape(accum_steps, mb, *images.shape[1:])
+        txts = texts.reshape(accum_steps, mb, *texts.shape[1:])
+
+        def micro_feats(p, im_u8, tx):
+            im = normalize_images(im_u8, dtype=dtype)
+            img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
+            return img, txt
+
+        f_img, f_txt = jax.lax.map(
+            lambda a: micro_feats(params, a[0], a[1]), (imgs, txts)
+        )
+
+        def feat_loss(fi, ft, logit_scale):
+            return info_nce(
+                fi.reshape(local_b, -1),
+                ft.reshape(local_b, -1),
+                jnp.exp(logit_scale),
+                axis_name=DATA_AXIS,
+                grad_through_gather=grad_through_gather,
+                chunk_size=chunk_size,
+            )
+
+        loss, (ct_img, ct_txt, g_scale) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
+            f_img, f_txt, params["logit_scale"]
+        )
+
+        def body(acc, xs):
+            im, tx, ci, ct = xs
+            _, vjp_fn = jax.vjp(lambda p: micro_feats(p, im, tx), params)
+            (g,) = vjp_fn((ci, ct))
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grads, _ = jax.lax.scan(body, zero, (imgs, txts, ct_img, ct_txt))
+        grads = dict(grads)
+        grads["logit_scale"] = grads["logit_scale"] + g_scale
+        return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
+
+    if accum_steps > 1:
+        sharded_loss_and_grad = sharded_loss_and_grad_accum
 
     def step_fn(state: TrainState, batch):
         pspecs = pp_param_specs(state.params, n_stages)

@@ -72,13 +72,12 @@ class Trainer:
 
             if tcfg.fsdp:
                 raise ValueError("fsdp and pipeline parallelism are mutually exclusive")
-            if tcfg.accum_steps > 1:
-                raise NotImplementedError("grad accumulation does not compose with the PP step yet")
             self.step_fn = make_pp_train_step(
                 cfg, tcfg, self.mesh, self.optimizer,
                 n_micro=tcfg.pipeline_microbatches,
                 grad_through_gather=grad_through_gather,
                 chunk_size=chunk_size,
+                accum_steps=tcfg.accum_steps,
             )
         elif not tcfg.fsdp:
             self.step_fn = make_train_step(

@@ -183,6 +183,27 @@ def test_pp_transformer_tower_matches_dp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
 
+def test_pp_grad_accum_matches_plain():
+    """Exact two-pass accumulation composed with the pipeline: accum 2 x
+    (pipeline n_micro 2 per chunk) == one full-batch PP step."""
+    batch = _batch(seed=13)
+    mesh = make_pp_mesh(n_data=2, n_stage=2, devices=jax.devices()[:4])
+
+    results = []
+    for accum in (1, 2):
+        opt = make_optimizer(TCFG, total_steps=10)
+        state = place_pp_state(mesh, init_train_state(clip_model.init(jax.random.key(3), CFG), opt))
+        step = make_pp_train_step(CFG, TCFG, mesh, opt, n_micro=2, accum_steps=accum)
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p2, m2) = results
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
 def test_pp_param_specs_shard_blocks_only():
     params = clip_model.init(jax.random.key(0), CFG)
     specs = pp_param_specs(params, 2)
