@@ -44,7 +44,7 @@ from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.ops.losses import info_nce
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, batch_sharding
-from clip_mixer_tpu.parallel.train_step import TrainState
+from clip_mixer_tpu.parallel.train_step import TrainState, two_pass_accum_grads
 
 # Leaves smaller than this stay replicated: sharding a [12, 64] bias saves
 # nothing and costs a collective.
@@ -149,8 +149,6 @@ def make_fsdp_train_step(
             img, txt, _scale, _bn = clip_model.forward_train(p, cfg, im, tx)
             return img, txt
 
-        f_img, f_txt = jax.lax.map(lambda a: micro_feats(params, a[0], a[1]), (imgs, txts))
-
         def feat_loss(fi, ft, logit_scale):
             return info_nce(
                 fi.reshape(b, -1),
@@ -161,20 +159,7 @@ def make_fsdp_train_step(
                 chunk_size=chunk_size,
             )
 
-        loss, (ct_img, ct_txt, g_scale) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
-            f_img, f_txt, params["logit_scale"]
-        )
-
-        def body(acc, xs):
-            im, tx, ci, ct = xs
-            _, vjp_fn = jax.vjp(lambda p: micro_feats(p, im, tx), params)
-            (g,) = vjp_fn((ci, ct))
-            return jax.tree.map(jnp.add, acc, g), None
-
-        zero = jax.tree.map(jnp.zeros_like, params)
-        grads, _ = jax.lax.scan(body, zero, (imgs, txts, ct_img, ct_txt))
-        grads = dict(grads)
-        grads["logit_scale"] = grads["logit_scale"] + g_scale
+        loss, grads = two_pass_accum_grads(params, imgs, txts, micro_feats, feat_loss)
         return loss, grads, {}
 
     run = loss_and_grad_accum if accum_steps > 1 else loss_and_grad

@@ -40,6 +40,43 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def two_pass_accum_grads(params, stacked_imgs, stacked_txts, micro_feats, feat_loss):
+    """The shared core of exact (GradCache-style) gradient accumulation,
+    used by the DP (below), FSDP and PP steps — ONE implementation so the
+    scheme cannot drift between them.
+
+    stacked_imgs/txts: ``[A, mb, ...]`` accumulation chunks.
+    micro_feats(params, im, tx) -> (img_feats, txt_feats) for one chunk.
+    feat_loss(f_img, f_txt, logit_scale) -> scalar loss over the step's
+    whole batch (caller closes over its info_nce axis/flags).
+
+    Pass 1 runs each chunk forward undifferentiated keeping only features;
+    the loss + feature cotangents are computed once; pass 2 replays each
+    chunk under jax.vjp with its cotangent slice (lax.scan keeps one
+    chunk's activations live). micro_feats discards the scale output, so
+    the logit_scale gradient arrives solely through the loss's direct
+    cotangent and is added back here."""
+    f_img, f_txt = jax.lax.map(
+        lambda a: micro_feats(params, a[0], a[1]), (stacked_imgs, stacked_txts)
+    )  # [A, mb, D] each
+
+    loss, (ct_img, ct_txt, g_scale) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
+        f_img, f_txt, params["logit_scale"]
+    )
+
+    def body(acc, xs):
+        im, tx, ci, ct = xs
+        _, vjp_fn = jax.vjp(lambda p: micro_feats(p, im, tx), params)
+        (g,) = vjp_fn((ci, ct))
+        return jax.tree.map(jnp.add, acc, g), None
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    grads, _ = jax.lax.scan(body, zero, (stacked_imgs, stacked_txts, ct_img, ct_txt))
+    grads = dict(grads)
+    grads["logit_scale"] = grads["logit_scale"] + g_scale
+    return loss, grads
+
+
 def make_train_step(
     cfg: CLIPConfig,
     tcfg: TrainConfig,
@@ -121,7 +158,8 @@ def make_train_step(
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), bn_stats
 
     def sharded_loss_and_grad_accum(params, images, texts):
-        """Two-pass exact-gradient accumulation (see make_train_step docstring)."""
+        """Two-pass exact-gradient accumulation (see make_train_step
+        docstring; shared core in two_pass_accum_grads)."""
         local_b = images.shape[0]
         assert local_b % accum_steps == 0, (local_b, accum_steps)
         mb = local_b // accum_steps
@@ -134,11 +172,6 @@ def make_train_step(
             img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
             return img, txt
 
-        # Pass 1: features only — not differentiated, nothing retained.
-        f_img, f_txt = jax.lax.map(
-            lambda a: micro_feats(params, a[0], a[1]), (imgs, txts)
-        )  # [A, mb, D] each
-
         def feat_loss(fi, ft, logit_scale):
             return info_nce(
                 fi.reshape(local_b, -1),
@@ -149,24 +182,7 @@ def make_train_step(
                 chunk_size=chunk_size,
             )
 
-        loss, (ct_img, ct_txt, g_scale) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
-            f_img, f_txt, params["logit_scale"]
-        )
-
-        # Pass 2: per-microbatch VJP with the cotangent slices; scan keeps
-        # only one microbatch's activations live.
-        def body(acc, xs):
-            im, tx, ci, ct = xs
-            _, vjp_fn = jax.vjp(lambda p: micro_feats(p, im, tx), params)
-            (g,) = vjp_fn((ci, ct))
-            return jax.tree.map(jnp.add, acc, g), None
-
-        zero = jax.tree.map(jnp.zeros_like, params)
-        grads, _ = jax.lax.scan(body, zero, (imgs, txts, ct_img, ct_txt))
-        grads = dict(grads)
-        # micro_feats discards the scale output, so the logit_scale gradient
-        # arrives solely through the loss's direct cotangent.
-        grads["logit_scale"] = grads["logit_scale"] + g_scale
+        loss, grads = two_pass_accum_grads(params, imgs, txts, micro_feats, feat_loss)
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), {}
 
     if accum_steps > 1:

@@ -22,7 +22,7 @@ import numpy as np
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.data.pipeline import DataSource, prefetch
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from clip_mixer_tpu.parallel.mesh import make_mesh, shard_batch
 from clip_mixer_tpu.parallel.train_step import init_train_state, make_train_step
 from clip_mixer_tpu.train.checkpoint import Checkpointer
 from clip_mixer_tpu.train.metrics import MetricsWriter
@@ -98,42 +98,59 @@ class Trainer:
             if getattr(v, "writer", None) is None:
                 v.writer = self.writer
 
-        if params is None:
-            params = clip_model.init(jax.random.key(tcfg.seed), cfg)
-        state = init_train_state(params, self.optimizer)
-
-        # Place FIRST, restore into the placed template: the template's
-        # shardings flow through orbax (to_shape_dtype_struct preserves
-        # them), so FSDP/PP checkpoints restore DIRECTLY into their sharded
-        # layout — the full state is never materialised per host.
-        if self._use_pp:
-            from clip_mixer_tpu.parallel.pp import place_pp_state
-
-            self.state = place_pp_state(self.mesh, state)
-        elif tcfg.fsdp:
-            # ZeRO-3: params + optimizer moments live sharded over the data
-            # axis; the step trains with the exact global InfoNCE gradient
-            # (parallel/fsdp.py — grad_through_gather is implied).
-            from clip_mixer_tpu.parallel.fsdp import make_fsdp_train_step, shard_state
+        if tcfg.fsdp and not self._use_pp:
             from clip_mixer_tpu.parallel.mesh import MODEL_AXIS
 
             if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
                 raise ValueError("fsdp does not compose with tensor parallelism (model axis > 1)")
-            self.state = shard_state(self.mesh, state)
+
+        def build_state():
+            p = clip_model.init(jax.random.key(tcfg.seed), cfg) if params is None else params
+            return init_train_state(p, self.optimizer)
+
+        def state_shardings(state_tree):
+            """Per-leaf NamedShardings for the selected parallelism mode
+            (works on real or abstract leaves)."""
+            if self._use_pp:
+                from clip_mixer_tpu.parallel.pp import pp_state_shardings
+
+                return pp_state_shardings(self.mesh, state_tree)
+            if tcfg.fsdp:
+                from clip_mixer_tpu.parallel.fsdp import fsdp_state_shardings
+
+                return fsdp_state_shardings(self.mesh, state_tree)
+            from clip_mixer_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            return jax.tree.map(lambda _: rep, state_tree)
+
+        self.start_epoch, self.start_batch = 0, 0
+        if resume and self.checkpointer.latest_step() is not None:
+            # Restore DIRECTLY into the mode's shardings: an abstract
+            # template (eval_shape + the sharding trees) means the full
+            # state is never materialised on host — orbax writes each
+            # device's shards in place. The throwaway random init is
+            # skipped entirely.
+            abstract = jax.eval_shape(build_state)
+            template = jax.tree.map(
+                lambda a, sh: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+                abstract,
+                state_shardings(abstract),
+            )
+            self.state, self.start_epoch, self.start_batch = self.checkpointer.restore(template)
+            if self.verbose and self.is_lead:
+                print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
+        else:
+            state = build_state()
+            self.state = jax.tree.map(jax.device_put, state, state_shardings(state))
+
+        if tcfg.fsdp and not self._use_pp:
+            from clip_mixer_tpu.parallel.fsdp import make_fsdp_train_step
+
             self.step_fn = make_fsdp_train_step(
                 cfg, tcfg, self.mesh, self.optimizer, self.state,
                 chunk_size=chunk_size, accum_steps=tcfg.accum_steps,
             )
-        else:
-            self.state = replicate(self.mesh, state)
-
-        self.start_epoch, self.start_batch = 0, 0
-        if resume:
-            restored = self.checkpointer.restore(self.state)
-            if restored is not None:
-                self.state, self.start_epoch, self.start_batch = restored
-                if self.verbose and self.is_lead:
-                    print(f"Resuming from epoch {self.start_epoch}, batch {self.start_batch}")
 
     @property
     def global_step(self) -> int:
