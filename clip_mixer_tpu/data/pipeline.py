@@ -72,6 +72,8 @@ class SyntheticSource(DataSource):
             "black arrow", "white ring", "brown leaf", "pink heart",
             "gray cloud", "teal wave", "gold crown", "silver moon",
         ]
+        if n_classes > len(names):
+            raise ValueError(f"n_classes <= {len(names)} (have {len(names)} caption names)")
         self.captions = [f"a photo of a {n}." for n in names[:n_classes]]
         self.tokens = tokenize(self.captions, context_length, truncate=True)
         rng = np.random.default_rng(seed)
@@ -134,7 +136,20 @@ class TarShardSource(DataSource):
         glue — measured numbers in SCALING.md; prefer it at high worker
         counts if thread scaling plateaus on the target host)."""
         assert decode_mode in ("thread", "process"), decode_mode
-        self.shards = sorted(shard_paths)[host_index::n_hosts]
+        all_shards = sorted(shard_paths)
+        if n_hosts > 1:
+            # EQUAL shard counts per host: an uneven split (host 0 gets one
+            # more shard) makes hosts yield different batch counts, and the
+            # first host to exhaust its iterator leaves the others blocked
+            # in the next step's collective — a silent pod hang. Trailing
+            # shards beyond a multiple of n_hosts are dropped (standard
+            # webdataset practice; shards are ~uniform by construction).
+            per = len(all_shards) // n_hosts
+            if per == 0:
+                raise ValueError(f"{len(all_shards)} shards cannot feed {n_hosts} hosts")
+            self.shards = all_shards[host_index::n_hosts][:per]
+        else:
+            self.shards = all_shards
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
@@ -176,15 +191,21 @@ class TarShardSource(DataSource):
 
     def iter_batches(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
         if self.decode_mode == "process":
+            import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
 
-            pool = ProcessPoolExecutor(self.decode_workers)
+            # spawn, not fork: this process has an initialized JAX backend
+            # (sitecustomize imports jax at startup); forking after backend
+            # init copies runtime mutexes mid-flight and can deadlock the
+            # child (documented-unsupported by JAX).
+            pool = ProcessPoolExecutor(
+                self.decode_workers, mp_context=multiprocessing.get_context("spawn")
+            )
         else:
             pool = ThreadPoolExecutor(self.decode_workers)
         try:
             it = self._iter_samples(epoch)
             skip = start_batch * self.batch_size
-            batch_idx = 0
             while True:
                 raw = []
                 for sample in it:
@@ -200,7 +221,6 @@ class TarShardSource(DataSource):
                 images = np.stack([d[0] for d in decoded])
                 texts = tokenize([d[1] for d in decoded], self.context_length, truncate=True)
                 yield Batch(images=images, texts=texts)
-                batch_idx += 1
         finally:
             pool.shutdown(wait=False)
 
@@ -262,7 +282,6 @@ def write_tar_shards(
     os.makedirs(out_dir, exist_ok=True)
     paths: List[str] = []
     tar = None
-    count = 0
     try:
         for i, (image, caption) in enumerate(samples):
             if i % samples_per_shard == 0:
@@ -278,7 +297,6 @@ def write_tar_shards(
                 info = tarfile.TarInfo(name)
                 info.size = len(data)
                 tar.addfile(info, io.BytesIO(data))
-            count += 1
     finally:
         if tar is not None:
             tar.close()

@@ -38,11 +38,22 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Packed-QKV MHA. x: [B, T, W]; mask: additive [T, T] or None."""
-    B, T, W = x.shape
     dt = x.dtype
-    head_dim = W // n_heads
-
     qkv = x @ params["qkv_kernel"].astype(dt) + params["qkv_bias"].astype(dt)  # [B,T,3W]
+    out = attention_core(qkv, n_heads, mask)
+    return out @ params["out_kernel"].astype(dt) + params["out_bias"].astype(dt)
+
+
+def attention_core(qkv: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Packed-QKV [B, T, 3W] -> concat of head outputs [B, T, W] (the
+    pre-out-projection activation). The ONE implementation of the
+    head-split / scaled-scores / f32-softmax chain — the int8 block and the
+    calibration passes (ops/quant.py) consume it too, so their statistics
+    come from exactly the forward being quantized."""
+    B, T, W3 = qkv.shape
+    W = W3 // 3
+    head_dim = W // n_heads
+    dt = qkv.dtype
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):  # [B,T,W] -> [B,H,T,hd]
@@ -55,8 +66,7 @@ def multi_head_attention(
         scores = scores + mask.astype(jnp.float32)
     attn = jax.nn.softmax(scores, axis=-1).astype(dt)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
-    return out @ params["out_kernel"].astype(dt) + params["out_bias"].astype(dt)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, W)
 
 
 def attention_block(

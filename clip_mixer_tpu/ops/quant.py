@@ -168,22 +168,13 @@ def _attention_block_q(p: Dict, x: jnp.ndarray, n_heads: int, mask, a=None) -> j
     """int8 ResidualAttentionBlock; ``a`` carries this layer's calibrated
     static activation scales (None -> dynamic per-row, measured SLOWER than
     bf16 — use calibrate_vit_vision_tower)."""
-    B, T, W = x.shape
+    from clip_mixer_tpu.models.transformer import attention_core
+
     dt = x.dtype
     g = lambda k: (a[k] if a is not None else None)
     y = layer_norm(p["ln_1"], x)
     qkv = int8_matmul(y, p["attn"]["qkv_q"], g("qkv_in"), dt) + p["attn"]["qkv_bias"].astype(dt)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads(t):
-        return t.reshape(B, T, n_heads, W // n_heads).transpose(0, 2, 1, 3)
-
-    q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * ((W // n_heads) ** -0.5)
-    if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
-    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(B, T, W)
+    out = attention_core(qkv, n_heads, mask)
     x = x + int8_matmul(out, p["attn"]["out_q"], g("attn_out_in"), dt) + p["attn"]["out_bias"].astype(dt)
 
     y = layer_norm(p["ln_2"], x)
@@ -238,7 +229,7 @@ def calibrate_vit_vision_tower(
     params: Dict, cfg: CLIPConfig, sample_images: jnp.ndarray, quantile: float = 0.9999
 ) -> Dict:
     """Static activation scales for the ViT vision tower's quantisation
-    sites: patchify input, per-layer qkv/attn-out/mlp-in/mlp-hidden, proj."""
+    sites: patchify input, per-layer qkv/attn-out/mlp-in/mlp-hidden."""
     assert cfg.use_transformer and not cfg.is_resnet
 
     dt = jnp.dtype(cfg.compute_dtype)
@@ -255,19 +246,15 @@ def calibrate_vit_vision_tower(
     x = x + v["pos_embedding"].astype(dt)
     x = layer_norm(v["ln_pre"], x)
 
+    from clip_mixer_tpu.models.transformer import attention_core
+
     def step(h, lp):
         y1 = layer_norm(lp["ln_1"], h)
-        # attention output before the out-projection (the attn_out_in site):
-        # recompute MHA pieces to expose it
-        B, T, W = h.shape
-        nh = cfg.vision_heads
+        # attention output before the out-projection (the attn_out_in site)
+        # via the model's own attention_core — stats come from exactly the
+        # forward being quantized.
         qkv = y1 @ lp["attn"]["qkv_kernel"].astype(dt) + lp["attn"]["qkv_bias"].astype(dt)
-        qq, kk, vv = jnp.split(qkv, 3, axis=-1)
-        hd = W // nh
-        hs = lambda t: t.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", hs(qq), hs(kk)).astype(jnp.float32) * (hd**-0.5)
-        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
-        ao = jnp.einsum("bhqk,bhkd->bhqd", attn, hs(vv)).transpose(0, 2, 1, 3).reshape(B, T, W)
+        ao = attention_core(qkv, cfg.vision_heads, None)
         h = h + ao @ lp["attn"]["out_kernel"].astype(dt) + lp["attn"]["out_bias"].astype(dt)
         y2 = layer_norm(lp["ln_2"], h)
         hid = quick_gelu(y2 @ lp["mlp"]["w_in"].astype(dt) + lp["mlp"]["b_in"].astype(dt))
@@ -275,7 +262,6 @@ def calibrate_vit_vision_tower(
         return h, (q(y1), q(ao), q(y2), q(hid))
 
     x, (s_qkv, s_ao, s_mlp, s_hid) = jax.lax.scan(step, x, v["tower"]["blocks"])
-    x = layer_norm(v["ln_post"], x[:, 0, :])
     to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
     return {
         "patch": to_scale(s_patch),
@@ -283,7 +269,6 @@ def calibrate_vit_vision_tower(
         "attn_out_in": to_scale(s_ao),
         "mlp_in": to_scale(s_mlp),
         "mlp_hidden": to_scale(s_hid),
-        "proj": to_scale(q(x)),
     }
 
 
@@ -333,7 +318,7 @@ def calibrate_vit_text_tower(
     params: Dict, cfg: CLIPConfig, sample_text: jnp.ndarray, quantile: float = 0.9999
 ) -> Dict:
     """Static activation scales for the transformer text tower's sites:
-    per-layer qkv/attn-out/mlp-in/mlp-hidden plus the projection input."""
+    per-layer qkv/attn-out/mlp-in/mlp-hidden."""
     assert cfg.use_transformer
     from clip_mixer_tpu.models.transformer import causal_mask
 
@@ -347,18 +332,12 @@ def calibrate_vit_text_tower(
     x = jnp.take(t["token_embedding"], sample_text, axis=0).astype(dt)
     x = x + t["pos_embedding"].astype(dt)
 
+    from clip_mixer_tpu.models.transformer import attention_core
+
     def step(h, lp):
         y1 = layer_norm(lp["ln_1"], h)
-        B, T, W = h.shape
-        nh = cfg.text_heads
         qkv = y1 @ lp["attn"]["qkv_kernel"].astype(dt) + lp["attn"]["qkv_bias"].astype(dt)
-        qq, kk, vv = jnp.split(qkv, 3, axis=-1)
-        hd = W // nh
-        hs = lambda u: u.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", hs(qq), hs(kk)).astype(jnp.float32) * (hd**-0.5)
-        scores = scores + mask.astype(jnp.float32)
-        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
-        ao = jnp.einsum("bhqk,bhkd->bhqd", attn, hs(vv)).transpose(0, 2, 1, 3).reshape(B, T, W)
+        ao = attention_core(qkv, cfg.text_heads, mask)
         h = h + ao @ lp["attn"]["out_kernel"].astype(dt) + lp["attn"]["out_bias"].astype(dt)
         y2 = layer_norm(lp["ln_2"], h)
         hid = quick_gelu(y2 @ lp["mlp"]["w_in"].astype(dt) + lp["mlp"]["b_in"].astype(dt))
@@ -366,22 +345,19 @@ def calibrate_vit_text_tower(
         return h, (q(y1), q(ao), q(y2), q(hid))
 
     x, (s_qkv, s_ao, s_mlp, s_hid) = jax.lax.scan(step, x, t["tower"]["blocks"])
-    x = layer_norm(t["ln_final"], x)
-    eot_idx = jnp.argmax(sample_text, axis=-1)
-    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
     return {
         "qkv_in": to_scale(s_qkv),
         "attn_out_in": to_scale(s_ao),
         "mlp_in": to_scale(s_mlp),
         "mlp_hidden": to_scale(s_hid),
-        "proj": to_scale(q(pooled)),
     }
 
 
 def quantize_text_tower(params: Dict, cfg: CLIPConfig, a_scales: Dict | None = None) -> Dict:
-    """int8-pack the text mixer tower's channel mixes and projection (the
-    token embedding stays a lookup; token mixes stay bf16)."""
+    """int8-pack the text mixer tower's channel mixes (the token embedding
+    stays a lookup; token mixes AND the final projection stay bf16 — see the
+    module docstring for the measured reasons)."""
     assert not cfg.use_transformer, "int8 path implemented for the mixer tower"
     t = params["text"]
     qt = dict(t)
@@ -443,11 +419,8 @@ def calibrate_text_tower(
         return out, (q(y), q(hidden))
 
     x, (s_in, s_hidden) = jax.lax.scan(step, x, t["tower"]["blocks"])
-    x = layer_norm(t["ln_final"], x)
-    eot_idx = jnp.argmax(sample_text, axis=-1)
-    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
-    return {"ch_in": to_scale(s_in), "ch_hidden": to_scale(s_hidden), "proj": to_scale(q(pooled))}
+    return {"ch_in": to_scale(s_in), "ch_hidden": to_scale(s_hidden)}
 
 
 def calibrate_vision_tower(
@@ -458,8 +431,8 @@ def calibrate_vision_tower(
 ) -> Dict:
     """Measure |activation| quantiles at each quantisation site on sample
     (normalised) images and return per-site static scales:
-    {"patch": (), "ch_in": [L], "ch_hidden": [L], "proj": ()} with
-    scale = quantile/127. Attach via quantize_vision_tower(..., a_scales=...).
+    {"patch": (), "ch_in": [L], "ch_hidden": [L]} with scale = quantile/127.
+    Attach via quantize_vision_tower(..., a_scales=...).
     """
     assert not cfg.use_transformer and not cfg.is_resnet, "int8 path implemented for the mixer tower"
     dt = jnp.dtype(cfg.compute_dtype)
@@ -487,14 +460,11 @@ def calibrate_vision_tower(
         return out, (q(y), q(hidden))
 
     x, (s_in, s_hidden) = jax.lax.scan(step, x, v["tower"]["blocks"])
-    x = layer_norm(v["ln_post"], x[:, 0, :])
-    s_proj = q(x)
     to_scale = lambda s: jnp.maximum(s / 127.0, 1e-8)
     return {
         "patch": to_scale(s_patch),
         "ch_in": to_scale(s_in),
         "ch_hidden": to_scale(s_hidden),
-        "proj": to_scale(s_proj),
     }
 
 

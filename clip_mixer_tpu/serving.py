@@ -274,9 +274,10 @@ def make_handler(engine: InferenceEngine):
                     self._reply(200, {"results": results})
                 else:
                     self._reply(404, {"error": "unknown path"})
-            except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError, OSError) as e:
                 # OSError covers PIL's UnidentifiedImageError on non-image
-                # bytes — a client error, not a server fault.
+                # bytes; TypeError covers well-formed JSON of the wrong type
+                # (e.g. {"texts": 5}) — client errors, not server faults.
                 self._reply(400, {"error": f"bad request: {e}"})
             except RuntimeError as e:
                 self._reply(409, {"error": str(e)})

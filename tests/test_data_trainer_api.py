@@ -74,6 +74,24 @@ def test_tar_source_host_sharding(tmp_path):
     assert set(h0.shards).isdisjoint(h1.shards)
 
 
+def test_tar_source_equal_shard_counts(tmp_path):
+    """An uneven split would desync hosts (different batch counts per epoch
+    -> one host exhausts its iterator first -> the next collective hangs);
+    trailing shards beyond a multiple of n_hosts must be dropped."""
+    rng = np.random.default_rng(2)
+    samples = [(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"c{i}") for i in range(25)]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "s5"), samples_per_shard=5)
+    assert len(paths) == 5  # odd count: naive [h::2] would give 3 vs 2
+    h0 = TarShardSource(paths, batch_size=5, image_size=16, n_hosts=2, host_index=0)
+    h1 = TarShardSource(paths, batch_size=5, image_size=16, n_hosts=2, host_index=1)
+    assert len(h0.shards) == len(h1.shards) == 2
+    assert set(h0.shards).isdisjoint(h1.shards)
+    assert len(list(h0.iter_batches(0))) == len(list(h1.iter_batches(0)))
+
+    with pytest.raises(ValueError, match="cannot feed"):
+        TarShardSource(paths[:1], batch_size=5, image_size=16, n_hosts=2, host_index=0)
+
+
 def test_prefetch_order():
     s = SyntheticSource(batch_size=2, image_size=16, n_batches=5, context_length=16)
     direct = [b["images"] for b in s.iter_batches(0)]

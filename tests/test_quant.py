@@ -86,8 +86,9 @@ def test_calibration_scale_shapes():
     s = calibrate_vision_tower(params, CFG, imgs)
     assert s["ch_in"].shape == (CFG.vision_layers,)
     assert s["ch_hidden"].shape == (CFG.vision_layers,)
-    assert s["patch"].shape == () and s["proj"].shape == ()
-    assert all(float(v) > 0 for v in (s["patch"], s["proj"]))
+    assert s["patch"].shape == ()
+    assert float(s["patch"]) > 0
+    assert "proj" not in s  # projections stay bf16; no dead scale entries
 
 
 def test_encode_text_q_fidelity():
