@@ -102,6 +102,48 @@ def build_float_classifier(
     )
 
 
+def image_quant_fns(cfg: CLIPConfig):
+    """(calibrate, quantize, encode_q) for cfg's vision tower — the ONE
+    dispatch for both gates. is_resnet MUST be checked before
+    use_transformer: RN presets carry tower="transformer" for their text
+    side while the visual trunk is the conv tower."""
+    from clip_mixer_tpu.ops import quant
+
+    if cfg.is_resnet:
+        return (
+            quant.calibrate_resnet_tower,
+            quant.quantize_resnet_tower,
+            quant.encode_image_rn_q,
+        )
+    if cfg.use_transformer:
+        return (
+            quant.calibrate_vit_vision_tower,
+            quant.quantize_vit_vision_tower,
+            quant.encode_image_vit_q,
+        )
+    return (
+        quant.calibrate_vision_tower,
+        quant.quantize_vision_tower,
+        quant.encode_image_q,
+    )
+
+
+def _batched_feats(fn, p, images_u8: np.ndarray, batch_size: int) -> np.ndarray:
+    """Run a jitted (params, images_u8_batch) -> feats fn over the whole set
+    at ONE compiled shape (tail batch zero-padded then sliced)."""
+    outs: List[np.ndarray] = []
+    n = images_u8.shape[0]
+    for i in range(0, n, batch_size):
+        chunk = images_u8[i : i + batch_size]
+        if chunk.shape[0] < batch_size:
+            pad = np.zeros((batch_size - chunk.shape[0],) + chunk.shape[1:], chunk.dtype)
+            padded = np.concatenate([chunk, pad])
+            outs.append(np.asarray(fn(p, jnp.asarray(padded)), np.float32)[: chunk.shape[0]])
+        else:
+            outs.append(np.asarray(fn(p, jnp.asarray(chunk)), np.float32))
+    return np.concatenate(outs)
+
+
 def zeroshot_top1_agreement(
     params,
     cfg: CLIPConfig,
@@ -118,28 +160,10 @@ def zeroshot_top1_agreement(
     disagreeing images (how "confident" a prediction int8 managed to flip —
     small is good).
     """
-    from clip_mixer_tpu.ops import quant
     from clip_mixer_tpu.ops.preprocess import normalize_images
 
     dt = jnp.dtype(cfg.compute_dtype)
-    if cfg.is_resnet:
-        calibrate, quantize, encode_q = (
-            quant.calibrate_resnet_tower,
-            quant.quantize_resnet_tower,
-            quant.encode_image_rn_q,
-        )
-    elif cfg.use_transformer:
-        calibrate, quantize, encode_q = (
-            quant.calibrate_vit_vision_tower,
-            quant.quantize_vit_vision_tower,
-            quant.encode_image_vit_q,
-        )
-    else:
-        calibrate, quantize, encode_q = (
-            quant.calibrate_vision_tower,
-            quant.quantize_vision_tower,
-            quant.encode_image_q,
-        )
+    calibrate, quantize, encode_q = image_quant_fns(cfg)
 
     sample = normalize_images(jnp.asarray(images_u8[:calibrate_n]), dtype=dt)
     scales = jax.jit(lambda p, x: calibrate(p, cfg, x))(params, sample)
@@ -154,21 +178,9 @@ def zeroshot_top1_agreement(
         lambda p, x: clip_model.l2_normalize(encode_q(p, cfg, normalize_images(x, dtype=dt)))
     )
 
-    feats_f: List[np.ndarray] = []
-    feats_q: List[np.ndarray] = []
     n = images_u8.shape[0]
-    for i in range(0, n, batch_size):
-        chunk = images_u8[i : i + batch_size]
-        if chunk.shape[0] < batch_size:  # keep one compiled shape
-            pad = np.zeros((batch_size - chunk.shape[0],) + chunk.shape[1:], chunk.dtype)
-            padded = np.concatenate([chunk, pad])
-            feats_f.append(np.asarray(f_float(params, jnp.asarray(padded)), np.float32)[: chunk.shape[0]])
-            feats_q.append(np.asarray(f_int8(qparams, jnp.asarray(padded)), np.float32)[: chunk.shape[0]])
-        else:
-            feats_f.append(np.asarray(f_float(params, jnp.asarray(chunk)), np.float32))
-            feats_q.append(np.asarray(f_int8(qparams, jnp.asarray(chunk)), np.float32))
-    ff = np.concatenate(feats_f)
-    fq = np.concatenate(feats_q)
+    ff = _batched_feats(f_float, params, images_u8, batch_size)
+    fq = _batched_feats(f_int8, qparams, images_u8, batch_size)
 
     cos = (ff * fq).sum(-1)
     logits_f = 100.0 * ff @ classifier  # the reference's 100x logit scale (validation.py:163)
@@ -221,19 +233,6 @@ def noise_floor_gate(
     dt32 = jnp.float32
     cfg32 = cfg.replace(compute_dtype="float32")
 
-    def batched(fn, p):
-        outs = []
-        n = images_u8.shape[0]
-        for i in range(0, n, batch_size):
-            chunk = images_u8[i : i + batch_size]
-            if chunk.shape[0] < batch_size:
-                pad = np.zeros((batch_size - chunk.shape[0],) + chunk.shape[1:], chunk.dtype)
-                outs.append(np.asarray(fn(p, jnp.asarray(np.concatenate([chunk, pad]))), np.float32)[: chunk.shape[0]])
-            else:
-                outs.append(np.asarray(fn(p, jnp.asarray(chunk)), np.float32))
-        return np.concatenate(outs)
-
-    from clip_mixer_tpu.ops import quant
     from clip_mixer_tpu.ops.preprocess import normalize_images
 
     f_f32 = jax.jit(
@@ -246,18 +245,7 @@ def noise_floor_gate(
             clip_model.encode_image(p, cfg, normalize_images(x, dtype=jnp.dtype(cfg.compute_dtype)))
         )
     )
-    if cfg.use_transformer:
-        calibrate, quantize, encode_q = (
-            quant.calibrate_vit_vision_tower,
-            quant.quantize_vit_vision_tower,
-            quant.encode_image_vit_q,
-        )
-    else:
-        calibrate, quantize, encode_q = (
-            quant.calibrate_vision_tower,
-            quant.quantize_vision_tower,
-            quant.encode_image_q,
-        )
+    calibrate, quantize, encode_q = image_quant_fns(cfg)
     sample = normalize_images(jnp.asarray(images_u8[:calibrate_n]), dtype=jnp.dtype(cfg.compute_dtype))
     scales = jax.jit(lambda p, x: calibrate(p, cfg, x))(params, sample)
     qparams = jax.jit(lambda p, s: quantize(p, cfg, s))(params, scales)
@@ -267,9 +255,9 @@ def noise_floor_gate(
         )
     )
 
-    ff32 = batched(f_f32, params)
-    fbf = batched(f_bf16, params)
-    fq = batched(f_int8, qparams)
+    ff32 = _batched_feats(f_f32, params, images_u8, batch_size)
+    fbf = _batched_feats(f_bf16, params, images_u8, batch_size)
+    fq = _batched_feats(f_int8, qparams, images_u8, batch_size)
 
     t32 = (100.0 * ff32 @ classifier).argmax(-1)
     t16 = (100.0 * fbf @ classifier).argmax(-1)

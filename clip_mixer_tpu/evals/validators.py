@@ -32,7 +32,11 @@ class ImageNetValidator:
 
     def __init__(self, params, cfg: CLIPConfig, writer=None, image_batches_fn: Optional[Callable[[], Iterable]] = None):
         self.params, self.cfg, self.writer = params, cfg, writer
-        self.image_batches_fn = image_batches_fn or _imagenetv2_batches
+        # default loader preprocesses at the MODEL's resolution (336px for
+        # ViT-L/14@336px checkpoints, 224 for the B-scale presets)
+        self.image_batches_fn = image_batches_fn or (
+            lambda: _imagenetv2_batches(image_size=cfg.image_resolution)
+        )
 
     def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, float]:
         p = params if params is not None else self.params
@@ -51,7 +55,7 @@ class ImageNetValidator:
         return res
 
 
-def _imagenetv2_batches(batch_size: int = 256, location: str = "datasetImageNet"):
+def _imagenetv2_batches(batch_size: int = 256, location: str = "datasetImageNet", image_size: int = 224):
     """ImageNetV2 ("matched-frequency") loader. Expects the extracted class
     folders (0..999) under ``location`` (the reference downloads them via
     imagenetv2_pytorch, validation.py:114-116); raises DatasetUnavailable
@@ -75,17 +79,26 @@ def _imagenetv2_batches(batch_size: int = 256, location: str = "datasetImageNet"
 
     def gen():
         images, targets = [], []
+        yielded = False
         for cls in range(1000):
             d = os.path.join(root, str(cls))
-            for fname in sorted(os.listdir(d)):
+            try:
+                fnames = sorted(os.listdir(d))
+            except OSError as e:  # partially-extracted dataset: skip, don't
+                raise DatasetUnavailable(f"ImageNetV2 class dir unreadable: {e}")  # crash training
+            for fname in fnames:
                 with Image.open(os.path.join(d, fname)) as im:
-                    images.append(preprocess_pil(im, 224))
+                    images.append(preprocess_pil(im, image_size))
                 targets.append(cls)
                 if len(images) == batch_size:
                     yield np.stack(images), np.asarray(targets)
+                    yielded = True
                     images, targets = [], []
         if images:
             yield np.stack(images), np.asarray(targets)
+            yielded = True
+        if not yielded:
+            raise DatasetUnavailable(f"ImageNetV2 under {root} contains no images")
 
     return gen()
 
@@ -187,6 +200,24 @@ class SST2Validator:
     def __init__(self, params, cfg: CLIPConfig, writer=None, train_data=None, test_data=None):
         self.params, self.cfg, self.writer = params, cfg, writer
         self._train, self._test = train_data, test_data
+        # Build the optimizer + jitted probe step ONCE: a fresh closure per
+        # validate() call would re-trace/compile the update every round.
+        import optax
+
+        self._opt = optax.adam(1e-3)  # validation.py:344
+        opt = self._opt
+
+        @jax.jit
+        def _update(probe, opt_state, x, y):
+            def loss_fn(p):
+                logits = x @ p["w"] + p["b"]
+                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(probe)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(probe, updates), opt_state, loss
+
+        self._update = _update
 
     def _embed(self, data, params=None):
         model_params = params if params is not None else self.params
@@ -196,8 +227,6 @@ class SST2Validator:
         return feats, labels
 
     def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, float]:
-        import optax
-
         try:
             train = self._train if self._train is not None else sst2_split("train")
             test = self._test if self._test is not None else sst2_split("validation")
@@ -210,23 +239,14 @@ class SST2Validator:
 
         dim = xtr.shape[1]
         probe = {"w": jnp.zeros((dim, 2), jnp.float32), "b": jnp.zeros((2,), jnp.float32)}
-        opt = optax.adam(1e-3)
-        opt_state = opt.init(probe)
-
-        @jax.jit
-        def update(probe, opt_state, x, y):
-            def loss_fn(p):
-                logits = x @ p["w"] + p["b"]
-                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
-
-            loss, grads = jax.value_and_grad(loss_fn)(probe)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(probe, updates), opt_state, loss
+        opt_state = self._opt.init(probe)
 
         n = xtr.shape[0]
         for _ in range(10):
-            for i in range(0, n - n % 32, 32):
-                probe, opt_state, _ = update(
+            # include the final partial minibatch — the reference trains on
+            # the tail slice too (validation.py:346)
+            for i in range(0, n, 32):
+                probe, opt_state, _ = self._update(
                     probe, opt_state, jnp.asarray(xtr[i : i + 32]), jnp.asarray(ytr[i : i + 32])
                 )
         logits = np.asarray(jnp.asarray(xte) @ probe["w"] + probe["b"])

@@ -136,4 +136,6 @@ def zero_shot_eval(
         top1 += a1 * b
         top5 += a5 * b
         n += b
+    if n == 0:
+        raise ValueError("image_batches yielded no batches")
     return {"top1": 100.0 * top1 / n, "top5": 100.0 * top5 / n}

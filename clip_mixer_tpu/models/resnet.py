@@ -52,19 +52,19 @@ def batch_norm(
     Running-stat updates are the caller's concern (returned via
     :func:`batch_moments` when training); this fn only normalises.
     """
-    x32 = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-        if axis_name is not None:
-            mean = jax.lax.pmean(mean, axis_name)
-            mean_sq = jax.lax.pmean(mean_sq, axis_name)
-        var = mean_sq - jnp.square(mean)
+        mean, var = batch_moments(x, axis_name)
     else:
         mean, var = params["mean"], params["var"]
+    return _bn_normalize(x, mean, var, params["scale"], params["bias"], eps)
+
+
+def _bn_normalize(x, mean, var, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
+    """The one BN normalize (f32 internals) shared by batch_norm and the
+    training path's bn_train — keep the numerics in a single place."""
+    x32 = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps)
-    y = (x32 - mean) * inv * params["scale"] + params["bias"]
-    return y.astype(x.dtype)
+    return ((x32 - mean) * inv * scale + bias).astype(x.dtype)
 
 
 def batch_moments(x: jnp.ndarray, axis_name: Optional[str] = None):
@@ -164,7 +164,11 @@ def init_resnet(key, cfg: CLIPConfig) -> Dict:
     layers = cfg.vision_layers
     width = cfg.vision_width
     embed_dim_out = cfg.embed_dim
-    keys = iter(jax.random.split(key, 64))
+    # 3 stem convs + one key per bottleneck + attnpool draws. Keep the split
+    # at >= 64 so existing geometries' init stays bit-identical (a split
+    # count change changes every key); deeper stacks (RN50x64 has 64
+    # bottlenecks) grow past the old fixed 64 instead of StopIteration.
+    keys = iter(jax.random.split(key, max(64, 3 + sum(layers) + 8)))
 
     params: Dict = {
         "conv1": _init_conv(next(keys), 3, 3, 3, width // 2),
@@ -244,9 +248,7 @@ def resnet_encoder_train(
         if axis_name is not None:  # SyncBN: global element count
             n = n * jax.lax.psum(jnp.float32(1.0), axis_name)
         slot[key] = {"mean": mean, "var": var, "n": n}
-        x32 = x.astype(jnp.float32)
-        inv = jax.lax.rsqrt(var + 1e-5)
-        return ((x32 - mean) * inv * bnp["scale"] + bnp["bias"]).astype(x.dtype)
+        return _bn_normalize(x, mean, var, bnp["scale"], bnp["bias"])
 
     x = images.astype(dt)
     x = jax.nn.relu(bn_train(params["bn1"], conv(params["conv1"], x, stride=2, padding=1), stats, "bn1"))

@@ -70,10 +70,19 @@ def test_zeroshot_agreement_gate(tower):
     assert stats["median_margin"] > 0.0
 
 
-def test_noise_floor_gate_small():
+@pytest.mark.parametrize("tower", ["mixer", "transformer", "resnet"])
+def test_noise_floor_gate_small(tower):
+    """The production gate must run for EVERY tower family (the RN dispatch
+    was once missing here while present in zeroshot_top1_agreement — the two
+    now share image_quant_fns)."""
     from clip_mixer_tpu.evals.quant_gate import noise_floor_gate
 
-    cfg = make_cfg("mixer")
+    if tower == "resnet":
+        cfg = make_cfg("transformer").replace(
+            vision_layers=(1, 1, 1, 1), vision_width=16, vision_patch_size=None
+        )
+    else:
+        cfg = make_cfg(tower)
     params = clip_model.init(jax.random.key(2), cfg)
     imgs = synthetic_images(32, cfg.image_resolution, seed=3)
     w = build_float_classifier(params, cfg, CLASSNAMES, TEMPLATES)
