@@ -50,27 +50,40 @@ PRESETS: Dict[str, LaunchPreset] = {
 
 
 def render_commands(preset: LaunchPreset, project: str, data_glob: Optional[str] = None) -> str:
-    """gcloud command sequence: create the slice, install, run on all workers."""
+    """gcloud command sequence: create the slice, upload the code, install,
+    run on all workers (the reference's AzureML job upload + accelerate
+    launch, launchJob.py:88-142)."""
     train_args = preset.train_args
     if data_glob:
+        # quote for the REMOTE shell; the whole remote command is then quoted
+        # once below for the local shell (nested shlex.quote inside an
+        # already-quoted string would cancel the outer quotes and let the
+        # worker shell expand the glob).
         train_args += f" --data {shlex.quote(data_glob)}"
+    common = f"--project {project} --zone {preset.zone}"
     create = (
-        f"gcloud compute tpus tpu-vm create {preset.name} "
-        f"--project {project} --zone {preset.zone} "
+        f"gcloud compute tpus tpu-vm create {preset.name} {common} "
         f"--accelerator-type {preset.accelerator} --version {preset.runtime_version}"
     )
+    # Upload this checkout to every worker (fresh VMs have no code; the
+    # reference's AzureML submission snapshotted the source tree).
+    upload = (
+        f"gcloud compute tpus tpu-vm scp --recurse . {preset.name}:clip-mixer-tpu "
+        f"{common} --worker=all"
+    )
     setup = (
-        f"gcloud compute tpus tpu-vm ssh {preset.name} --project {project} --zone {preset.zone} "
-        f"--worker=all --command 'pip install -e clip-mixer-tpu/'"
+        f"gcloud compute tpus tpu-vm ssh {preset.name} {common} "
+        f"--worker=all --command {shlex.quote('pip install -e clip-mixer-tpu/')}"
     )
     # Same command on every worker; jax.distributed.initialize() discovers the
     # slice topology (the NCCL/MASTER_ADDR plumbing of launchJob.py:134-138
     # has no TPU equivalent to configure).
+    remote_run = f"cd clip-mixer-tpu && python train.py {train_args}"
     run = (
-        f"gcloud compute tpus tpu-vm ssh {preset.name} --project {project} --zone {preset.zone} "
-        f"--worker=all --command 'cd clip-mixer-tpu && python train.py {train_args}'"
+        f"gcloud compute tpus tpu-vm ssh {preset.name} {common} "
+        f"--worker=all --command {shlex.quote(remote_run)}"
     )
-    return "\n".join((create, setup, run))
+    return "\n".join((create, upload, setup, run))
 
 
 def rehearse_local(
@@ -123,11 +136,24 @@ def rehearse_local(
         )
         for i in range(n_processes)
     ]
-    outs = []
+    # Drain every worker's stdout CONCURRENTLY: reaping sequentially with
+    # piped stdout deadlocks once any later worker fills its 64KB pipe
+    # buffer mid-collective (it blocks writing, the first worker blocks in
+    # the rendezvous, communicate() times out). Kill the whole fleet if
+    # anything times out so no coordinated orphans hold the port.
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(n_processes) as ex:
+            futures = [ex.submit(lambda p=p: p.communicate(timeout=timeout)) for p in procs]
+            outs = [f.result()[0] for f in futures]
+    except Exception:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
     failed = None
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+    for p, out in zip(procs, outs):
         if p.returncode != 0 and failed is None:
             failed = (p.returncode, out)
     if failed is not None:

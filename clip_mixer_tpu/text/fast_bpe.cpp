@@ -21,6 +21,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -44,6 +45,7 @@ struct Bpe {
   std::vector<uint8_t> masks_copy;  // owns the three masks
   int32_t sot, eot;
   std::unordered_map<std::string, std::vector<int32_t>> cache;
+  std::mutex cache_mu;
 };
 
 inline bool test_mask(const uint8_t* mask, uint32_t cp) {
@@ -94,17 +96,28 @@ void merge_word(const Bpe& bpe, std::vector<int32_t>& sym) {
 
 void encode_token(Bpe& bpe, const unsigned char* tok, size_t len, std::vector<int32_t>& out) {
   std::string key(reinterpret_cast<const char*>(tok), len);
-  auto it = bpe.cache.find(key);
-  if (it != bpe.cache.end()) {
-    out.insert(out.end(), it->second.begin(), it->second.end());
-    return;
+  {
+    // ctypes releases the GIL around bpe_encode_batch and the Bpe handle is
+    // a process-wide singleton (text/fast.py), so concurrent callers (e.g.
+    // two DataSource prefetch threads) hit this cache in parallel —
+    // unordered_map mutation without a lock is UB. Guard both the lookup
+    // and the insert; the merge itself runs outside the lock.
+    std::lock_guard<std::mutex> g(bpe.cache_mu);
+    auto it = bpe.cache.find(key);
+    if (it != bpe.cache.end()) {
+      out.insert(out.end(), it->second.begin(), it->second.end());
+      return;
+    }
   }
   std::vector<int32_t> sym;
   sym.reserve(len);
   for (size_t i = 0; i < len; ++i)
     sym.push_back(i + 1 == len ? bpe.init_final[tok[i]] : bpe.init_nonfinal[tok[i]]);
   merge_word(bpe, sym);
-  bpe.cache.emplace(std::move(key), sym);
+  {
+    std::lock_guard<std::mutex> g(bpe.cache_mu);
+    bpe.cache.emplace(std::move(key), sym);
+  }
   out.insert(out.end(), sym.begin(), sym.end());
 }
 

@@ -46,8 +46,6 @@ class Checkpointer:
         contract); step_id = monotonically-increasing checkpoint id (defaults
         to the optimizer's global step so ids never collide across epochs)."""
         if step_id is None:
-            import jax
-
             step_id = int(jax.device_get(state.step))
         self._mgr.save(
             step_id,

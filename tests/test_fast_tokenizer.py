@@ -71,3 +71,23 @@ def test_large_random_corpus():
     np.testing.assert_array_equal(
         fast_tokenize(texts, truncate=True), tokenize(texts, truncate=True)
     )
+
+
+def test_concurrent_tokenize_thread_safe():
+    """ctypes releases the GIL around the C++ batch call and the Bpe handle
+    is a singleton — concurrent callers race the memo cache unless it's
+    locked. Hammer the same (cache-hitting) and fresh (cache-inserting)
+    words from many threads and check token parity with the serial result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    texts = [f"shared words cat dog plus unique{i} token{i * 7}" for i in range(64)]
+    expected = [np.asarray(fast_tokenize([t])) for t in texts]
+
+    def run(i):
+        return np.asarray(fast_tokenize([texts[i]]))
+
+    for _ in range(5):  # repeat: races are probabilistic
+        with ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(run, range(len(texts))))
+        for got, want in zip(outs, expected):
+            np.testing.assert_array_equal(got, want)

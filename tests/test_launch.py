@@ -14,15 +14,34 @@ from clip_mixer_tpu.launch import PRESETS, rehearse_local, render_commands
 def test_render_commands_structure():
     cmds = render_commands(PRESETS["mixer-b32-pod8"], project="my-proj", data_glob="gs://b/shards/*.tar")
     lines = cmds.splitlines()
-    assert len(lines) == 3
-    create, setup, run = lines
+    assert len(lines) == 4
+    create, upload, setup, run = lines
     assert "tpu-vm create clip-mixer-b32" in create
     assert "--accelerator-type v5litepod-8" in create
-    # every worker gets the same command; data glob is shell-quoted
+    # fresh VMs have no code: the checkout is scp'd to every worker first
+    assert "scp --recurse ." in upload and "--worker=all" in upload
     assert "--worker=all" in setup and "--worker=all" in run
     assert "python train.py --preset mixer-b32" in run
-    assert "'gs://b/shards/*.tar'" in run
     assert "--global-batch-size 32768" in run
+
+
+def test_render_commands_quoting_survives_both_shells():
+    """The run line passes through TWO shells (local -> gcloud --command ->
+    remote bash). shlex-split it as the local shell would and check the glob
+    arrives as ONE quoted argument of the remote command — nested quoting
+    once cancelled the outer quotes and let the worker shell expand the
+    glob."""
+    import shlex
+
+    cmds = render_commands(PRESETS["mixer-b32-pod8"], project="p", data_glob="gs://b/sh ards/*.tar")
+    run = cmds.splitlines()[-1]
+    argv = shlex.split(run)  # local shell view: must be ONE gcloud invocation
+    assert argv[0] == "gcloud"
+    remote = argv[argv.index("--command") + 1]
+    assert remote.startswith("cd clip-mixer-tpu")
+    # remote shell view: --data gets the glob verbatim, space and all
+    remote_argv = shlex.split(remote.split("&&", 1)[1])
+    assert remote_argv[remote_argv.index("--data") + 1] == "gs://b/sh ards/*.tar"
 
 
 def test_render_all_presets_distinct():
