@@ -173,7 +173,6 @@ def main():
         import optax
 
         from clip_mixer_tpu.ops.losses import info_nce
-        from clip_mixer_tpu.ops.preprocess import normalize_images
         from clip_mixer_tpu.train.optimizer import make_optimizer
 
         tcfg = TrainConfig()
@@ -185,10 +184,8 @@ def main():
         ttxt = jnp.asarray(
             np.concatenate([texts[:tb // 2], texts[:tb - tb // 2]])
         )
-        pre_t = make_batch_preprocess((256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16)
-
         def loss_fn(p, imgs_u8, toks):
-            img, txt, scale = clip_model.forward(p, rcfg, pre_t(imgs_u8), toks)
+            img, txt, scale = clip_model.forward(p, rcfg, pre(imgs_u8), toks)
             return info_nce(img, txt, scale)
 
         @jax.jit

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clip_mixer_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, resize_geometry, resize_weight_matrix
+from clip_mixer_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
 
 
 def _expanded_w_matrix(rw: np.ndarray, channels: int = 3) -> np.ndarray:
@@ -49,9 +49,11 @@ def _expanded_w_matrix(rw: np.ndarray, channels: int = 3) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _build_constants(h: int, w: int, n_px: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    oh, ow, top, left = resize_geometry(h, w, n_px)
-    rh = resize_weight_matrix(h, oh, top, n_px)  # [n_px, h]
-    rw = resize_weight_matrix(w, ow, left, n_px)  # [n_px, w]
+    # Same cached matrices as the XLA path (ops/preprocess._cached_matrices)
+    # — ONE source for the PIL-parity resize weights.
+    from clip_mixer_tpu.ops.preprocess import _cached_matrices
+
+    rh, rw = _cached_matrices(h, w, n_px)  # [n_px, h], [n_px, w]
     rwx = _expanded_w_matrix(rw)  # [w*3, n_px*3]
     mean = np.tile(np.asarray(CLIP_MEAN, np.float32) * 255.0, n_px)
     std_inv = 1.0 / np.tile(np.asarray(CLIP_STD, np.float32) * 255.0, n_px)

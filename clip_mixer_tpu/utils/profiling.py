@@ -2,27 +2,24 @@
 
 The reference has no tracing (SURVEY §5 — only tqdm throttling). Here:
 ``trace()`` wraps jax.profiler for TensorBoard-viewable device traces, and
-``StepTimer`` produces the imgs/sec-per-chip numbers the benchmark/BASELINE
-metric requires.
+``StepTimer`` is the imgs/sec-per-chip meter for perf scripts and ad-hoc
+runs. (bench.py itself measures with a loop-carried jitted chain instead —
+wall-clock tick meters lie on the remote-dispatch tunnel; see bench.py.)
 """
 
 from __future__ import annotations
 
-import contextlib
 import time
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 
 
-@contextlib.contextmanager
-def trace(log_dir: str) -> Iterator[None]:
-    """Capture a device trace viewable in TensorBoard's profile plugin."""
-    jax.profiler.start_trace(log_dir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+def trace(log_dir: str):
+    """Capture a device trace viewable in TensorBoard's profile plugin.
+    Thin alias of ``jax.profiler.trace`` (kept as the framework's single
+    documented entry point for tracing)."""
+    return jax.profiler.trace(log_dir)
 
 
 class StepTimer:
@@ -37,7 +34,8 @@ class StepTimer:
         self.warmup = warmup_steps
         self.n_chips = jax.device_count()
         self._count = 0
-        self._t0: Optional[float] = None
+        # warmup_steps=0: the construction time is the reference point
+        self._t0: float = time.perf_counter()
 
     def tick(self) -> Optional[dict]:
         self._count += 1

@@ -39,6 +39,9 @@ def main():
         v = VALIDATORS[name](params, cfg, writer=writer)
         result = v.validate(step=0, verbose=True)
         print(f"[{name}] {result}")
+    # tensorboardX buffers on a background thread; flush before exit or a
+    # short run loses its events (the Trainer flushes the same way).
+    writer.flush()
 
 
 if __name__ == "__main__":

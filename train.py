@@ -97,6 +97,12 @@ def main():
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
+    if args.global_batch_size % n_hosts != 0:
+        raise SystemExit(
+            f"--global-batch-size {args.global_batch_size} is not divisible by "
+            f"{n_hosts} hosts: the actual batch would silently differ from the "
+            "configured one (LR schedule / metrics keyed on it would be wrong)"
+        )
     per_host_batch = args.global_batch_size // n_hosts
     if args.synthetic or args.data is None:
         data = SyntheticSource(
