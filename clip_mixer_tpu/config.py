@@ -67,6 +67,15 @@ class CLIPConfig:
     pipeline_stages: int = 0
     pipeline_microbatches: int = 1
 
+    def __post_init__(self):
+        # "resnet" is NOT a tower value: RN configs use tower="transformer"
+        # (their text side) + tuple vision_layers (reference model.py:315-319).
+        if self.tower not in ("mixer", "transformer"):
+            raise ValueError(
+                f"tower must be 'mixer' or 'transformer' (got {self.tower!r}); "
+                "select the ResNet vision trunk with a tuple vision_layers"
+            )
+
     @property
     def use_transformer(self) -> bool:
         return self.tower == "transformer"

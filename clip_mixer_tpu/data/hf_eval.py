@@ -30,9 +30,17 @@ def _load(name: str, split: str):
         os.environ["HF_HUB_OFFLINE"] = "1"
         os.environ["HF_DATASETS_OFFLINE"] = "1"
         try:
-            from datasets import load_dataset
+            # The env vars are read at import time; if `datasets` is already
+            # imported elsewhere in the process they are a no-op — flip the
+            # live module config too so the retry/backoff path stays off.
+            import datasets as _datasets
 
-            return load_dataset(name, download_mode="reuse_cache_if_exists")[split]
+            _datasets.config.HF_DATASETS_OFFLINE = True
+            _datasets.config.HF_HUB_OFFLINE = True
+            # default download_mode (REUSE_DATASET_IF_EXISTS) loads the
+            # PREPARED arrow cache instantly; reuse_cache_if_exists would
+            # re-prepare from raw files on every call.
+            return _datasets.load_dataset(name)[split]
         except Exception as e:
             raise DatasetUnavailable(f"offline and {name} not cached: {e}") from e
     try:

@@ -32,7 +32,7 @@ def init(key: jax.Array, cfg: CLIPConfig) -> Dict:
         "visual": visual,
         "text": towers.init_text_encoder(kt, cfg),
         # ln(1/0.07), reference model.py:347; kept f32 always.
-        "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+        "logit_scale": jnp.asarray(cfg.logit_scale_init, jnp.float32),
     }
 
 

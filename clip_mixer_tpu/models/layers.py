@@ -39,16 +39,9 @@ def init_layer_norm(dim: int) -> Dict[str, jnp.ndarray]:
     return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
 
 
-def linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ W + b with W stored (in, out) — JAX convention; the torch
-    converter transposes (out, in) weights on import."""
-    w = params["kernel"].astype(x.dtype)
-    y = x @ w
-    if "bias" in params:
-        y = y + params["bias"].astype(x.dtype)
-    return y
-
-
+# Linear convention (documented once, here): kernels are stored (in, out) —
+# JAX convention; the torch converter transposes its (out, in) weights on
+# import. Call sites inline `x @ kernel + bias` directly.
 def init_linear_normal(key, d_in: int, d_out: int, std: float, bias: bool = True) -> Dict[str, jnp.ndarray]:
     """Normal(0, std) WEIGHTS with torch-default uniform biases — exactly the
     reference's text-tower init: initialize_parameters overwrites only the

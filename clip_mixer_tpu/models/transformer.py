@@ -46,27 +46,36 @@ def multi_head_attention(
 
 def attention_core(qkv: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Packed-QKV [B, T, 3W] -> concat of head outputs [B, T, W] (the
-    pre-out-projection activation). The ONE implementation of the
-    head-split / scaled-scores / f32-softmax chain — the int8 block and the
-    calibration passes (ops/quant.py) consume it too, so their statistics
-    come from exactly the forward being quantized."""
+    pre-out-projection activation). The int8 block and the calibration
+    passes (ops/quant.py) consume it too, so their statistics come from
+    exactly the forward being quantized."""
     B, T, W3 = qkv.shape
     W = W3 // 3
     head_dim = W // n_heads
-    dt = qkv.dtype
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):  # [B,T,W] -> [B,H,T,hd]
         return t.reshape(B, T, n_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q, k, v = heads(q), heads(k), heads(v)
+    out = attention_heads_core(heads(q), heads(k), heads(v), mask)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, W)
+
+
+def attention_heads_core(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """[B, H, T, hd] q/k/v -> [B, H, T, hd]. The ONE implementation of the
+    scaled-scores / f32-softmax chain — the replicated forward, the
+    head-sharded TP forward (parallel/tp.py) and the int8/calibration paths
+    all route through here so the numerics cannot drift between them."""
+    dt = q.dtype
+    head_dim = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (head_dim**-0.5)
     scores = scores.astype(jnp.float32)
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
     attn = jax.nn.softmax(scores, axis=-1).astype(dt)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-    return out.transpose(0, 2, 1, 3).reshape(B, T, W)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
 
 def attention_block(

@@ -48,6 +48,15 @@ def maybe_initialize_distributed(
     )
     if not multi_host_hint:
         return False
+    # A single-host TPU VM also sets TPU_WORKER_HOSTNAMES (one entry), and
+    # initialize() can raise there — benign. But when the env names MULTIPLE
+    # workers, a failed rendezvous must be FATAL: swallowing it would let
+    # every worker proceed as an independent single-host replica (silently
+    # wrong training) or hang later deep inside a collective.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    expect_multi = len([h for h in hostnames.split(",") if h.strip()]) > 1 or any(
+        os.environ.get(k) for k in ("MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
+    )
     try:
         jax.distributed.initialize()
         if verbose:
@@ -55,7 +64,12 @@ def maybe_initialize_distributed(
                 f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}"
             )
         return True
-    except Exception as e:  # single-host TPU VM sets the hint vars too
+    except Exception as e:
+        if expect_multi:
+            raise RuntimeError(
+                f"multi-host environment detected ({hostnames!r}) but "
+                f"jax.distributed.initialize() failed: {e}"
+            ) from e
         if verbose:
-            print(f"jax.distributed.initialize skipped: {e}")
+            print(f"jax.distributed.initialize skipped (single-host hint vars): {e}")
         return False

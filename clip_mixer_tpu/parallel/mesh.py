@@ -28,6 +28,11 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        # derived split must use EVERY device — silently stranding chips
+        # (8 devices, n_model=3 -> a 2x3 mesh idling 2 chips) is a paid-for
+        # hardware bug, not a convenience.
+        if len(devices) % n_model != 0:
+            raise ValueError(f"{len(devices)} devices not divisible by n_model={n_model}")
         n_data = len(devices) // n_model
     assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
     arr = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)

@@ -147,6 +147,8 @@ def tp_attention(attn_params: dict, y: jnp.ndarray, head_dim: int, mask, model_a
     in head-major packing: qkv_kernel [W, nh_local*3*hd], out_kernel
     [nh_local*hd, W] (a contiguous row-slice of the canonical out kernel);
     out_bias replicated, added after the psum."""
+    from clip_mixer_tpu.models.transformer import attention_heads_core
+
     B, T, W = y.shape
     dt = y.dtype
     local3 = attn_params["qkv_kernel"].shape[-1]
@@ -158,10 +160,7 @@ def tp_attention(attn_params: dict, y: jnp.ndarray, head_dim: int, mask, model_a
     q = qkv[..., 0, :].transpose(0, 2, 1, 3)  # [B, nh_local, T, hd]
     k = qkv[..., 1, :].transpose(0, 2, 1, 3)
     v = qkv[..., 2, :].transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (head_dim**-0.5)
-    if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
-    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(B, T, nh_local * head_dim)
+    out = attention_heads_core(q, k, v, mask)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, nh_local * head_dim)
     partial = out @ attn_params["out_kernel"].astype(dt)
     return g_psum(partial, model_axis) + attn_params["out_bias"].astype(dt)
