@@ -68,15 +68,11 @@ def mixer_vision_flops_per_image(cfg) -> float:
 
 
 def _slope_time(run, n1=5, n2=45):
-    """Per-iteration seconds as the slope between two chained loop lengths."""
-    float(run(2))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(n1))
-    dt1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(n2))
-    dt2 = time.perf_counter() - t0
-    return (dt2 - dt1) / (n2 - n1)
+    """Per-iteration seconds as the slope between two chained loop lengths
+    (the shared implementation — utils/profiling.slope_time)."""
+    from clip_mixer_tpu.utils.profiling import slope_time
+
+    return slope_time(run, n1, n2)
 
 
 def main():

@@ -22,6 +22,24 @@ def trace(log_dir: str):
     return jax.profiler.trace(log_dir)
 
 
+def slope_time(run, n1: int = 5, n2: int = 45) -> float:
+    """Per-iteration time of a loop-carried jitted chain, by slope.
+
+    ``run(n)`` must execute an n-iteration on-device chain (each iteration
+    consuming the previous result) and return a scalar to fetch. Timing the
+    DIFFERENCE between an n2- and an n1-chain cancels dispatch/tunnel
+    overhead — the only honest timing method on remote-dispatch devices
+    (CLAUDE.md; used by bench.py and the perf scripts)."""
+    float(run(2))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(n1))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(n2))
+    d2 = time.perf_counter() - t0
+    return (d2 - d1) / (n2 - n1)
+
+
 class StepTimer:
     """Rolling steps/sec + imgs/sec/chip meter.
 

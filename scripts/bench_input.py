@@ -33,28 +33,39 @@ def main():
     from clip_mixer_tpu.data.pipeline import TarShardSource, write_tar_shards
 
     n_images = int(os.environ.get("BENCH_INPUT_N", "512"))
-    rng = np.random.default_rng(0)
 
     def jpeg_samples():
+        # photo-like structured patterns (gradients/stripes/blobs — the
+        # quant gate's deterministic set), NOT max-entropy noise: noise
+        # JPEG-encodes to far larger files and overstates decode cost.
+        from clip_mixer_tpu.evals.quant_gate import synthetic_images
+
+        imgs = synthetic_images(n_images, 256, seed=0)
         for i in range(n_images):
-            # structured content so JPEG decode cost is realistic
-            base = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
-            yield base, f"a synthetic caption number {i} for throughput"
+            yield imgs[i], f"a synthetic caption number {i} for throughput"
 
     tmp = tempfile.mkdtemp(prefix="bench_input_")
-    paths = write_tar_shards(jpeg_samples(), tmp, samples_per_shard=n_images)
+    # quality 90 = the img2dataset output format (generateDataset.sh:18)
+    paths = write_tar_shards(jpeg_samples(), tmp, samples_per_shard=n_images, quality=90)
 
+    # at least 4 batches so one warm batch leaves >= 3 timed ones
+    batch_size = min(256, max(16, n_images // 4))
     results = {}
     for mode in ("thread", "process"):
         for workers in (1, 2, 4, 8):
             src = TarShardSource(
-                paths, batch_size=256, image_size=224, decode_workers=workers, decode_mode=mode
+                paths, batch_size=batch_size, image_size=224,
+                decode_workers=workers, decode_mode=mode,
             )
-            # warm (page cache, pool spin-up)
-            next(iter(src.iter_batches(0)))
+            # Time WITHIN one generator, from the second batch on: each
+            # iter_batches() call builds its own decode pool, so a separate
+            # warm iterator would still leave pool spin-up (spawn-mode
+            # workers re-import jax — seconds) inside the timed region.
+            it = src.iter_batches(0)
+            next(it)  # pool spin-up + page cache, untimed
             t0 = time.perf_counter()
             n = 0
-            for b in src.iter_batches(0):
+            for b in it:
                 n += b["images"].shape[0]
             dt = time.perf_counter() - t0
             results[f"{mode}_{workers}w"] = round(n / dt, 1)

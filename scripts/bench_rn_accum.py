@@ -23,14 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _slope_time(run, n1=5, n2=25):
-    float(run(2))
-    t0 = time.perf_counter()
-    float(run(n1))
-    dt1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(n2))
-    dt2 = time.perf_counter() - t0
-    return (dt2 - dt1) / (n2 - n1)
+    """Shared tunnel-safe slope timing (utils/profiling.slope_time); n2=25
+    keeps the heavier RN chains short."""
+    from clip_mixer_tpu.utils.profiling import slope_time
+
+    return slope_time(run, n1, n2)
 
 
 def bench_rn():
@@ -73,9 +70,16 @@ def bench_rn():
 
     int8_ips = batch / _slope_time(lambda n: chained_q(qparams, images, jnp.int32(n)))
 
-    # fidelity on-device
-    f_bf = np.asarray(clip_model.encode_image(params, cfg, pre(images[:64])), np.float32)
-    f_q = np.asarray(encode_image_rn_q(qparams, cfg, pre(images[:64])), np.float32)
+    # fidelity on-device (jitted: an eager RN forward is hundreds of
+    # individually-dispatched ops through the tunnel)
+    f_bf = np.asarray(
+        jax.jit(lambda p, im: clip_model.encode_image(p, cfg, pre(im)))(params, images[:64]),
+        np.float32,
+    )
+    f_q = np.asarray(
+        jax.jit(lambda p, im: encode_image_rn_q(p, cfg, pre(im)))(qparams, images[:64]),
+        np.float32,
+    )
     cos = (f_bf * f_q).sum(-1) / (np.linalg.norm(f_bf, axis=-1) * np.linalg.norm(f_q, axis=-1))
     print(json.dumps({
         "model": "rn50 encode_image (preprocess incl.)",

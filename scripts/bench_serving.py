@@ -6,10 +6,13 @@ swap — with pre-decoded uint8 arrays (JPEG decode is a host-sizing question,
 scripts/bench_input.py).
 
 Caveat on absolute latency: this machine reaches its TPU through the axon
-tunnel (~200ms per dispatch round-trip), so single-request latency here is
-tunnel-dominated and NOT representative of a co-located TPU; the numbers
-that transfer are the throughput ratios (bf16 vs int8, solo vs coalesced)
-and that the machinery sustains them.
+tunnel (~200ms per dispatch round-trip), and every engine call blocks on a
+round trip — so RAW per-call numbers are tunnel-dominated and their
+bf16/int8 ratios are compressed toward 1. The numbers that transfer are the
+``*_rtt_corrected`` throughputs: per-call overhead is estimated from the
+smallest bucket (device time there is <1ms, so its latency ≈ RTT) and
+subtracted before computing imgs/sec — the differential method bench.py's
+loop-carried chains implement on-device.
 
 Usage: python scripts/bench_serving.py   (one JSON line)
 """
@@ -49,17 +52,32 @@ def main():
     for mode in ("bf16", "int8"):
         if mode == "int8":
             engine.enable_int8(imgs, sample_texts=["a photo of a cat", "a dog"])
-        # warm all buckets
+        # warm all buckets + the micro-batcher thread (its spin-up must not
+        # land inside the first mode's timed coalesced loop)
         for b in (8, 32, 128):
             engine.encode_image_arrays(imgs[:b])
+        engine.encode_image_arrays(imgs[:1], coalesce=True)
+
+        reps = 8
+        # per-call overhead estimate: bucket-8 device time is <1ms, so its
+        # per-call latency is ~the tunnel RTT
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            engine.encode_image_arrays(imgs[:8])
+        rtt = (time.perf_counter() - t0) / reps
 
         # batch throughput (bucket 128), amortised over several calls
         t0 = time.perf_counter()
-        reps = 8
         for _ in range(reps):
             engine.encode_image_arrays(imgs)
         dt = time.perf_counter() - t0
+        per_call = dt / reps
         out[f"{mode}_batch128_imgs_per_sec"] = round(reps * 128 / dt, 1)
+        out[f"{mode}_call_overhead_ms"] = round(rtt * 1e3, 1)
+        if per_call > rtt:
+            out[f"{mode}_batch128_imgs_per_sec_rtt_corrected"] = round(
+                128 / (per_call - rtt), 1
+            )
 
         # coalesced single-image requests: 16 threads x 8 requests
         lat = []
@@ -87,7 +105,11 @@ def main():
             engine.encode_text(prompts)
         out[f"{mode}_text64_texts_per_sec"] = round(reps * 64 / (time.perf_counter() - t0), 1)
 
-    out["note"] = "latency is axon-tunnel-dominated (~200ms/dispatch); ratios transfer"
+    out["note"] = (
+        "raw per-call numbers include the axon tunnel RTT (every engine call "
+        "blocks on a round trip); use the *_rtt_corrected throughputs for "
+        "device-side comparisons"
+    )
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 

@@ -21,6 +21,12 @@ def main():
     p.add_argument("--samples-per-shard", type=int, default=10000)
     p.add_argument("--processes", type=int, default=32)
     p.add_argument("--threads", type=int, default=256)
+    # LAION-COCO column names, as the reference passes them
+    # (generateDataset.sh: --url_col "URL" --caption_col "top_caption").
+    # Without an explicit caption_col img2dataset writes NO .txt entries and
+    # TarShardSource would yield zero samples.
+    p.add_argument("--url-col", default="URL")
+    p.add_argument("--caption-col", default="top_caption")
     args = p.parse_args()
 
     try:
@@ -37,6 +43,8 @@ def main():
         output_folder=args.out,
         output_format="webdataset",
         input_format=args.url_list.rsplit(".", 1)[-1],
+        url_col=args.url_col,
+        caption_col=args.caption_col,
         image_size=args.image_size,
         number_sample_per_shard=args.samples_per_shard,
         processes_count=args.processes,

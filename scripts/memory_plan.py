@@ -19,7 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--preset", default="mixer-b32")
+    from clip_mixer_tpu.config import PRESETS as _P
+
+    p.add_argument("--preset", default="mixer-b32", choices=sorted(_P))
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--batch", type=int, default=1024, help="per-chip batch")
     p.add_argument("--accum", type=int, default=1)

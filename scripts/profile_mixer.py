@@ -30,14 +30,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 
 def slope_time(run, n1=5, n2=45):
-    float(run(2))
-    t0 = time.perf_counter()
-    float(run(n1))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(n2))
-    d2 = time.perf_counter() - t0
-    return (d2 - d1) / (n2 - n1)
+    """Shared tunnel-safe slope timing (utils/profiling.slope_time)."""
+    from clip_mixer_tpu.utils.profiling import slope_time as _st
+
+    return _st(run, n1, n2)
 
 
 def main():
@@ -80,6 +76,16 @@ def main():
         x, _ = jax.lax.scan(step, x, v["tower"]["blocks"])
         x = layer_norm(v["ln_post"], x[:, 0, :])
         return x @ v["proj"].astype(dt)
+
+    # Pin the hand-mirrored encoder to the real one BEFORE attributing time:
+    # a tower change would otherwise silently profile a different model.
+    from clip_mixer_tpu.models import clip as clip_model
+
+    ref = jax.jit(lambda p, im: clip_model.encode_image(p, cfg, pre(im)))(params, images[:8])
+    got = jax.jit(lambda p, im: encode_ablated(p, im, "none"))(params, images[:8])
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )
 
     results = {}
     for name in ("none", "token", "channel"):

@@ -74,12 +74,14 @@ def main():
         context_length=cfg.context_length,
     )
     correct = total = 0
-    for b_idx, batch in enumerate(eval_data.iter_batches(epoch=999)):
-        rng = np.random.default_rng((eval_data.seed, 999, b_idx))
-        labels = rng.integers(0, eval_data.n_classes, 256)
+    for batch in eval_data.iter_batches(epoch=999):
+        # ground truth from PUBLIC data: each sample's caption tokens match
+        # exactly one class caption (re-deriving the source's private RNG
+        # draws would silently break if its protocol ever changed)
+        labels = (batch["texts"][:, None] == eval_data.tokens[None]).all(-1).argmax(-1)
         logits = np.asarray(classify(batch["images"]))
         correct += int((logits.argmax(-1) == labels).sum())
-        total += 256
+        total += labels.shape[0]
     acc = correct / total
 
     print(
