@@ -106,9 +106,12 @@ def main():
         out[f"{mode}_text64_texts_per_sec"] = round(reps * 64 / (time.perf_counter() - t0), 1)
 
     out["note"] = (
-        "raw per-call numbers include the axon tunnel RTT (every engine call "
-        "blocks on a round trip); use the *_rtt_corrected throughputs for "
-        "device-side comparisons"
+        "every engine call ships its uint8 inputs (~19MB at batch 128) "
+        "through the axon tunnel, so even *_rtt_corrected numbers remain "
+        "TRANSFER-bound on this machine (measured: the bucket-8 overhead "
+        "estimate itself swings 2x run to run). This script validates the "
+        "serving MACHINERY under concurrency; device-side encoder throughput "
+        "is bench.py's loop-carried measurement (33-35k imgs/s int8)."
     )
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
