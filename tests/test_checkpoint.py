@@ -103,3 +103,6 @@ def test_max_to_keep(tmp_path):
         ck.save(state, epoch=0, step=s, step_id=s)
     ck.wait()
     assert ck.latest_step() == 3
+    # retention actually pruned: exactly the newest two step dirs remain
+    kept = sorted(int(p.name) for p in (tmp_path / "k").iterdir() if p.name.isdigit())
+    assert kept == [2, 3]

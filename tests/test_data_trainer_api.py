@@ -122,7 +122,9 @@ def test_trainer_end_to_end_with_resume(tmp_path):
     tr2 = Trainer(CFG, tcfg, data, run, mesh=mesh)
     assert tr2.start_epoch == 2  # training complete
     final_b = jax.tree.map(np.asarray, jax.device_get(tr2.state.params))
-    for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_b)):
+    la, lb = jax.tree.leaves(final_a), jax.tree.leaves(final_b)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
         np.testing.assert_array_equal(a, b)
 
 
@@ -139,7 +141,9 @@ def test_api_presets_and_save_load(tmp_path):
     cm.save_pretrained(tiny_params, CFG, path)
     p2, cfg2 = cm.load_pretrained(path)
     assert cfg2 == CFG
-    for a, b in zip(jax.tree.leaves(tiny_params), jax.tree.leaves(p2)):
+    la, lb = jax.tree.leaves(tiny_params), jax.tree.leaves(p2)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # load() dispatches to the native dir too
@@ -265,10 +269,6 @@ def test_validation_cadence_decoupled(tmp_path):
 
 def test_tar_source_process_decode_matches_thread(tmp_path):
     """decode_mode='process' yields identical batches to the thread pool."""
-    import io as _io
-
-    from PIL import Image
-
     rng = np.random.default_rng(7)
     samples = []
     for i in range(12):

@@ -42,7 +42,9 @@ def test_roundtrip_exact(tower):
     sd = params_to_state_dict(params, cfg)
     params2, cfg2 = state_dict_to_params(sd)
     assert cfg2.replace(compute_dtype=cfg.compute_dtype) == cfg
-    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+    la, lb = jax.tree.leaves(params), jax.tree.leaves(params2)
+    assert len(la) == len(lb)  # zip would hide a silently-dropped leaf
+    for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
 
 
@@ -55,7 +57,7 @@ def test_export_loads_into_reference_model():
     sd = {k: torch.as_tensor(v) for k, v in params_to_state_dict(params, cfg).items()}
 
     tm = TorchCLIP(32, 32, 2, 64, 16, 13, 256, 64, 1, 2, useTransformer=False).float()
-    missing, unexpected = tm.load_state_dict(sd, strict=True), None
+    tm.load_state_dict(sd, strict=True)  # strict raises on missing/unexpected keys
     tm = tm.eval()
 
     rng = np.random.default_rng(0)

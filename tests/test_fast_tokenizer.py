@@ -80,13 +80,20 @@ def test_concurrent_tokenize_thread_safe():
     words from many threads and check token parity with the serial result."""
     from concurrent.futures import ThreadPoolExecutor
 
-    texts = [f"shared words cat dog plus unique{i} token{i * 7}" for i in range(64)]
-    expected = [np.asarray(fast_tokenize([t])) for t in texts]
+    # Fresh words EVERY round (the C++ memo cache is a process singleton —
+    # reusing words across rounds would make later rounds pure cache hits
+    # and never exercise concurrent INSERTION); the expected tokens come
+    # from the Python tokenizer so nothing pre-populates the C++ cache.
+    for rep in range(5):  # repeat: races are probabilistic
+        texts = [
+            f"shared words cat dog plus unique{rep}x{i} token{rep * 100 + i * 7}"
+            for i in range(64)
+        ]
+        expected = [np.asarray(tokenize([t])) for t in texts]
 
-    def run(i):
-        return np.asarray(fast_tokenize([texts[i]]))
+        def run(i, _texts=texts):
+            return np.asarray(fast_tokenize([_texts[i]]))
 
-    for _ in range(5):  # repeat: races are probabilistic
         with ThreadPoolExecutor(8) as ex:
             outs = list(ex.map(run, range(len(texts))))
         for got, want in zip(outs, expected):

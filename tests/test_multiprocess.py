@@ -127,11 +127,19 @@ def test_two_process_distributed_train_step(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
-        outs.append(json.loads(line[len("RESULT "):]))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+            outs.append(json.loads(line[len("RESULT "):]))
+    finally:
+        # one worker dying leaves its sibling blocked in the rendezvous —
+        # kill both so no orphan holds the coordinator port for the rest of
+        # the suite
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     r0 = next(o for o in outs if o["pid"] == 0)
     r1 = next(o for o in outs if o["pid"] == 1)

@@ -92,4 +92,6 @@ def test_noise_floor_gate_small(tower):
     assert gate["n"] == 32
     assert 0.0 <= gate["flip_int8_vs_f32"] <= 1.0
     assert gate["min_cosine_int8_vs_f32"] > 0.99
-    assert isinstance(gate["passed"], bool)
+    # the verdict bench.py acts on must be consistent with the stats
+    assert gate["passed"] == (gate["flip_ratio"] <= gate["max_flip_ratio"])
+    assert gate["passed"], gate  # tiny random-init model: int8 must clear the floor

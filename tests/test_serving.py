@@ -4,6 +4,7 @@ import base64
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -103,8 +104,10 @@ def test_bad_request(server_port):
 def test_batching_pads_to_buckets(server_port):
     # 5 texts with buckets (4, 8): one bucket-8 run; results must match
     # a 2-text call exactly (padding must not leak into outputs).
-    code, out5 = _post(server_port, "/encode_text", {"texts": ["a", "b", "c", "d", "e"]})
-    code, out2 = _post(server_port, "/encode_text", {"texts": ["a", "b"]})
+    code5, out5 = _post(server_port, "/encode_text", {"texts": ["a", "b", "c", "d", "e"]})
+    assert code5 == 200, out5
+    code2, out2 = _post(server_port, "/encode_text", {"texts": ["a", "b"]})
+    assert code2 == 200, out2
     np.testing.assert_allclose(
         np.asarray(out5["features"])[:2], np.asarray(out2["features"]), atol=1e-5
     )
