@@ -46,6 +46,16 @@ class CLIPConfig:
     # rematerialise tower blocks during training (reference exposes
     # checkpoint_sequential but never enables it, model.py:226-249).
     remat: bool = False
+    # What the block remat SAVES instead of recomputing (ignored when
+    # remat=False). "none" = full remat (lowest memory, backward re-runs the
+    # whole block forward); "mlp_hidden" = save the channel-MLP / MLP hidden
+    # pre-activations ([B, T, 4W] per block) — the backward then never
+    # re-runs the FLOPs-dominant hidden matmuls, only LN/elementwise;
+    # "all_hidden" additionally saves the token-mix hidden ([B, 4T, W] per
+    # block), eliminating matmul recompute entirely for mixer towers.
+    # Memory cost at Mixer-B/32, batch 1024/chip: ~3.9 GB per tower per
+    # saved set — choose by capacity (utils/memory.py accounts for it).
+    remat_policy: str = "none"
     # Use the fused Pallas LN+channel-MLP kernel (ops/pallas/mlp_kernel) in
     # mixer blocks. Off by default: measured on v5e, XLA's own fusion runs
     # the chain at ~180 TF/s and the kernel is parity, not a win, at B/32
@@ -74,6 +84,11 @@ class CLIPConfig:
             raise ValueError(
                 f"tower must be 'mixer' or 'transformer' (got {self.tower!r}); "
                 "select the ResNet vision trunk with a tuple vision_layers"
+            )
+        if self.remat_policy not in ("none", "mlp_hidden", "all_hidden"):
+            raise ValueError(
+                f"remat_policy must be 'none', 'mlp_hidden' or 'all_hidden' "
+                f"(got {self.remat_policy!r})"
             )
 
     @property
@@ -179,8 +194,10 @@ class TrainConfig:
     # reduce-scatters gradients. Trains with the EXACT globally-coupled
     # InfoNCE gradient (grad_through_gather is implied). For models too big
     # to replicate per chip (vit-l14 and up); the 111M flagship doesn't need
-    # it. Composes with accum_steps; mutually exclusive with tensor
-    # parallelism (model axis must be 1).
+    # it. Composes with accum_steps, and with tensor parallelism: on a mesh
+    # with a >1 "model" axis the state is stored sharded over the FULL
+    # (data x model) grid (parallel/fsdp.py merged specs). Mutually
+    # exclusive with pipeline parallelism.
     fsdp: bool = False
     # Microbatches per step for pipeline parallelism (used when the Trainer's
     # mesh has a >1 "stage" axis — parallel/pp.py). Bubble fraction is

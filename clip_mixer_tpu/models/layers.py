@@ -75,3 +75,22 @@ def init_linear_torch_default(key, d_in: int, d_out: int, bias: bool = True) -> 
 def stack_layers(layer_params_list):
     """Stack per-layer pytrees along a new leading axis for lax.scan towers."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params_list)
+
+
+def remat_policy_fn(name: str):
+    """jax.checkpoint policy for CLIPConfig.remat_policy.
+
+    The block bodies tag their hidden pre-activations with
+    ``jax.ad_checkpoint.checkpoint_name`` ("mlp_hidden" for the channel-MLP /
+    transformer-MLP hidden, "token_hidden" for the mixer token-mix hidden);
+    saving those lets the backward pass skip re-running the FLOPs-dominant
+    forward matmuls — only LN and elementwise ops are recomputed — at
+    [B, T, 4W] (resp. [B, 4T, W]) bf16 memory per block. "none" is classic
+    full remat (save only block boundaries)."""
+    if name in (None, "none"):
+        return None
+    names = {
+        "mlp_hidden": ("mlp_hidden",),
+        "all_hidden": ("mlp_hidden", "token_hidden"),
+    }[name]
+    return jax.checkpoint_policies.save_only_these_names(*names)

@@ -24,6 +24,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from clip_mixer_tpu.models.layers import (
     init_layer_norm,
@@ -31,6 +32,7 @@ from clip_mixer_tpu.models.layers import (
     init_linear_torch_default,
     layer_norm,
     quick_gelu,
+    remat_policy_fn,
     stack_layers,
 )
 
@@ -44,6 +46,8 @@ def token_mix(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     tm = params["token_mix"]
     h = jnp.einsum("btw,tu->buw", y, tm["w_in"].astype(dt))
     h = h + tm["b_in"].astype(dt)[:, None]
+    # Saveable under remat_policy="all_hidden" (models/layers.remat_policy_fn)
+    h = checkpoint_name(h, "token_hidden")
     h = quick_gelu(h)
     h = jnp.einsum("buw,ut->btw", h, tm["w_out"].astype(dt))
     return h + tm["b_out"].astype(dt)[:, None]
@@ -70,6 +74,9 @@ def mixer_block(params: Dict, x: jnp.ndarray, model_axis=None, fused_mlp: bool =
         return x + sharded_mlp(params["channel_mix"], y, quick_gelu, model_axis)
     cm = params["channel_mix"]
     h = y @ cm["w_in"].astype(dt) + cm["b_in"].astype(dt)
+    # Saveable under remat_policy="mlp_hidden": with the pre-activation kept,
+    # the backward needs no forward matmul re-run (gelu/LN recompute only).
+    h = checkpoint_name(h, "mlp_hidden")
     h = quick_gelu(h)
     h = h @ cm["w_out"].astype(dt) + cm["b_out"].astype(dt)
     return x + h
@@ -127,6 +134,7 @@ def mixer_tower(
     model_axis=None,
     fused_mlp: bool = False,
     pipeline=None,
+    remat_policy: str = "none",
 ) -> jnp.ndarray:
     """Scan the stacked blocks. x: [B, T, W].
 
@@ -145,10 +153,11 @@ def mixer_tower(
             n_micro,
             axis_name=axis_name,
             remat=remat,
+            remat_policy=remat_policy,
         )
     body = mixer_block
     if remat:
-        body = jax.checkpoint(body, static_argnums=(2, 3))
+        body = jax.checkpoint(body, static_argnums=(2, 3), policy=remat_policy_fn(remat_policy))
 
     def step(h, layer_params):
         return body(layer_params, h, model_axis, fused_mlp), None

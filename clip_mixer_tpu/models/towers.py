@@ -99,12 +99,12 @@ def vision_encoder(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     if cfg.use_transformer:
         x = transformer_tower(
             params["tower"], x, cfg.vision_heads, mask=None, remat=cfg.remat,
-            model_axis=cfg.model_axis, pipeline=pipeline,
+            model_axis=cfg.model_axis, pipeline=pipeline, remat_policy=cfg.remat_policy,
         )
     else:
         x = mixer_tower(
             params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis,
-            fused_mlp=cfg.fused_mlp, pipeline=pipeline,
+            fused_mlp=cfg.fused_mlp, pipeline=pipeline, remat_policy=cfg.remat_policy,
         )
 
     x = layer_norm(params["ln_post"], x[:, 0, :])  # CLS token only (model.py:285)
@@ -149,11 +149,12 @@ def text_encoder(params: Dict, cfg: CLIPConfig, text: jnp.ndarray) -> jnp.ndarra
             remat=cfg.remat,
             model_axis=cfg.model_axis,
             pipeline=pipeline,
+            remat_policy=cfg.remat_policy,
         )
     else:
         x = mixer_tower(
             params["tower"], x, remat=cfg.remat, model_axis=cfg.model_axis,
-            fused_mlp=cfg.fused_mlp, pipeline=pipeline,
+            fused_mlp=cfg.fused_mlp, pipeline=pipeline, remat_policy=cfg.remat_policy,
         )
     x = layer_norm(params["ln_final"], x).astype(dt)
     # EOT pooling: feature at argmax token id (eot=49407 is the max id).

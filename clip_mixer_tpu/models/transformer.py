@@ -20,6 +20,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from clip_mixer_tpu.models.layers import (
     init_layer_norm,
@@ -27,6 +28,7 @@ from clip_mixer_tpu.models.layers import (
     init_linear_torch_default,
     layer_norm,
     quick_gelu,
+    remat_policy_fn,
     stack_layers,
 )
 
@@ -98,6 +100,8 @@ def attention_block(
     mlp = params["mlp"]
     dt = x.dtype
     h = y @ mlp["w_in"].astype(dt) + mlp["b_in"].astype(dt)
+    # Saveable under remat_policy="mlp_hidden" (models/layers.remat_policy_fn)
+    h = checkpoint_name(h, "mlp_hidden")
     h = quick_gelu(h)
     h = h @ mlp["w_out"].astype(dt) + mlp["b_out"].astype(dt)
     return x + h
@@ -161,6 +165,7 @@ def transformer_tower(
     remat: bool = False,
     model_axis=None,
     pipeline=None,
+    remat_policy: str = "none",
 ) -> jnp.ndarray:
     if pipeline is not None:
         from clip_mixer_tpu.parallel.pp import pipeline_tower
@@ -174,10 +179,11 @@ def transformer_tower(
             n_micro,
             axis_name=axis_name,
             remat=remat,
+            remat_policy=remat_policy,
         )
     body = attention_block
     if remat:
-        body = jax.checkpoint(body, static_argnums=(2, 4))
+        body = jax.checkpoint(body, static_argnums=(2, 4), policy=remat_policy_fn(remat_policy))
 
     def step(h, layer_params):
         return body(layer_params, h, n_heads, mask, model_axis), None

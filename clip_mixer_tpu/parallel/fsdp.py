@@ -28,6 +28,13 @@ Sharding rule: for each leaf, shard the LAST dimension divisible by the
 axis size (skipping small leaves). Scanning from the last dim keeps the
 stacked-layer axis [L, ...] unsharded, so ``lax.scan`` over blocks never
 slices across devices; hidden/width dims (3072/768/512) are the ones split.
+
+On a mesh with a >1 "model" axis, FSDP COMPOSES with tensor parallelism:
+each leaf's TP dimension (the parallel/tp.py rules — MLP hidden dims,
+attention head-packed dims) is sharded over the model axis and a second,
+different dimension over the data axis, so storage shrinks by the full
+device-grid factor while the SPMD partitioner derives megatron-style
+compute sharding for the MLPs from the same annotations.
 """
 
 from __future__ import annotations
@@ -43,7 +50,7 @@ from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.ops.losses import info_nce
 from clip_mixer_tpu.ops.preprocess import normalize_images
-from clip_mixer_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from clip_mixer_tpu.parallel.train_step import TrainState, two_pass_accum_grads
 
 # Leaves smaller than this stay replicated: sharding a [12, 64] bias saves
@@ -54,29 +61,64 @@ _MIN_SHARD_ELEMS = 4096
 def fsdp_spec(shape: Tuple[int, ...], n_shard: int, min_elems: int = _MIN_SHARD_ELEMS) -> P:
     """PartitionSpec sharding the last dim divisible by ``n_shard`` over the
     data axis; replicated if none divides or the leaf is small."""
+    return _merged_spec(shape, (), n_shard, 1, min_elems)
+
+
+def _merged_spec(
+    shape: Tuple[int, ...],
+    path_keys,
+    n_data: int,
+    n_model: int,
+    min_elems: int = _MIN_SHARD_ELEMS,
+) -> P:
+    """FSDP x TP storage spec for one leaf: the tensor-parallel dimension
+    (parallel/tp.py rules, keyed on the leaf's path) goes to the model axis,
+    then the LAST remaining dim divisible by ``n_data`` goes to the data axis
+    — so a channel-MLP ``w_in [L, W, H]`` on a (data=4, model=2) mesh is
+    stored as [L, W/4, H/2] per device, an 8-way ZeRO-3 saving. When a model
+    dim was assigned, the data scan skips the leading stacked-layer axis of
+    ndim>=2 leaves (slicing the scan axis across devices would turn every
+    scan iteration into a collective)."""
+    ndim = len(shape)
+    spec = [None] * ndim
+    if n_model > 1 and ndim > 0:
+        from clip_mixer_tpu.parallel.tp import tp_leaf_dim
+
+        dim = tp_leaf_dim(list(path_keys))
+        if dim is not None:
+            dim %= ndim
+            if shape[dim] >= n_model and shape[dim] % n_model == 0:
+                spec[dim] = MODEL_AXIS
     size = 1
     for d in shape:
         size *= d
-    if n_shard <= 1 or size < min_elems:
+    if n_data > 1 and size >= min_elems:
+        lowest = 1 if (MODEL_AXIS in spec and ndim >= 2) else 0
+        for ax in range(ndim - 1, lowest - 1, -1):
+            if spec[ax] is None and shape[ax] >= n_data and shape[ax] % n_data == 0:
+                spec[ax] = DATA_AXIS
+                break
+    if all(s is None for s in spec):
         return P()
-    for ax in range(len(shape) - 1, -1, -1):
-        if shape[ax] >= n_shard and shape[ax] % n_shard == 0:
-            spec = [None] * len(shape)
-            spec[ax] = DATA_AXIS
-            return P(*spec)
-    return P()
+    return P(*spec)
 
 
 def fsdp_state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
     """TrainState-shaped tree of NamedShardings: params and every optimizer
-    leaf sharded by :func:`fsdp_spec` (Adam mu/nu share the param shapes, so
-    they land on matching shards); scalars/counters replicated."""
-    n = mesh.shape[DATA_AXIS]
+    leaf sharded by :func:`_merged_spec` (Adam mu/nu mirror the param dict
+    keys and shapes, so they land on matching shards); scalars/counters
+    replicated. On a mesh with a >1 "model" axis this composes FSDP with
+    tensor parallelism: storage is sharded over the full device grid and the
+    GSPMD partitioner derives the megatron-style compute sharding from the
+    same annotations."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
 
-    def sh(leaf):
-        return NamedSharding(mesh, fsdp_spec(jnp.shape(leaf), n))
+    def sh(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        return NamedSharding(mesh, _merged_spec(jnp.shape(leaf), keys, n_data, n_model))
 
-    return jax.tree.map(sh, state)
+    return jax.tree_util.tree_map_with_path(sh, state)
 
 
 def shard_state(mesh: Mesh, state: TrainState) -> TrainState:

@@ -72,6 +72,7 @@ def pipeline_tower(
     n_micro: int,
     axis_name: str = STAGE_AXIS,
     remat: bool = False,
+    remat_policy: str = "none",
 ) -> jnp.ndarray:
     """Run the full block stack over the pipeline. Called INSIDE shard_map.
 
@@ -90,7 +91,9 @@ def pipeline_tower(
 
     body = block_fn
     if remat:
-        body = jax.checkpoint(block_fn)
+        from clip_mixer_tpu.models.layers import remat_policy_fn
+
+        body = jax.checkpoint(block_fn, policy=remat_policy_fn(remat_policy))
 
     def stage_fn(h):
         def step(c, layer_params):

@@ -61,31 +61,45 @@ def sharded_mlp(mlp_params, y: jnp.ndarray, activation, model_axis: str) -> jnp.
     return g_psum(partial, model_axis) + mlp_params["b_out"].astype(dt)
 
 
+def tp_leaf_dim(keys) -> "int | None":
+    """The dimension (negative index) a leaf shards over the model axis, or
+    None if it stays replicated. ``keys`` is the leaf's path-key list (dict
+    keys; non-dict path entries may be None). Negative indices make the rule
+    layout-agnostic: hidden dims are last for the *_in leaves and second-to-
+    last for the w_out/out_kernel contractions, with or without the stacked
+    [L, ...] layer axis in front."""
+    if not keys:
+        return None
+    name = keys[-1]
+    if "channel_mix" in keys or "mlp" in keys:
+        if name in ("w_in", "b_in"):  # [L, W, H] / [L, H]
+            return -1
+        if name == "w_out":  # [L, H, W]
+            return -2
+    if "attn" in keys:
+        # head-major packed QKV (reorder_attn_head_major) shards heads
+        # contiguously; the out-proj input dim is head-major natively.
+        if name in ("qkv_kernel", "qkv_bias"):  # [L, W, 3W] / [L, 3W]
+            return -1
+        if name == "out_kernel":  # [L, W, W]
+            return -2
+    return None
+
+
 def tp_param_specs(params) -> dict:
     """PartitionSpec tree: hidden dims of channel_mix / mlp sharded over the
-    model axis, everything else replicated. Matches the stacked-block layout
-    ([L, ...] leading layer axis)."""
+    model axis, attention head-sharded, everything else replicated. Matches
+    the stacked-block layout ([L, ...] leading layer axis)."""
 
     def spec_for(path, leaf):
         keys = [getattr(p, "key", None) for p in path]
-        name = keys[-1]
-        if "channel_mix" in keys or "mlp" in keys:
-            if name in ("w_in",):  # [L, W, H]
-                return P(None, None, MODEL_AXIS)
-            if name in ("b_in",):  # [L, H]
-                return P(None, MODEL_AXIS)
-            if name in ("w_out",):  # [L, H, W]
-                return P(None, MODEL_AXIS, None)
-        if "attn" in keys:
-            # head-major packed QKV (reorder_attn_head_major) shards heads
-            # contiguously; the out-proj input dim is head-major natively.
-            if name in ("qkv_kernel",):  # [L, W, 3W]
-                return P(None, None, MODEL_AXIS)
-            if name in ("qkv_bias",):  # [L, 3W]
-                return P(None, MODEL_AXIS)
-            if name in ("out_kernel",):  # [L, W, W]
-                return P(None, MODEL_AXIS, None)
-        return P()
+        dim = tp_leaf_dim(keys)
+        if dim is None:
+            return P()
+        ndim = jnp.ndim(leaf)
+        spec = [None] * ndim
+        spec[dim % ndim] = MODEL_AXIS
+        return P(*spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 

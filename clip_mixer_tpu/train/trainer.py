@@ -98,12 +98,6 @@ class Trainer:
             if getattr(v, "writer", None) is None:
                 v.writer = self.writer
 
-        if tcfg.fsdp and not self._use_pp:
-            from clip_mixer_tpu.parallel.mesh import MODEL_AXIS
-
-            if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
-                raise ValueError("fsdp does not compose with tensor parallelism (model axis > 1)")
-
         def build_state():
             p = clip_model.init(jax.random.key(tcfg.seed), cfg) if params is None else params
             return init_train_state(p, self.optimizer)

@@ -56,12 +56,22 @@ def _full_bytes(shapes) -> int:
     return sum(_leaf_bytes(l.shape, l.dtype) for l in jax.tree.leaves(shapes))
 
 
-def _fsdp_bytes(shapes, n: int) -> int:
+def _fsdp_bytes(shapes, n_data: int, n_model: int = 1) -> int:
     # Consumes the REAL rule (parallel/fsdp.py) so the planner tracks it.
-    from clip_mixer_tpu.parallel.fsdp import fsdp_spec
+    # n_model > 1 = the FSDP x TP composition: each leaf divided by the
+    # product of the axes its merged spec actually shards over.
+    from clip_mixer_tpu.parallel.fsdp import _merged_spec
+    from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    specs = jax.tree.map(lambda l: fsdp_spec(l.shape, n), shapes)
-    return _bytes_under_specs(shapes, specs, n)
+    def leaf_bytes(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        spec = _merged_spec(leaf.shape, keys, n_data, n_model)
+        div = 1
+        for s in spec:
+            div *= n_data if s == DATA_AXIS else n_model if s == MODEL_AXIS else 1
+        return _leaf_bytes(leaf.shape, leaf.dtype) // div
+
+    return sum(jax.tree.leaves(jax.tree_util.tree_map_with_path(leaf_bytes, shapes)))
 
 
 def _pp_bytes(shapes, n_stages: int) -> int:
@@ -110,6 +120,16 @@ def _activation_bytes(
     t_tokens, t_width, t_layers = cfg.context_length, cfg.text_width, cfg.text_layers
     vis = bsz * v_tokens * v_width * v_layers * bf16
     txt = bsz * t_tokens * t_width * t_layers * bf16
+    # remat_policy keeps hidden pre-activations live on top of the block
+    # inputs: "mlp_hidden" = [B, T, 4W] per block; "all_hidden" additionally
+    # the mixer token-mix hidden [B, 4T, W] (same byte count).
+    # (this estimate assumes remat ON — the training default — so the policy
+    # field alone selects the saved sets)
+    saved_sets = {"none": 0, "mlp_hidden": 1, "all_hidden": 2 if cfg.tower == "mixer" else 1}[
+        cfg.remat_policy
+    ]
+    vis += saved_sets * 4 * vis
+    txt += saved_sets * 4 * txt
     if n_stages > 1:
         # per-stage blocks, but n_micro microbatches' block inputs stay live
         vis = vis // n_stages
@@ -123,16 +143,21 @@ def plan(
     n_devices: int,
     per_chip_batch: int,
     accum_steps: int = 1,
+    n_model: int = 1,
 ) -> MemoryPlan:
     """Per-chip memory plan. mode: dp | fsdp | tp | pp (tp/pp divisor = the
-    model/stage axis size = n_devices for a pure mesh)."""
+    model/stage axis size = n_devices for a pure mesh). ``n_model > 1`` with
+    mode="fsdp" plans the FSDP x TP composition on a
+    (n_devices/n_model) x n_model grid."""
     shapes = param_shapes(cfg)
     full = _full_bytes(shapes)
     n_stages = 1
     if mode == "dp":
         p_bytes, opt_bytes, grad_bytes = full, 2 * full, full
     elif mode == "fsdp":
-        p_bytes = _fsdp_bytes(shapes, n_devices)
+        if n_devices % n_model:
+            raise ValueError(f"n_model {n_model} does not divide {n_devices} devices")
+        p_bytes = _fsdp_bytes(shapes, n_devices // n_model, n_model)
         opt_bytes, grad_bytes = 2 * p_bytes, p_bytes
     elif mode == "tp":
         # Our TP stores CANONICAL (replicated) masters, optimizer moments
@@ -158,8 +183,11 @@ def plan(
 
     act = _activation_bytes(cfg, per_chip_batch, accum_steps, n_stages)
     total = p_bytes + opt_bytes + grad_bytes + act
+    label = f"{mode}x{n_devices}"
+    if mode == "fsdp" and n_model > 1:
+        label = f"fsdp{n_devices // n_model}x tp{n_model}"
     return MemoryPlan(
-        mode=f"{mode}x{n_devices}" + (f" accum{accum_steps}" if accum_steps > 1 else ""),
+        mode=label + (f" accum{accum_steps}" if accum_steps > 1 else ""),
         params_bytes=p_bytes,
         opt_bytes=opt_bytes,
         grad_bytes=grad_bytes,

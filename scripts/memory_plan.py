@@ -25,18 +25,22 @@ def main():
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--batch", type=int, default=1024, help="per-chip batch")
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--remat-policy", default="none", choices=["none", "mlp_hidden", "all_hidden"],
+                   help="include the saved hidden pre-activations in the working set")
     args = p.parse_args()
 
     from clip_mixer_tpu.config import PRESETS
     from clip_mixer_tpu.utils.memory import plan
 
-    cfg = PRESETS[args.preset]
-    print(f"{args.preset} @ {args.devices} devices, {args.batch}/chip, accum {args.accum}")
-    for mode in ("dp", "fsdp", "tp", "pp"):
+    cfg = PRESETS[args.preset].replace(remat_policy=args.remat_policy)
+    print(f"{args.preset} @ {args.devices} devices, {args.batch}/chip, accum {args.accum}, "
+          f"remat_policy {args.remat_policy}")
+    for mode, kw in (("dp", {}), ("fsdp", {}), ("fsdp", {"n_model": 2}), ("tp", {}), ("pp", {})):
         try:
-            print(plan(cfg, mode, args.devices, args.batch, accum_steps=args.accum).row())
-        except ValueError as e:  # pp divisibility / resnet
-            print(f"{mode}: n/a ({e})")
+            print(plan(cfg, mode, args.devices, args.batch, accum_steps=args.accum, **kw).row())
+        except ValueError as e:  # pp/tp divisibility / resnet
+            label = mode if not kw else f"{mode} x tp{kw['n_model']}"
+            print(f"{label}: n/a ({e})")
 
 
 if __name__ == "__main__":

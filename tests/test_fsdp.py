@@ -170,18 +170,112 @@ def test_fsdp_trainer_end_to_end_with_resume(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-def test_fsdp_rejects_tensor_parallel_mesh(tmp_path):
-    import pytest
+def test_fsdp_tp_state_is_grid_sharded():
+    """FSDP x TP composition: the channel-MLP weights are stored sharded over
+    BOTH mesh axes (a data*model-way ZeRO saving), and the Adam moments
+    follow the same grid shards."""
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    opt = make_optimizer(TCFG, total_steps=10)
+    params = clip_model.init(jax.random.key(0), CFG)
+    state = shard_state(mesh, init_train_state(params, opt))
 
+    from clip_mixer_tpu.parallel.mesh import MODEL_AXIS
+
+    w = state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]  # [L, W, 4W]
+    assert w.sharding.spec == jax.sharding.PartitionSpec(None, DATA_AXIS, MODEL_AXIS)
+    shard = w.addressable_shards[0].data
+    assert shard.shape == (w.shape[0], w.shape[1] // 2, w.shape[2] // 2)
+    wo = state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_out"]  # [L, 4W, W]
+    assert wo.sharding.spec == jax.sharding.PartitionSpec(None, MODEL_AXIS, DATA_AXIS)
+    # the moments land on the identical grid (path suffix matches the params)
+    sharded_both = [
+        l
+        for l in jax.tree.leaves(state.opt_state)
+        if hasattr(l, "sharding")
+        and DATA_AXIS in tuple(l.sharding.spec)
+        and MODEL_AXIS in tuple(l.sharding.spec)
+    ]
+    assert len(sharded_both) > 0
+
+
+def test_fsdp_tp_matches_dp_exact_gather():
+    """FSDP x TP on a (data=2, model=2) grid computes the same objective and
+    updates as the shard_map DP step with grad_through_gather=True over the
+    same 4 devices (pure DP) — the composition changes only the schedule."""
+    batch = _batch(seed=11)
+    mesh_dp = make_mesh(n_data=4, devices=jax.devices()[:4])
+    opt = make_optimizer(TCFG, total_steps=10)
+    params = clip_model.init(jax.random.key(2), CFG)
+    state_dp = replicate(mesh_dp, init_train_state(params, opt))
+    step_dp = make_train_step(CFG, TCFG, mesh_dp, opt, grad_through_gather=True)
+
+    mesh_ft = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    opt2 = make_optimizer(TCFG, total_steps=10)
+    params2 = clip_model.init(jax.random.key(2), CFG)
+    state_ft = shard_state(mesh_ft, init_train_state(params2, opt2))
+    step_ft = make_fsdp_train_step(CFG, TCFG, mesh_ft, opt2, state_ft)
+
+    for step_i in range(3):
+        state_dp, m_dp = step_dp(state_dp, shard_batch(mesh_dp, batch))
+        state_ft, m_ft = step_ft(state_ft, shard_batch(mesh_ft, batch))
+
+    np.testing.assert_allclose(float(m_ft["loss"]), float(m_dp["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(float(m_ft["grad_norm"]), float(m_dp["grad_norm"]), rtol=2e-4)
+    for a, b_ in zip(jax.tree.leaves(state_ft.params), jax.tree.leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_fsdp_tp_transformer_with_accum():
+    """The attention path (packed-QKV/head dims model-sharded in storage)
+    trains under FSDP x TP with exact grad accumulation composed on top, and
+    matches the same step at accum_steps=1."""
+    cfg = CFG.replace(tower="transformer")
+    batch = _batch(seed=13)
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+
+    results = []
+    for accum in (1, 2):
+        opt = make_optimizer(TCFG, total_steps=10)
+        params = clip_model.init(jax.random.key(9), cfg)
+        state = shard_state(mesh, init_train_state(params, opt))
+        step = make_fsdp_train_step(cfg, TCFG, mesh, opt, state, accum_steps=accum)
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p2, m2) = results
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_fsdp_tp_trainer_end_to_end(tmp_path):
+    """Trainer with tcfg.fsdp=True on a (data, model) mesh: grid-sharded
+    state through train -> save -> restore directly into the grid shardings."""
     from clip_mixer_tpu.data.pipeline import SyntheticSource
+    from clip_mixer_tpu.parallel.mesh import MODEL_AXIS
     from clip_mixer_tpu.train.trainer import Trainer
 
     cfg = CFG.replace(vocab_size=49408, context_length=16)
     mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
-    data = SyntheticSource(batch_size=8, image_size=32, n_batches=2, context_length=16)
-    tcfg = TrainConfig(global_batch_size=8, epochs=1, warmup_steps=2, fsdp=True)
-    with pytest.raises(ValueError, match="fsdp"):
-        Trainer(cfg, tcfg, data, str(tmp_path / "x"), mesh=mesh)
+    data = SyntheticSource(batch_size=8, image_size=32, n_batches=2, n_classes=4, context_length=16)
+    tcfg = TrainConfig(
+        global_batch_size=8, epochs=1, learning_rate=1e-3, warmup_steps=2,
+        checkpoint_every_steps=2, fsdp=True,
+    )
+    run = str(tmp_path / "fsdp_tp_run")
+    tr = Trainer(cfg, tcfg, data, run, mesh=mesh)
+    w = tr.state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]
+    assert w.sharding.spec == jax.sharding.PartitionSpec(None, DATA_AXIS, MODEL_AXIS)
+    tr.train()
+    assert tr.global_step == 2
+    final_a = jax.tree.map(np.asarray, jax.device_get(tr.state.params))
+
+    tr2 = Trainer(cfg, tcfg, data, run, mesh=mesh)
+    w2 = tr2.state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]
+    assert w2.sharding.spec == jax.sharding.PartitionSpec(None, DATA_AXIS, MODEL_AXIS)
+    final_b = jax.tree.map(np.asarray, jax.device_get(tr2.state.params))
+    for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_b)):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_fsdp_transformer_tower_learns():

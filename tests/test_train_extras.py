@@ -87,6 +87,28 @@ def test_remat_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("policy", ["mlp_hidden", "all_hidden"])
+@pytest.mark.parametrize("tower", ["mixer", "transformer"])
+def test_remat_policy_grads_match(policy, tower):
+    """Saving the tagged hidden pre-activations (models/layers.remat_policy_fn)
+    changes only what the backward recomputes, never the math: gradients must
+    match full remat to float tolerance for both tower types."""
+    cfg = CFG.replace(tower=tower, vision_width=64, text_heads=2)
+    params = clip_model.init(jax.random.key(3), cfg)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)), jnp.float32)
+    txts = jnp.asarray(rng.integers(1, 127, (2, 12)), jnp.int32)
+
+    def loss(p, cfg):
+        img, txt, scale = clip_model.forward(p, cfg, imgs, txts)
+        return (img * txt).sum() * scale
+
+    g1 = jax.grad(loss)(params, cfg.replace(remat=True))
+    g2 = jax.grad(loss)(params, cfg.replace(remat=True, remat_policy=policy))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_bf16_feature_drift_bounded():
     """bf16 compute must stay directionally faithful to f32 (the numerics
     policy replacing surgical fp16 — SURVEY hard part 3): cosine similarity

@@ -46,7 +46,12 @@ def parse_args():
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params + Adam moments over the data axis "
                         "(for models too big to replicate per chip); trains with "
-                        "the exact global InfoNCE gradient")
+                        "the exact global InfoNCE gradient; composes with "
+                        "--tensor-parallel (storage sharded over the full grid)")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="model-axis size: MLP hidden dims and attention heads "
+                        "sharded over this many devices (megatron-style); mesh "
+                        "becomes (devices/N) data x N model")
     p.add_argument("--pipeline-stages", type=int, default=1,
                    help="pipeline parallelism: split the tower block stacks over "
                         "this many stages (GPipe fill-drain schedule); mesh becomes "
@@ -57,6 +62,12 @@ def parse_args():
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
                         "Mixer-B/32 at 1024 imgs/chip OOMs a 16GB v5e without remat)")
+    p.add_argument("--remat-policy", default="none",
+                   choices=["none", "mlp_hidden", "all_hidden"],
+                   help="what remat saves: 'mlp_hidden' keeps the MLP hidden "
+                        "pre-activations so backward skips the dominant matmul "
+                        "recompute (~[B,T,4W] bf16/block); 'all_hidden' also "
+                        "keeps the mixer token-mix hidden")
     p.add_argument("--verbose", action="store_true")
     # Explicit rendezvous/platform — used by launch.rehearse_local (a pod
     # launch on real TPUs needs none of these: jax.distributed.initialize()
@@ -84,7 +95,7 @@ def main():
         process_id=args.process_id,
     )
 
-    cfg = PRESETS[args.preset].replace(remat=not args.no_remat)
+    cfg = PRESETS[args.preset].replace(remat=not args.no_remat, remat_policy=args.remat_policy)
     tcfg = TrainConfig(
         global_batch_size=args.global_batch_size,
         epochs=args.epochs,
@@ -138,6 +149,8 @@ def main():
     if args.pipeline_stages > 1:
         from clip_mixer_tpu.parallel.pp import make_pp_mesh
 
+        if args.tensor_parallel > 1:
+            raise SystemExit("--pipeline-stages and --tensor-parallel do not compose")
         n_dev = len(jax.devices())
         if n_dev % args.pipeline_stages != 0:
             raise SystemExit(
@@ -145,6 +158,16 @@ def main():
                 f"{n_dev} available devices (stranded chips / empty mesh)"
             )
         mesh = make_pp_mesh(n_data=n_dev // args.pipeline_stages, n_stage=args.pipeline_stages)
+    elif args.tensor_parallel > 1:
+        from clip_mixer_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % args.tensor_parallel != 0:
+            raise SystemExit(
+                f"--tensor-parallel {args.tensor_parallel} does not divide the "
+                f"{n_dev} available devices (stranded chips / empty mesh)"
+            )
+        mesh = make_mesh(n_data=n_dev // args.tensor_parallel, n_model=args.tensor_parallel)
 
     trainer = Trainer(
         cfg,
