@@ -130,11 +130,23 @@ class TarShardSource(DataSource):
         decode_workers: int = 8,
         decode_mode: str = "thread",
         drop_last: bool = True,
+        shuffle_buffer: int = 0,
     ):
         """decode_mode: "thread" (PIL releases the GIL during JPEG decode;
         cheapest) or "process" (sidesteps the GIL entirely for the Python
         glue — measured numbers in SCALING.md; prefer it at high worker
-        counts if thread scaling plateaus on the target host)."""
+        counts if thread scaling plateaus on the target host).
+
+        shuffle_buffer: size of the streaming sample-shuffle buffer (0 = off).
+        The reference trains with DataLoader(shuffle=True) over the whole
+        dataset (training.py:61) — full random order every epoch. Sequential
+        shard streaming cannot do that, so this is the standard webdataset
+        answer: a bounded reservoir that yields a uniformly-random resident
+        sample as each new one arrives. Seeded by (seed, epoch) only, so the
+        stream stays a pure function of the epoch and the resume contract
+        (skip-by-count fast-forward) is unchanged. Buffer bytes are raw JPEG
+        (~30KB each; 20k buffer ~ 600MB host RAM); size it >= the per-shard
+        sample count so consecutive batches mix across shards."""
         assert decode_mode in ("thread", "process"), decode_mode
         all_shards = sorted(shard_paths)
         if n_hosts > 1:
@@ -157,8 +169,32 @@ class TarShardSource(DataSource):
         self.decode_workers = decode_workers
         self.decode_mode = decode_mode
         self.drop_last = drop_last
+        self.shuffle_buffer = shuffle_buffer
 
     def _iter_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
+        it = self._iter_shard_samples(epoch)
+        if self.shuffle_buffer <= 1:
+            return it
+        return self._shuffled(it, epoch)
+
+    def _shuffled(self, it: Iterator[Tuple[bytes, str]], epoch: int) -> Iterator[Tuple[bytes, str]]:
+        """Bounded streaming shuffle: once the buffer fills, each incoming
+        sample evicts (yields) a uniformly-random resident one; the tail is
+        Fisher-Yates-drained. Deterministic per (seed, epoch)."""
+        rng = np.random.default_rng((self.seed, epoch, 2))
+        buf: List[Tuple[bytes, str]] = []
+        for sample in it:
+            buf.append(sample)
+            if len(buf) >= self.shuffle_buffer:
+                i = int(rng.integers(0, len(buf)))
+                buf[i], buf[-1] = buf[-1], buf[i]
+                yield buf.pop()
+        for j in range(len(buf) - 1, 0, -1):  # drain: Fisher-Yates tail
+            k = int(rng.integers(0, j + 1))
+            buf[j], buf[k] = buf[k], buf[j]
+        yield from buf
+
+    def _iter_shard_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
         order = np.random.default_rng((self.seed, epoch)).permutation(len(self.shards))
         for si in order:
             with tarfile.open(self.shards[si], "r") as tar:

@@ -63,6 +63,42 @@ def test_tar_source_roundtrip(tmp_path):
     np.testing.assert_array_equal(batches[5]["texts"], again[2]["texts"])
 
 
+def test_tar_source_shuffle_buffer(tmp_path):
+    """The streaming shuffle (the reference's DataLoader(shuffle=True)
+    equivalent, training.py:61) must permute samples — not just shards —
+    while keeping the epoch stream a pure function of (seed, epoch) so the
+    skip-by-count resume contract is untouched."""
+    rng = np.random.default_rng(7)
+    samples = [
+        (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"caption number {i}")
+        for i in range(30)
+    ]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "shuf"), samples_per_shard=10)
+
+    plain = TarShardSource(paths, batch_size=5, image_size=16, context_length=16)
+    shuf = TarShardSource(paths, batch_size=5, image_size=16, context_length=16, shuffle_buffer=12)
+
+    a = list(shuf.iter_batches(epoch=0))
+    b = list(shuf.iter_batches(epoch=0))
+    assert len(a) == 6
+    for x, y in zip(a, b):  # deterministic per epoch
+        np.testing.assert_array_equal(x["texts"], y["texts"])
+    # skip fast-forward lands on the same shuffled tail
+    c = list(shuf.iter_batches(epoch=0, start_batch=4))
+    np.testing.assert_array_equal(a[4]["texts"], c[0]["texts"])
+    # an epoch is still a permutation of the dataset (every caption once)
+    caps = sorted(tuple(t) for batch in a for t in batch["texts"])
+    ref = sorted(tuple(t) for batch in plain.iter_batches(epoch=0) for t in batch["texts"])
+    assert caps == ref
+    # within-shard order is actually broken (plain epoch != shuffled epoch)
+    flat_a = [tuple(t) for batch in a for t in batch["texts"]]
+    flat_p = [tuple(t) for batch in plain.iter_batches(epoch=0) for t in batch["texts"]]
+    assert flat_a != flat_p
+    # and epochs differ from each other
+    flat_e1 = [tuple(t) for batch in shuf.iter_batches(epoch=1) for t in batch["texts"]]
+    assert flat_a != flat_e1
+
+
 def test_tar_source_host_sharding(tmp_path):
     rng = np.random.default_rng(1)
     samples = [(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"c{i}") for i in range(20)]

@@ -58,6 +58,10 @@ def parse_args():
                         "(devices/stages) data x stages")
     p.add_argument("--pipeline-microbatches", type=int, default=8,
                    help="microbatches per PP step (bubble = (S-1)/(M+S-1))")
+    p.add_argument("--shuffle-buffer", type=int, default=10000,
+                   help="streaming sample-shuffle buffer (the reference trains "
+                        "with DataLoader(shuffle=True)); 0 = sequential shard "
+                        "order; size >= samples/shard mixes across shards")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -133,6 +137,7 @@ def main():
             context_length=cfg.context_length,
             n_hosts=n_hosts,
             host_index=host,
+            shuffle_buffer=args.shuffle_buffer,
         )
 
     validators = []
