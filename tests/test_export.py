@@ -48,6 +48,30 @@ def test_roundtrip_exact(tower):
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
 
 
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """scripts/convert_checkpoint.py: torch .pt -> native dir -> torch .pt
+    preserves every tensor exactly (the migration path both directions)."""
+    import torch
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import convert_checkpoint
+
+    params = clip_model.init(jax.random.key(8), CFG)
+    src_pt = str(tmp_path / "src.pt")
+    torch.save({k: torch.as_tensor(v.copy()) for k, v in params_to_state_dict(params, CFG).items()}, src_pt)
+
+    native = str(tmp_path / "native")
+    convert_checkpoint.main([src_pt, native, "--compute-dtype", "float32"])
+    back_pt = str(tmp_path / "back.pt")
+    convert_checkpoint.main([native, back_pt, "--to", "torch"])
+
+    a = torch.load(src_pt, weights_only=True)
+    b = torch.load(back_pt, weights_only=True)
+    assert sorted(a) == sorted(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k].numpy(), b[k].numpy())
+
+
 def test_export_loads_into_reference_model():
     import torch
     from model import CLIP as TorchCLIP
