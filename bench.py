@@ -166,10 +166,9 @@ def main():
         text_ips = tbatch / _slope_time(lambda n: chained_t(params, texts_j, jnp.int32(n)), 5, 45)
 
         # ---- full train step imgs/sec (batch 1024, remat) ----------------
-        import optax
-
         from clip_mixer_tpu.ops.losses import info_nce
         from clip_mixer_tpu.train.optimizer import make_optimizer
+        from clip_mixer_tpu.utils.profiling import chained_train_time
 
         tcfg = TrainConfig()
         rcfg = cfg.replace(remat=True)
@@ -180,25 +179,15 @@ def main():
         ttxt = jnp.asarray(
             np.concatenate([texts[:tb // 2], texts[:tb - tb // 2]])
         )
-        def loss_fn(p, imgs_u8, toks):
-            img, txt, scale = clip_model.forward(p, rcfg, pre(imgs_u8), toks)
-            return info_nce(img, txt, scale)
 
-        @jax.jit
-        def chained_train(state, imgs_u8, toks, n):
-            def body(_, carry):
-                p, o = carry
-                loss, grads = jax.value_and_grad(loss_fn)(p, imgs_u8, toks)
-                updates, o = opt.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                p = dict(p)
-                p["logit_scale"] = jnp.minimum(p["logit_scale"], tcfg.logit_scale_max)
-                return (p, o)
-            p, o = jax.lax.fori_loop(0, n, body, state)
-            return p["logit_scale"].astype(jnp.float32)  # forces the chain
+        def loss_and_grads(p, imgs_u8, toks):
+            def loss_fn(pp):
+                img, txt, scale = clip_model.forward(pp, rcfg, pre(imgs_u8), toks)
+                return info_nce(img, txt, scale)
+            return jax.value_and_grad(loss_fn)(p)
 
-        train_ips = tb / _slope_time(
-            lambda n: chained_train((params, opt_state), timgs, ttxt, jnp.int32(n)), 3, 13
+        train_ips = tb / chained_train_time(
+            params, opt_state, opt, tcfg.logit_scale_max, loss_and_grads, (timgs, ttxt)
         )
 
     # ---- headline selection ----------------------------------------------

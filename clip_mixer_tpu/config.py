@@ -55,6 +55,9 @@ class CLIPConfig:
     # block), eliminating matmul recompute entirely for mixer towers.
     # Memory cost at Mixer-B/32, batch 1024/chip: ~3.9 GB per tower per
     # saved set — choose by capacity (utils/memory.py accounts for it).
+    # Applies to the plain and tensor-parallel block paths; the fused Pallas
+    # MLP kernel (fused_mlp=True) manages its own residuals via custom_vjp,
+    # so the policy has no effect there.
     remat_policy: str = "none"
     # Use the fused Pallas LN+channel-MLP kernel (ops/pallas/mlp_kernel) in
     # mixer blocks. Off by default: measured on v5e, XLA's own fusion runs

@@ -81,7 +81,14 @@ def _merged_spec(
     scan iteration into a collective)."""
     ndim = len(shape)
     spec = [None] * ndim
-    if n_model > 1 and ndim > 0:
+    size = 1
+    for d in shape:
+        size *= d
+    if n_model > 1 and ndim > 0 and size >= min_elems:
+        # min_elems applies to the model axis too: this is STORAGE sharding
+        # (unlike tp_param_specs, whose shard_map contract requires every
+        # hidden leaf sharded) — grid-sharding a 1KB bias saves nothing and
+        # costs an all-gather per use.
         from clip_mixer_tpu.parallel.tp import tp_leaf_dim
 
         dim = tp_leaf_dim(list(path_keys))
@@ -89,9 +96,6 @@ def _merged_spec(
             dim %= ndim
             if shape[dim] >= n_model and shape[dim] % n_model == 0:
                 spec[dim] = MODEL_AXIS
-    size = 1
-    for d in shape:
-        size *= d
     if n_data > 1 and size >= min_elems:
         lowest = 1 if (MODEL_AXIS in spec and ndim >= 2) else 0
         for ax in range(ndim - 1, lowest - 1, -1):

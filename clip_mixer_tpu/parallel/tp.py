@@ -54,9 +54,15 @@ def sharded_mlp(mlp_params, y: jnp.ndarray, activation, model_axis: str) -> jnp.
     + b_out. Called INSIDE shard_map with hidden-sharded params; ``y``
     replicated over the model axis; b_out added after the reduction (it is
     replicated)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     dt = y.dtype
     y = f_psum(y, model_axis)
-    h = activation(y @ mlp_params["w_in"].astype(dt) + mlp_params["b_in"].astype(dt))
+    pre = y @ mlp_params["w_in"].astype(dt) + mlp_params["b_in"].astype(dt)
+    # Same saveable tag as the replicated MLP branches (each rank keeps its
+    # LOCAL hidden shard), so remat_policy="mlp_hidden" works under TP too.
+    pre = checkpoint_name(pre, "mlp_hidden")
+    h = activation(pre)
     partial = h @ mlp_params["w_out"].astype(dt)
     return g_psum(partial, model_axis) + mlp_params["b_out"].astype(dt)
 

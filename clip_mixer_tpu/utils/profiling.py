@@ -40,6 +40,46 @@ def slope_time(run, n1: int = 5, n2: int = 45) -> float:
     return (d2 - d1) / (n2 - n1)
 
 
+def chained_train_time(
+    params,
+    opt_state,
+    opt,
+    logit_scale_max: float,
+    loss_and_grads,
+    batch,
+    n1: int = 3,
+    n2: int = 13,
+) -> float:
+    """Seconds per full train step (grads + optimizer update + clamp), via a
+    loop-carried jitted chain — THE shared implementation of the train-step
+    timing methodology (bench.py detail number and the perf scripts), so the
+    chain's load-bearing details (state threads through the loop; nothing
+    loop-invariant; scalar fetch forces the chain) live in one place.
+
+    ``loss_and_grads(params, *batch) -> (loss, grads)`` defines the step's
+    backward; ``batch`` is a tuple of device arrays closed over as chain
+    inputs (perturbation is unnecessary — the params carry changes every
+    iteration)."""
+    import jax.numpy as jnp
+    import optax
+
+    @jax.jit
+    def chained(state, n):
+        def body(_, carry):
+            p, o = carry
+            _, grads = loss_and_grads(p, *batch)
+            updates, o = opt.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            p = dict(p)
+            p["logit_scale"] = jnp.minimum(p["logit_scale"], logit_scale_max)
+            return (p, o)
+
+        p, o = jax.lax.fori_loop(0, n, body, state)
+        return p["logit_scale"].astype(jnp.float32)  # forces the chain
+
+    return slope_time(lambda n: chained((params, opt_state), jnp.int32(n)), n1, n2)
+
+
 class StepTimer:
     """Rolling steps/sec + imgs/sec/chip meter.
 

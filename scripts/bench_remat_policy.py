@@ -42,15 +42,13 @@ def main():
     p.add_argument("--policies", nargs="*", default=["none", "mlp_hidden", "all_hidden"])
     args = p.parse_args()
 
-    import optax
-
     from clip_mixer_tpu.config import PRESETS, TrainConfig
     from clip_mixer_tpu.models import clip as clip_model
     from clip_mixer_tpu.ops.losses import info_nce
     from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
     from clip_mixer_tpu.parallel.train_step import two_pass_accum_grads
     from clip_mixer_tpu.train.optimizer import make_optimizer
-    from clip_mixer_tpu.utils.profiling import slope_time
+    from clip_mixer_tpu.utils.profiling import chained_train_time
 
     cfg = PRESETS[args.preset]
     tcfg = TrainConfig()
@@ -73,6 +71,9 @@ def main():
     for policy in args.policies:
         rcfg = cfg.replace(remat=True, remat_policy=policy)
 
+        # Both paths use info_nce's DEFAULT gradient semantics (stop-grad
+        # keys, the reference's detach) so accum-vs-plain timings compare the
+        # same backward math.
         if args.accum > 1:
             mb = b // args.accum
             def loss_and_grads(p, imgs_u8, tk):
@@ -80,8 +81,7 @@ def main():
                     img, txt, _s, _bn = clip_model.forward_train(pp, rcfg, pre(im_u8), tx)
                     return img, txt
                 def feat_loss(fi, ft, logit_scale):
-                    return info_nce(fi.reshape(b, -1), ft.reshape(b, -1), jnp.exp(logit_scale),
-                                    grad_through_gather=True)
+                    return info_nce(fi.reshape(b, -1), ft.reshape(b, -1), jnp.exp(logit_scale))
                 si = imgs_u8.reshape(args.accum, mb, *imgs_u8.shape[1:])
                 st = tk.reshape(args.accum, mb, *tk.shape[1:])
                 return two_pass_accum_grads(p, si, st, micro_feats, feat_loss)
@@ -92,22 +92,9 @@ def main():
                     return info_nce(img, txt, scale)
                 return jax.value_and_grad(loss_fn)(p)
 
-        @jax.jit
-        def chained_train(state, imgs_u8, tk, n):
-            def body(_, carry):
-                p, o = carry
-                loss, grads = loss_and_grads(p, imgs_u8, tk)
-                updates, o = opt.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                p = dict(p)
-                p["logit_scale"] = jnp.minimum(p["logit_scale"], tcfg.logit_scale_max)
-                return (p, o)
-            p, o = jax.lax.fori_loop(0, n, body, state)
-            return p["logit_scale"].astype(jnp.float32)
-
         try:
-            dt = slope_time(
-                lambda n: chained_train((params, opt_state), imgs, toks, jnp.int32(n)), 3, 13
+            dt = chained_train_time(
+                params, opt_state, opt, tcfg.logit_scale_max, loss_and_grads, (imgs, toks)
             )
             results[policy] = {"ms_per_step": round(dt * 1e3, 1), "imgs_per_sec": round(b / dt, 1)}
         except Exception as e:  # OOM at this batch/policy is a result, not a crash

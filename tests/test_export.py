@@ -53,7 +53,9 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
     preserves every tensor exactly (the migration path both directions)."""
     import torch
 
-    sys.path.insert(0, "/root/repo/scripts")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
     import convert_checkpoint
 
     params = clip_model.init(jax.random.key(8), CFG)

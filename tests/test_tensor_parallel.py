@@ -106,3 +106,28 @@ def test_tp_with_grad_accum_matches_plain_tp(tower):
     np.testing.assert_allclose(float(m2["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
     for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+@pytest.mark.parametrize("tower", ["mixer", "transformer"])
+def test_tp_remat_policy_matches_plain_tp(tower):
+    """remat_policy must stay a pure recompute-schedule choice under TP too:
+    the sharded_mlp hidden carries the same checkpoint_name tag as the
+    replicated branch, and saving it must not change the math."""
+    cfg = CFG.replace(
+        tower=tower, vision_width=128, text_width=128, text_heads=2, remat=True
+    )
+    batch = _batch()
+    results = []
+    for policy in ("none", "mlp_hidden"):
+        mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+        opt = make_optimizer(TCFG, total_steps=5)
+        params = clip_model.init(jax.random.key(7), cfg)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(cfg.replace(remat_policy=policy), TCFG, mesh, opt)
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p2, m2) = results
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
