@@ -40,14 +40,24 @@ def maybe_initialize_distributed(
             )
         return True
 
-    if jax.process_count() > 1:  # already initialized
-        return True
     multi_host_hint = any(
         os.environ.get(k)
         for k in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
     )
     if not multi_host_hint:
         return False
+    # Already initialized? Probe the distributed client state, NOT
+    # jax.process_count(): process_count() initializes the XLA backend, and
+    # jax.distributed.initialize() refuses to run after ANY backend-touching
+    # call — probing with it would make auto-init fail on every real pod
+    # worker and turn the expect_multi branch below into a guaranteed crash.
+    try:
+        from jax._src import distributed as _distributed
+
+        if getattr(_distributed.global_state, "client", None) is not None:
+            return True
+    except Exception:  # private API moved — fall through to initialize()
+        pass
     # A single-host TPU VM also sets TPU_WORKER_HOSTNAMES (one entry), and
     # initialize() can raise there — benign. But when the env names MULTIPLE
     # workers, a failed rendezvous must be FATAL: swallowing it would let
