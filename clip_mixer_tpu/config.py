@@ -167,6 +167,57 @@ PRESETS = {
         vision_width=64,
         vision_patch_size=None,
     ),
+    # The rest of the OpenAI registry geometries (reference clip.py:31-41),
+    # so every registry model can also be INITIALIZED/TRAINED from scratch —
+    # checkpoint loading never needs these (models/convert.py shape-sniffs).
+    "vit-l14-336": CLIPConfig(
+        tower="transformer",
+        embed_dim=768,
+        image_resolution=336,
+        vision_layers=24,
+        vision_width=1024,
+        vision_patch_size=14,
+        text_width=768,
+        text_heads=12,
+        text_layers=12,
+    ),
+    "rn101": CLIPConfig(
+        tower="transformer",
+        embed_dim=512,
+        vision_layers=(3, 4, 23, 3),
+        vision_width=64,
+        vision_patch_size=None,
+    ),
+    "rn50x4": CLIPConfig(
+        tower="transformer",
+        embed_dim=640,
+        image_resolution=288,
+        vision_layers=(4, 6, 10, 6),
+        vision_width=80,
+        vision_patch_size=None,
+        text_width=640,
+        text_heads=10,
+    ),
+    "rn50x16": CLIPConfig(
+        tower="transformer",
+        embed_dim=768,
+        image_resolution=384,
+        vision_layers=(6, 8, 18, 8),
+        vision_width=96,
+        vision_patch_size=None,
+        text_width=768,
+        text_heads=12,
+    ),
+    "rn50x64": CLIPConfig(
+        tower="transformer",
+        embed_dim=1024,
+        image_resolution=448,
+        vision_layers=(3, 15, 36, 10),
+        vision_width=128,
+        vision_patch_size=None,
+        text_width=1024,
+        text_heads=16,
+    ),
 }
 
 

@@ -79,6 +79,47 @@ def test_param_count_matches_reference(name):
     assert ours == theirs, f"{name}: ours={ours} reference={theirs}"
 
 
+@pytest.mark.parametrize("name", ["rn101", "rn50x4", "vit-l14-336"])
+def test_big_preset_structure_matches_reference(name):
+    """The from-scratch presets for the OpenAI registry geometries must
+    define EXACTLY the reference architecture: every state_dict key and
+    shape identical to the torch oracle (stronger than a parameter count,
+    which would miss shape swaps — and torch's .parameters() excludes the
+    BN running-stat buffers our pytree rightly carries). Our side goes
+    through eval_shape + the exporter, so nothing big is materialised."""
+    import torch
+    from model import CLIP as TorchCLIP
+
+    from clip_mixer_tpu.models.convert import params_to_state_dict
+
+    cfg = PRESETS[name]
+    m = TorchCLIP(
+        cfg.embed_dim, cfg.image_resolution, cfg.vision_layers, cfg.vision_width,
+        cfg.vision_patch_size, cfg.context_length, cfg.vocab_size,
+        cfg.text_width, cfg.text_heads, cfg.text_layers,
+        useTransformer=cfg.use_transformer,
+    )
+    theirs = {k: tuple(v.shape) for k, v in m.state_dict().items()}
+    shapes = jax.eval_shape(lambda k: clip_model.init(k, cfg), jax.random.key(0))
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    ours = {k: tuple(np.asarray(v).shape) for k, v in params_to_state_dict(zeros, cfg).items()}
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("name", ["rn50x16", "rn50x64"])
+def test_huge_preset_geometry(name):
+    """Cheap structural gates for the geometries too big to build the torch
+    oracle in the suite: init traces (eval_shape) and the attention-pool /
+    resolution relations hold."""
+    cfg = PRESETS[name]
+    shapes = jax.eval_shape(lambda k: clip_model.init(k, cfg), jax.random.key(0))
+    pos = shapes["visual"]["attnpool"]["pos_embedding"]
+    spacial = cfg.image_resolution // 32
+    assert pos.shape == (spacial**2 + 1, cfg.vision_width * 32)
+    assert shapes["text"]["projection"].shape == (cfg.text_width, cfg.embed_dim)
+    assert cfg.text_width % cfg.text_heads == 0
+
+
 def test_logits_demo_contract():
     cfg = TINY
     params = clip_model.init(jax.random.key(0), cfg)
