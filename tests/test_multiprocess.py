@@ -92,6 +92,69 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
+WORKER_FSDP_TP = r"""
+import json, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+sys.path.insert(0, REPO)
+
+import numpy as np
+from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.parallel.fsdp import make_fsdp_train_step, shard_state
+from clip_mixer_tpu.parallel.mesh import make_mesh, shard_batch
+from clip_mixer_tpu.parallel.train_step import init_train_state
+from clip_mixer_tpu.train.optimizer import make_optimizer
+
+assert jax.process_count() == 2 and jax.device_count() == 4
+assert jax.local_device_count() == 2
+
+cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+                 vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                 text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32")
+tcfg = TrainConfig(global_batch_size=8, learning_rate=1e-3, warmup_steps=2)
+# (data=2, model=2): jax.devices() orders process 0's devices first, so the
+# DATA axis spans the two processes and the MODEL axis stays intra-process
+# (the axis-placement rule of SCALING.md: per-layer psum traffic inside a
+# host, one data reduction across).
+mesh = make_mesh(n_data=2, n_model=2)
+opt = make_optimizer(tcfg, total_steps=10)
+state = shard_state(mesh, init_train_state(clip_model.init(jax.random.key(0), cfg), opt))
+
+w = state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]  # [1, 32, 128]
+w_local = sorted(tuple(s.data.shape) for s in w.addressable_shards)
+emb = state.params["text"]["token_embedding"]  # [49408, 32]
+emb_local = sorted(tuple(s.data.shape) for s in emb.addressable_shards)
+
+step = make_fsdp_train_step(cfg, tcfg, mesh, opt, state, accum_steps=2)
+rng = np.random.default_rng(7)
+local = {
+    "images": rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8),
+    "texts": np.zeros((4, 16), np.int32),
+}
+local["texts"][:, 0] = 49406
+local["texts"][:, 1] = 300 + pid * 4 + np.arange(4)
+local["texts"][:, 2] = 49407
+state, metrics = step(state, shard_batch(mesh, local))
+
+out = {
+    "pid": pid,
+    "loss": float(jax.device_get(metrics["loss"])),
+    "w_local": w_local,
+    "emb_local": emb_local,
+}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -197,3 +260,49 @@ def test_two_process_distributed_train_step(tmp_path):
     _, metrics = step(state, shard_batch(mesh, global_batch))
     oracle = float(jax.device_get(metrics["loss"]))
     assert r0["loss"] == pytest.approx(oracle, abs=5e-6)
+
+
+def test_two_process_fsdp_tp_grid(tmp_path):
+    """FSDP x TP across REAL process boundaries: 2 processes x 2 devices
+    form a (data=2, model=2) grid — the data axis spans processes, the model
+    axis stays intra-process — with the state stored sharded over the full
+    grid and the exact-accum GSPMD step executing across both."""
+    worker = tmp_path / "worker_fsdp_tp.py"
+    worker.write_text(f"REPO = {REPO!r}\n" + WORKER_FSDP_TP)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # device count set in-process (2 per worker)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+            outs.append(json.loads(line[len("RESULT "):]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    r0, r1 = outs
+    # channel w_in [1, 32, 128] grid-sharded (data on W, model on H): each
+    # process holds its data-row's TWO model shards of [1, 16, 64].
+    for r in outs:
+        assert r["w_local"] == [[1, 16, 64], [1, 16, 64]]
+        # token embedding [49408, 32]: data-sharded only — one [49408, 16]
+        # half per data row, replicated over the intra-process model axis.
+        assert r["emb_local"] == [[49408, 16], [49408, 16]]
+    # Both processes agree on the global loss of the grid step.
+    assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
+    assert np.isfinite(r0["loss"])
