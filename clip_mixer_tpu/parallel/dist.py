@@ -46,18 +46,22 @@ def maybe_initialize_distributed(
     )
     if not multi_host_hint:
         return False
-    # Already initialized? Probe the distributed client state, NOT
+    # Already initialized? Probe the distributed runtime state, NOT
     # jax.process_count(): process_count() initializes the XLA backend, and
     # jax.distributed.initialize() refuses to run after ANY backend-touching
     # call — probing with it would make auto-init fail on every real pod
     # worker and turn the expect_multi branch below into a guaranteed crash.
     try:
-        from jax._src import distributed as _distributed
-
-        if getattr(_distributed.global_state, "client", None) is not None:
+        if jax.distributed.is_initialized():
             return True
-    except Exception:  # private API moved — fall through to initialize()
-        pass
+    except AttributeError:  # older jax — private fallback
+        try:
+            from jax._src import distributed as _distributed
+
+            if getattr(_distributed.global_state, "client", None) is not None:
+                return True
+        except Exception:
+            pass
     # A single-host TPU VM also sets TPU_WORKER_HOSTNAMES (one entry), and
     # initialize() can raise there — benign. But when the env names MULTIPLE
     # workers, a failed rendezvous must be FATAL: swallowing it would let
@@ -75,6 +79,8 @@ def maybe_initialize_distributed(
             )
         return True
     except Exception as e:
+        if "already" in str(e).lower() or "once" in str(e).lower():
+            return True  # raced/duplicate initialize — the runtime is up
         if expect_multi:
             raise RuntimeError(
                 f"multi-host environment detected ({hostnames!r}) but "

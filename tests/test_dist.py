@@ -15,12 +15,20 @@ from clip_mixer_tpu.parallel.dist import maybe_initialize_distributed
 
 @pytest.fixture
 def no_backend_probes(monkeypatch):
-    """Make any backend-touching probe an error (the ordering regression)."""
+    """Make any backend-touching probe an error (the ordering regression):
+    jax.distributed.initialize() refuses to run after ANY of these."""
     def _boom(*a, **k):
         raise AssertionError("backend touched before jax.distributed.initialize()")
 
-    monkeypatch.setattr(jax, "process_count", _boom)
-    monkeypatch.setattr(jax, "devices", _boom)
+    for name in (
+        "process_count",
+        "process_index",
+        "devices",
+        "local_devices",
+        "device_count",
+        "local_device_count",
+    ):
+        monkeypatch.setattr(jax, name, _boom)
 
 
 def test_no_hints_is_noop(monkeypatch):

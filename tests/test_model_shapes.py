@@ -33,12 +33,14 @@ TINY = CLIPConfig(
 )
 
 
-def _torch_param_count(cfg: CLIPConfig):
+def _torch_model(cfg: CLIPConfig):
+    """The ONE cfg -> reference-TorchCLIP mapping used by every oracle test
+    (keyword args so a constructor change breaks loudly, not by mis-binding)."""
     import torch
     from model import CLIP as TorchCLIP  # reference, read-only oracle
 
     torch.manual_seed(0)
-    m = TorchCLIP(
+    return TorchCLIP(
         embed_dim=cfg.embed_dim,
         image_resolution=cfg.image_resolution,
         vision_layers=cfg.vision_layers,
@@ -51,7 +53,10 @@ def _torch_param_count(cfg: CLIPConfig):
         transformer_layers=cfg.text_layers,
         useTransformer=cfg.use_transformer,
     )
-    return sum(p.numel() for p in m.parameters())
+
+
+def _torch_param_count(cfg: CLIPConfig):
+    return sum(p.numel() for p in _torch_model(cfg).parameters())
 
 
 @pytest.mark.parametrize("tower", ["mixer", "transformer"])
@@ -87,19 +92,10 @@ def test_big_preset_structure_matches_reference(name):
     which would miss shape swaps — and torch's .parameters() excludes the
     BN running-stat buffers our pytree rightly carries). Our side goes
     through eval_shape + the exporter, so nothing big is materialised."""
-    import torch
-    from model import CLIP as TorchCLIP
-
     from clip_mixer_tpu.models.convert import params_to_state_dict
 
     cfg = PRESETS[name]
-    m = TorchCLIP(
-        cfg.embed_dim, cfg.image_resolution, cfg.vision_layers, cfg.vision_width,
-        cfg.vision_patch_size, cfg.context_length, cfg.vocab_size,
-        cfg.text_width, cfg.text_heads, cfg.text_layers,
-        useTransformer=cfg.use_transformer,
-    )
-    theirs = {k: tuple(v.shape) for k, v in m.state_dict().items()}
+    theirs = {k: tuple(v.shape) for k, v in _torch_model(cfg).state_dict().items()}
     shapes = jax.eval_shape(lambda k: clip_model.init(k, cfg), jax.random.key(0))
     zeros = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
     ours = {k: tuple(np.asarray(v).shape) for k, v in params_to_state_dict(zeros, cfg).items()}

@@ -163,25 +163,20 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_train_step(tmp_path):
-    # Build 4 deterministic tar shards shared by both "hosts".
-    sys.path.insert(0, REPO)
-    from clip_mixer_tpu.data.pipeline import write_tar_shards
-
-    rng = np.random.default_rng(0)
-    samples = [(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"caption {i}") for i in range(16)]
-    shard_dir = tmp_path / "shards"
-    write_tar_shards(iter(samples), str(shard_dir), samples_per_shard=4)
-
+def _run_two_workers(tmp_path, worker_src: str, extra_args=()):
+    """Spawn two coordinated worker processes and return their RESULT dicts
+    (pid order). Shared harness: free coordinator port, XLA_FLAGS scrubbed
+    (workers set their own device counts), and both processes killed on any
+    failure — one worker dying leaves its sibling blocked in the rendezvous,
+    and an orphan would hold the coordinator port for the rest of the suite."""
     worker = tmp_path / "worker.py"
-    worker.write_text(f"REPO = {REPO!r}\n" + WORKER)
-
+    worker.write_text(f"REPO = {REPO!r}\n" + worker_src)
     port = _free_port()
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port), str(shard_dir)],
+            [sys.executable, str(worker), str(i), str(port), *map(str, extra_args)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -197,15 +192,23 @@ def test_two_process_distributed_train_step(tmp_path):
             line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
             outs.append(json.loads(line[len("RESULT "):]))
     finally:
-        # one worker dying leaves its sibling blocked in the rendezvous —
-        # kill both so no orphan holds the coordinator port for the rest of
-        # the suite
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return sorted(outs, key=lambda o: o["pid"])
 
-    r0 = next(o for o in outs if o["pid"] == 0)
-    r1 = next(o for o in outs if o["pid"] == 1)
+
+def test_two_process_distributed_train_step(tmp_path):
+    # Build 4 deterministic tar shards shared by both "hosts".
+    sys.path.insert(0, REPO)
+    from clip_mixer_tpu.data.pipeline import write_tar_shards
+
+    rng = np.random.default_rng(0)
+    samples = [(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"caption {i}") for i in range(16)]
+    shard_dir = tmp_path / "shards"
+    write_tar_shards(iter(samples), str(shard_dir), samples_per_shard=4)
+
+    r0, r1 = _run_two_workers(tmp_path, WORKER, extra_args=(shard_dir,))
     # Disjoint shard assignment, different local data.
     assert set(r0["shards"]).isdisjoint(r1["shards"])
     assert len(r0["shards"]) == len(r1["shards"]) == 2
@@ -267,35 +270,7 @@ def test_two_process_fsdp_tp_grid(tmp_path):
     form a (data=2, model=2) grid — the data axis spans processes, the model
     axis stays intra-process — with the state stored sharded over the full
     grid and the exact-accum GSPMD step executing across both."""
-    worker = tmp_path / "worker_fsdp_tp.py"
-    worker.write_text(f"REPO = {REPO!r}\n" + WORKER_FSDP_TP)
-
-    port = _free_port()
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # device count set in-process (2 per worker)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            env=env,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=240)
-            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-            line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
-            outs.append(json.loads(line[len("RESULT "):]))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-
-    r0, r1 = outs
+    r0, r1 = outs = _run_two_workers(tmp_path, WORKER_FSDP_TP)
     # channel w_in [1, 32, 128] grid-sharded (data on W, model on H): each
     # process holds its data-row's TWO model shards of [1, 16, 64].
     for r in outs:
