@@ -129,6 +129,7 @@ def main():
     # ---- int8 accuracy gate: zero-shot top-1 agreement at full scale -----
     gate = None
     text_ips = None
+    text_int8_ips = None
     train_ips = None
     if not fast:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
@@ -164,6 +165,22 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
         text_ips = tbatch / _slope_time(lambda n: chained_t(params, texts_j, jnp.int32(n)), 5, 45)
+
+        # ---- text tower texts/sec (calibrated int8, mixer path) -----------
+        from clip_mixer_tpu.ops.quant import calibrate_text_tower, encode_text_q, quantize_text_tower
+
+        t_scales = jax.jit(lambda p, t: calibrate_text_tower(p, cfg, t))(params, texts_j[:256])
+        tq = jax.jit(lambda p, s: quantize_text_tower(p, cfg, s))(params, t_scales)
+
+        @jax.jit
+        def chained_tq(p, toks, n):
+            def body(_, carry):
+                perturbed = (toks + carry.astype(jnp.int32)) % cfg.vocab_size
+                f = encode_text_q(p, cfg, perturbed)
+                return (f.astype(jnp.float32).mean() * 1e-9).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        text_int8_ips = tbatch / _slope_time(lambda n: chained_tq(tq, texts_j, jnp.int32(n)), 5, 45)
 
         # ---- full train step imgs/sec (batch 1024, remat) ----------------
         from clip_mixer_tpu.ops.losses import info_nce
@@ -209,6 +226,7 @@ def main():
                     "int8_imgs_per_sec": round(int8_ips, 1),
                     "int8_accuracy_gate": gate,
                     "encode_text_texts_per_sec_bf16": round(text_ips, 1) if text_ips else None,
+                    "encode_text_texts_per_sec_int8": round(text_int8_ips, 1) if text_int8_ips else None,
                     "train_step_imgs_per_sec_b1024_remat": round(train_ips, 1) if train_ips else None,
                     "batch": batch,
                     "flops_per_image": flops,
