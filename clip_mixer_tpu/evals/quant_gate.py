@@ -278,3 +278,69 @@ def noise_floor_gate(
         "min_cosine_int8_vs_f32": float(cos_q.min()),
         "passed": bool(ratio <= max_flip_ratio),
     }
+
+
+def text_quant_fns(cfg: CLIPConfig):
+    """(calibrate, quantize, encode_q) for cfg's TEXT tower — the one
+    dispatch for the text-side gate and serving."""
+    from clip_mixer_tpu.ops import quant
+
+    if cfg.use_transformer:
+        return (
+            quant.calibrate_vit_text_tower,
+            quant.quantize_vit_text_tower,
+            quant.encode_text_vit_q,
+        )
+    return (
+        quant.calibrate_text_tower,
+        quant.quantize_text_tower,
+        quant.encode_text_q,
+    )
+
+
+def text_noise_floor_gate(
+    params,
+    cfg: CLIPConfig,
+    texts: np.ndarray,
+    image_bank: np.ndarray,
+    calibrate_n: int = 128,
+    batch_size: int = 256,
+    max_flip_ratio: float = 2.5,
+) -> Dict[str, float]:
+    """The noise-floor gate for the TEXT tower (same budget logic as
+    :func:`noise_floor_gate`): each tokenized text retrieves its top-1 image
+    from a float image-feature bank ``image_bank`` [embed_dim, M] — the
+    text-side analogue of the class-prompt classifier — and the int8 path's
+    retrieval flip rate vs f32 must stay within ``max_flip_ratio`` times the
+    flip rate bf16 numerics already introduce."""
+    cfg32 = cfg.replace(compute_dtype="float32")
+    f_f32 = jax.jit(lambda p, t: clip_model.l2_normalize(clip_model.encode_text(p, cfg32, t)))
+    f_bf16 = jax.jit(lambda p, t: clip_model.l2_normalize(clip_model.encode_text(p, cfg, t)))
+
+    calibrate, quantize, encode_q = text_quant_fns(cfg)
+    scales = jax.jit(lambda p, t: calibrate(p, cfg, t))(params, jnp.asarray(texts[:calibrate_n]))
+    qparams = jax.jit(lambda p, s: quantize(p, cfg, s))(params, scales)
+    f_int8 = jax.jit(lambda p, t: clip_model.l2_normalize(encode_q(p, cfg, t)))
+
+    ff32 = _batched_feats(f_f32, params, texts, batch_size)
+    fbf = _batched_feats(f_bf16, params, texts, batch_size)
+    fq = _batched_feats(f_int8, qparams, texts, batch_size)
+
+    t32 = (100.0 * ff32 @ image_bank).argmax(-1)
+    t16 = (100.0 * fbf @ image_bank).argmax(-1)
+    tq = (100.0 * fq @ image_bank).argmax(-1)
+    flip_bf16 = float((t32 != t16).mean())
+    flip_int8 = float((t32 != tq).mean())
+    n = texts.shape[0]
+    ratio = flip_int8 / max(flip_bf16, 1.0 / n)
+    cos_q = (ff32 * fq).sum(-1)
+    return {
+        "n": int(n),
+        "flip_bf16_vs_f32": flip_bf16,
+        "flip_int8_vs_f32": flip_int8,
+        "flip_ratio": float(ratio),
+        "max_flip_ratio": float(max_flip_ratio),
+        "agreement_int8_vs_bf16": float((t16 == tq).mean()),
+        "min_cosine_int8_vs_f32": float(cos_q.min()),
+        "passed": bool(ratio <= max_flip_ratio),
+    }
