@@ -152,6 +152,31 @@ class Trainer:
 
     def train(self) -> None:
         first_caption_logged = -1
+        # Preemption safety: TPU slices get SIGTERM'd (maintenance events,
+        # spot reclaims). Losing everything since the last cadence save is
+        # avoidable — mark the request and checkpoint at the next step
+        # boundary, then exit the loop cleanly. Orbax saves are collective,
+        # and a preemption signals EVERY worker of the slice, so all
+        # processes reach the same save. Handlers only install in the main
+        # thread (signal.signal raises elsewhere) and are restored on exit.
+        import signal
+        import threading
+
+        stop_requested = threading.Event()
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            def _request_stop(signum, frame):
+                stop_requested.set()
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+        try:
+            self._train_loop(first_caption_logged, stop_requested)
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+
+    def _train_loop(self, first_caption_logged: int, stop_requested) -> None:
         # Host-side step counter (== state.step at all times): fetching
         # state.step from the device every iteration would force a host-device
         # sync and defeat async dispatch.
@@ -202,6 +227,19 @@ class Trainer:
                     steps_since_t0 = 0
                 if step % self.validate_every_steps == 0:
                     self.validate(step)
+                if stop_requested.is_set():
+                    # Preemption/interrupt: persist the completed step and
+                    # leave — a restarted Trainer resumes from exactly here
+                    # (batch_idx already points at the NEXT batch, the same
+                    # contract as the cadence save above).
+                    self._flush_metrics(pending)
+                    if self.checkpointer.latest_step() != step:
+                        self.save(epoch, batch_idx)
+                    self.checkpointer.wait()
+                    self.writer.flush()
+                    if self.verbose and self.is_lead:
+                        print(f"preemption save: step {step} (epoch {epoch}, batch {batch_idx})", flush=True)
+                    return
             self._flush_metrics(pending)
             self.start_batch = 0
         # Final save unless the cadence save already captured this exact step

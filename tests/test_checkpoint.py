@@ -106,3 +106,73 @@ def test_max_to_keep(tmp_path):
     # retention actually pruned: exactly the newest two step dirs remain
     kept = sorted(int(p.name) for p in (tmp_path / "k").iterdir() if p.name.isdigit())
     assert kept == [2, 3]
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption safety: SIGTERM mid-training makes the Trainer checkpoint
+    the completed step and exit cleanly; a fresh Trainer resumes from it."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    run_dir = str(tmp_path / "preempt_run")
+    child = tmp_path / "child.py"
+    child.write_text(f"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+from clip_mixer_tpu.data.pipeline import SyntheticSource
+from clip_mixer_tpu.train.trainer import Trainer
+
+cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+                 vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                 text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32")
+# cadence far beyond reach: ONLY the preemption path can produce a checkpoint
+tcfg = TrainConfig(global_batch_size=8, epochs=1, steps_per_epoch=100000,
+                   learning_rate=1e-3, warmup_steps=2, checkpoint_every_steps=10**6)
+data = SyntheticSource(batch_size=8, image_size=16, n_batches=100000, context_length=16)
+tr = Trainer(cfg, tcfg, data, {run_dir!r}, verbose=True)
+print("READY", flush=True)
+tr.train()
+print("EXITED_CLEANLY step", tr.global_step, flush=True)
+""")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.Popen(
+        [sys.executable, str(child)], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, env=env, text=True,
+    )
+    try:
+        # wait for READY, give it time to take a few steps, then preempt
+        deadline = time.monotonic() + 120
+        line = ""
+        while "READY" not in line:
+            line = p.stdout.readline()
+            assert line, "child died before READY"
+            assert time.monotonic() < deadline
+        time.sleep(5)
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=120)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, out[-3000:]
+    assert "preemption save: step" in out and "EXITED_CLEANLY" in out, out[-2000:]
+
+    # a fresh Trainer resumes from the preemption checkpoint
+    from clip_mixer_tpu.data.pipeline import SyntheticSource
+    from clip_mixer_tpu.train.trainer import Trainer
+
+    cfg = CFG.replace(context_length=16, vocab_size=49408)
+    tcfg = TrainConfig(global_batch_size=8, epochs=1, steps_per_epoch=100000,
+                       learning_rate=1e-3, warmup_steps=2, checkpoint_every_steps=10**6)
+    data = SyntheticSource(batch_size=8, image_size=16, n_batches=100000, context_length=16)
+    tr = Trainer(cfg, tcfg, data, run_dir)
+    assert tr.global_step > 0
+    assert tr.start_batch == tr.global_step  # epoch 0: batch index == step
