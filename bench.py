@@ -244,5 +244,21 @@ def main():
     )
 
 
+def _is_tunnel_fault(e: BaseException) -> bool:
+    s = repr(e)
+    return any(k in s for k in ("remote_compile", "HTTP 50", "DEADLINE", "UNAVAILABLE", "timed out"))
+
+
 if __name__ == "__main__":
-    main()
+    # The remote-compile tunnel occasionally 500s/timeouts on a cold first
+    # compile (CLAUDE.md: "retry once on a 500/timeout") — do that retry
+    # here so an unattended driver run doesn't lose the round's benchmark.
+    # Nothing is printed before the final JSON line, so a failed first
+    # attempt emits no partial output.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - single retry on tunnel faults only
+        if not _is_tunnel_fault(e):
+            raise
+        time.sleep(20)
+        main()
