@@ -130,6 +130,7 @@ def main():
     gate = None
     text_ips = None
     text_int8_ips = None
+    text_gate = None
     train_ips = None
     if not fast:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
@@ -182,6 +183,30 @@ def main():
 
         text_int8_ips = tbatch / _slope_time(lambda n: chained_tq(tq, texts_j, jnp.int32(n)), 5, 45)
 
+        # ---- text int8 accuracy gate (same noise-floor framing) ----------
+        # The int8 text number above is only as good as its accuracy: run
+        # the retrieval-flip gate every bench so a text-quant regression is
+        # caught here, not only by the one-off full-scale measurement in
+        # README. Bank = f32 features of the deterministic synthetic image
+        # set; texts = the worst-case random-token batch measured above.
+        from clip_mixer_tpu.evals.quant_gate import text_noise_floor_gate
+        from clip_mixer_tpu.ops.preprocess import normalize_images
+
+        bank_imgs = synthetic_images(256, cfg.image_resolution, seed=2)
+        cfg32 = cfg.replace(compute_dtype="float32")
+        bank = np.asarray(
+            jax.jit(
+                lambda p, x: clip_model.l2_normalize(
+                    clip_model.encode_image(p, cfg32, normalize_images(x, dtype="float32"))
+                )
+            )(params, jnp.asarray(bank_imgs)),
+            np.float32,
+        )
+        text_gate = text_noise_floor_gate(
+            params, cfg, texts[:768], bank.T, calibrate_n=128, batch_size=256,
+            max_flip_ratio=MAX_FLIP_RATIO,
+        )
+
         # ---- full train step imgs/sec (batch 1024, remat) ----------------
         from clip_mixer_tpu.ops.losses import info_nce
         from clip_mixer_tpu.train.optimizer import make_optimizer
@@ -227,6 +252,7 @@ def main():
                     "int8_accuracy_gate": gate,
                     "encode_text_texts_per_sec_bf16": round(text_ips, 1) if text_ips else None,
                     "encode_text_texts_per_sec_int8": round(text_int8_ips, 1) if text_int8_ips else None,
+                    "text_int8_accuracy_gate": text_gate,
                     "train_step_imgs_per_sec_b1024_remat": round(train_ips, 1) if train_ips else None,
                     "batch": batch,
                     "flops_per_image": flops,

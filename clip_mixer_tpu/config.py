@@ -259,6 +259,13 @@ class TrainConfig:
     pipeline_microbatches: int = 8
     logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
     checkpoint_every_steps: int = 400  # training.py:197
+    # Multi-host preemption agreement cadence (steps): every N steps all
+    # processes OR their locally-received SIGTERM/SIGINT flags (a tiny
+    # process_allgather) so the preemption checkpoint — a collective orbax
+    # save — is entered by every worker at the SAME step. Single-process
+    # runs act on the flag immediately and never pay the sync. Keep N small
+    # relative to the preemption grace window (~30-90s).
+    preemption_sync_every_steps: int = 20
     # validation cadence; None -> follow checkpoint_every_steps (the
     # reference couples them, training.py:197-205 — decoupled here by design)
     validate_every_steps: Optional[int] = None

@@ -261,19 +261,27 @@ class TarShardSource(DataSource):
             pool.shutdown(wait=False)
 
 
-def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+def prefetch(
+    iterator: Iterator[Batch], depth: int = 2, stop: "threading.Event | None" = None
+) -> Iterator[Batch]:
     """Run the upstream iterator in a background thread with a bounded queue
     so host data work overlaps device steps (the reference leans on
-    DataLoader workers for this, training.py:60-62)."""
+    DataLoader workers for this, training.py:60-62).
+
+    ``stop``: optional externally-owned event; once set, a consumer blocked
+    waiting on the queue stops waiting and the generator ends. Batches
+    already queued are still yielded first. The Trainer passes its
+    preemption flag here so a SIGTERM can interrupt a stalled data wait
+    instead of arriving after the grace window has expired."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
-    stop = threading.Event()
+    worker_stop = threading.Event()
 
     def _put(item) -> bool:
         # Timed puts so an abandoned consumer (loop break / exception) can't
         # leave the worker blocked forever holding tar handles and decode
         # threads upstream.
-        while not stop.is_set():
+        while not worker_stop.is_set():
             try:
                 q.put(item, timeout=0.5)
                 return True
@@ -294,14 +302,22 @@ def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
     t.start()
     try:
         while True:
-            item = q.get()
+            if stop is None:
+                item = q.get()
+            else:
+                try:
+                    item = q.get(timeout=0.5)
+                except queue.Empty:
+                    if stop.is_set():
+                        return
+                    continue
             if item is _END:
                 return
             if isinstance(item, BaseException):
                 raise item
             yield item
     finally:
-        stop.set()
+        worker_stop.set()
 
 
 def write_tar_shards(

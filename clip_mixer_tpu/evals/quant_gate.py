@@ -102,30 +102,10 @@ def build_float_classifier(
     )
 
 
-def image_quant_fns(cfg: CLIPConfig):
-    """(calibrate, quantize, encode_q) for cfg's vision tower — the ONE
-    dispatch for both gates. is_resnet MUST be checked before
-    use_transformer: RN presets carry tower="transformer" for their text
-    side while the visual trunk is the conv tower."""
-    from clip_mixer_tpu.ops import quant
-
-    if cfg.is_resnet:
-        return (
-            quant.calibrate_resnet_tower,
-            quant.quantize_resnet_tower,
-            quant.encode_image_rn_q,
-        )
-    if cfg.use_transformer:
-        return (
-            quant.calibrate_vit_vision_tower,
-            quant.quantize_vit_vision_tower,
-            quant.encode_image_vit_q,
-        )
-    return (
-        quant.calibrate_vision_tower,
-        quant.quantize_vision_tower,
-        quant.encode_image_q,
-    )
+# The (calibrate, quantize, encode_q) tower dispatch lives with the quant
+# kernels themselves so the gates here and serving.Server.enable_int8 select
+# from the SAME table; re-exported for existing importers.
+from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns  # noqa: E402,F401
 
 
 def _batched_feats(fn, p, images_u8: np.ndarray, batch_size: int) -> np.ndarray:
@@ -278,24 +258,6 @@ def noise_floor_gate(
         "min_cosine_int8_vs_f32": float(cos_q.min()),
         "passed": bool(ratio <= max_flip_ratio),
     }
-
-
-def text_quant_fns(cfg: CLIPConfig):
-    """(calibrate, quantize, encode_q) for cfg's TEXT tower — the one
-    dispatch for the text-side gate and serving."""
-    from clip_mixer_tpu.ops import quant
-
-    if cfg.use_transformer:
-        return (
-            quant.calibrate_vit_text_tower,
-            quant.quantize_vit_text_tower,
-            quant.encode_text_vit_q,
-        )
-    return (
-        quant.calibrate_text_tower,
-        quant.quantize_text_tower,
-        quant.encode_text_q,
-    )
 
 
 def text_noise_floor_gate(

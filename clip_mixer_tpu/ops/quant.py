@@ -644,3 +644,24 @@ def calibrate_resnet_tower(
             stage.append(s)
         scales[f"layer{li + 1}"] = stage
     return scales
+
+
+def image_quant_fns(cfg: CLIPConfig):
+    """(calibrate, quantize, encode_q) for cfg's vision tower — the ONE
+    dispatch shared by the accuracy gates (evals/quant_gate.py) and serving
+    (serving.Server.enable_int8). is_resnet MUST be checked before
+    use_transformer: RN presets carry tower="transformer" for their text
+    side while the visual trunk is the conv tower."""
+    if cfg.is_resnet:
+        return (calibrate_resnet_tower, quantize_resnet_tower, encode_image_rn_q)
+    if cfg.use_transformer:
+        return (calibrate_vit_vision_tower, quantize_vit_vision_tower, encode_image_vit_q)
+    return (calibrate_vision_tower, quantize_vision_tower, encode_image_q)
+
+
+def text_quant_fns(cfg: CLIPConfig):
+    """(calibrate, quantize, encode_q) for cfg's TEXT tower — the one
+    dispatch shared by the text-side gate and serving."""
+    if cfg.use_transformer:
+        return (calibrate_vit_text_tower, quantize_vit_text_tower, encode_text_vit_q)
+    return (calibrate_text_tower, quantize_text_tower, encode_text_q)

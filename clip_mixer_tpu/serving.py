@@ -84,22 +84,13 @@ class InferenceEngine:
         +51% imgs/s on v5e for the mixer at feature cosine >0.999
         (ops/quant.py).
         sample_images_u8: [N, H, W, 3] calibration batch."""
-        from clip_mixer_tpu.ops import quant
+        from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
 
         cfg = self.cfg
         sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
-        if cfg.is_resnet:
-            scales = quant.calibrate_resnet_tower(self.params, cfg, sample)
-            qparams = jax.device_put(quant.quantize_resnet_tower(self.params, cfg, scales))
-            encode_q = quant.encode_image_rn_q
-        elif cfg.use_transformer:
-            scales = quant.calibrate_vit_vision_tower(self.params, cfg, sample)
-            qparams = jax.device_put(quant.quantize_vit_vision_tower(self.params, cfg, scales))
-            encode_q = quant.encode_image_vit_q
-        else:
-            scales = quant.calibrate_vision_tower(self.params, cfg, sample)
-            qparams = jax.device_put(quant.quantize_vision_tower(self.params, cfg, scales))
-            encode_q = quant.encode_image_q
+        calibrate, quantize, encode_q = image_quant_fns(cfg)
+        scales = calibrate(self.params, cfg, sample)
+        qparams = jax.device_put(quantize(self.params, cfg, scales))
 
         @jax.jit
         def _encode_image_q(p, images_u8):
@@ -110,14 +101,9 @@ class InferenceEngine:
 
         if sample_texts:
             tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
-            if cfg.use_transformer:
-                t_scales = quant.calibrate_vit_text_tower(self.params, cfg, tokens)
-                tparams = jax.device_put(quant.quantize_vit_text_tower(self.params, cfg, t_scales))
-                encode_text_q = quant.encode_text_vit_q
-            else:
-                t_scales = quant.calibrate_text_tower(self.params, cfg, tokens)
-                tparams = jax.device_put(quant.quantize_text_tower(self.params, cfg, t_scales))
-                encode_text_q = quant.encode_text_q
+            t_calibrate, t_quantize, encode_text_q = text_quant_fns(cfg)
+            t_scales = t_calibrate(self.params, cfg, tokens)
+            tparams = jax.device_put(t_quantize(self.params, cfg, t_scales))
 
             @jax.jit
             def _encode_text_q(p, toks):

@@ -154,11 +154,16 @@ class Trainer:
         first_caption_logged = -1
         # Preemption safety: TPU slices get SIGTERM'd (maintenance events,
         # spot reclaims). Losing everything since the last cadence save is
-        # avoidable — mark the request and checkpoint at the next step
-        # boundary, then exit the loop cleanly. Orbax saves are collective,
-        # and a preemption signals EVERY worker of the slice, so all
-        # processes reach the same save. Handlers only install in the main
-        # thread (signal.signal raises elsewhere) and are restored on exit.
+        # avoidable — mark the request, checkpoint at a step boundary, then
+        # exit the loop cleanly. Orbax saves are collective, so in multi-host
+        # runs the stop decision must be AGREED at an identical step on every
+        # worker: signals land at different wall-clock loop positions per
+        # host, and an unagreed save would be a mismatched/one-sided
+        # collective (hang until SIGKILL). _stop_agreed below ORs the local
+        # flags across processes at a fixed step cadence. Handlers only
+        # install in the main thread (signal.signal raises elsewhere) and are
+        # restored on exit; a second SIGINT escalates to KeyboardInterrupt so
+        # an interactive Ctrl-C Ctrl-C still kills a wedged run.
         import signal
         import threading
 
@@ -166,6 +171,8 @@ class Trainer:
         prev_handlers = {}
         if threading.current_thread() is threading.main_thread():
             def _request_stop(signum, frame):
+                if stop_requested.is_set() and signum == signal.SIGINT:
+                    raise KeyboardInterrupt
                 stop_requested.set()
 
             for sig in (signal.SIGTERM, signal.SIGINT):
@@ -176,18 +183,57 @@ class Trainer:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
 
+    def _stop_agreed(self, stop_requested, step: int) -> bool:
+        """Whether to act on a pending stop request at this step.
+
+        Single process: act immediately. Multi-process: every
+        preemption_sync_every_steps, OR the local flags across processes —
+        every host executes this collective at the same loop step, so a True
+        verdict commits ALL hosts to the same preemption save. The cadence
+        bounds the sync cost; keep it small relative to the preemption grace
+        window (20 steps at ~0.5s/step ≈ 10s against a 30-90s window).
+        """
+        if jax.process_count() == 1:
+            return stop_requested.is_set()
+        if step % self.tcfg.preemption_sync_every_steps != 0:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([stop_requested.is_set()], np.bool_)
+        )
+        return bool(np.any(flags))
+
+    def _preemption_exit(self, pending, epoch: int, batch_idx: int, step: int) -> None:
+        """Persist the completed step and leave — a restarted Trainer resumes
+        from exactly here (batch_idx already points at the NEXT batch, the
+        same contract as the cadence save)."""
+        self._flush_metrics(pending)
+        if self.checkpointer.latest_step() != step:
+            self.save(epoch, batch_idx)
+        self.checkpointer.wait()
+        self.writer.flush()
+        if self.verbose and self.is_lead:
+            print(f"preemption save: step {step} (epoch {epoch}, batch {batch_idx})", flush=True)
+
     def _train_loop(self, first_caption_logged: int, stop_requested) -> None:
         # Host-side step counter (== state.step at all times): fetching
         # state.step from the device every iteration would force a host-device
         # sync and defeat async dispatch.
         step = self.global_step
+        # Single process: let a stop request also interrupt a BLOCKED data
+        # wait (stalled tar read / dead decode worker) so the preemption save
+        # happens within the grace window even when input-bound. Multi-host
+        # keeps the blocking wait: an early per-host exit could not reach the
+        # collective save anyway — agreement happens at step boundaries.
+        prefetch_stop = stop_requested if jax.process_count() == 1 else None
         for epoch in range(self.start_epoch, self.tcfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             batch_idx = start_batch
             t0 = time.monotonic()
             steps_since_t0 = 0
             pending = []  # (step, metrics) awaiting device_get at cadence
-            for host_batch in prefetch(self.data.iter_batches(epoch, start_batch)):
+            for host_batch in prefetch(self.data.iter_batches(epoch, start_batch), stop=prefetch_stop):
                 # Per-epoch cap checked BEFORE stepping (the reference's
                 # iterationPerEpoch break, training.py:192-194): resuming from
                 # an epoch-boundary checkpoint must not train an extra step.
@@ -225,22 +271,22 @@ class Trainer:
                     self.save(epoch, batch_idx)
                     t0 = time.monotonic()
                     steps_since_t0 = 0
+                # Stop check BEFORE validation: a validation pass (host
+                # all-gather of params + every validator) can take minutes at
+                # scale and would eat the whole preemption grace window
+                # before the checkpoint is written.
+                if self._stop_agreed(stop_requested, step):
+                    self._preemption_exit(pending, epoch, batch_idx, step)
+                    return
                 if step % self.validate_every_steps == 0:
                     self.validate(step)
-                if stop_requested.is_set():
-                    # Preemption/interrupt: persist the completed step and
-                    # leave — a restarted Trainer resumes from exactly here
-                    # (batch_idx already points at the NEXT batch, the same
-                    # contract as the cadence save above).
-                    self._flush_metrics(pending)
-                    if self.checkpointer.latest_step() != step:
-                        self.save(epoch, batch_idx)
-                    self.checkpointer.wait()
-                    self.writer.flush()
-                    if self.verbose and self.is_lead:
-                        print(f"preemption save: step {step} (epoch {epoch}, batch {batch_idx})", flush=True)
-                    return
             self._flush_metrics(pending)
+            if prefetch_stop is not None and stop_requested.is_set():
+                # The data wait was interrupted (or the source ended with a
+                # stop pending): save mid-epoch instead of rolling into the
+                # next epoch's iterator.
+                self._preemption_exit([], epoch, batch_idx, step)
+                return
             self.start_batch = 0
         # Final save unless the cadence save already captured this exact step
         # (orbax would silently skip a duplicate step id).

@@ -108,6 +108,30 @@ def test_max_to_keep(tmp_path):
     assert kept == [2, 3]
 
 
+def _wait_for_line(p, token: str, timeout: float = 120.0) -> None:
+    """Read child stdout until a line contains ``token``, honoring the
+    deadline even while the child prints nothing. select() before each
+    readline: a bare readline blocks with the pipe open, so a child wedged
+    BEFORE its first print (compile stall) would hang the suite instead of
+    failing cleanly."""
+    import select
+    import time
+
+    deadline = time.monotonic() + timeout
+    line = ""
+    while token not in line:
+        remaining = deadline - time.monotonic()
+        assert remaining > 0, f"timed out waiting for {token}"
+        ready, _, _ = select.select([p.stdout], [], [], remaining)
+        assert ready, f"timed out waiting for {token}"
+        line = p.stdout.readline()
+        assert line, f"child died before {token}"
+
+
+def _wait_for_ready(p, timeout: float = 120.0) -> None:
+    _wait_for_line(p, "READY", timeout)
+
+
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     """Preemption safety: SIGTERM mid-training makes the Trainer checkpoint
     the completed step and exit cleanly; a fresh Trainer resumes from it."""
@@ -149,13 +173,7 @@ print("EXITED_CLEANLY step", tr.global_step, flush=True)
         stderr=subprocess.STDOUT, env=env, text=True,
     )
     try:
-        # wait for READY, give it time to take a few steps, then preempt
-        deadline = time.monotonic() + 120
-        line = ""
-        while "READY" not in line:
-            line = p.stdout.readline()
-            assert line, "child died before READY"
-            assert time.monotonic() < deadline
+        _wait_for_ready(p)
         time.sleep(5)
         p.send_signal(signal.SIGTERM)
         out, _ = p.communicate(timeout=120)
@@ -176,3 +194,73 @@ print("EXITED_CLEANLY step", tr.global_step, flush=True)
     tr = Trainer(cfg, tcfg, data, run_dir)
     assert tr.global_step > 0
     assert tr.start_batch == tr.global_step  # epoch 0: batch index == step
+
+
+def test_sigterm_while_blocked_on_data_still_checkpoints(tmp_path):
+    """Preemption must not depend on the data pipeline making progress: a
+    SIGTERM while the trainer is BLOCKED waiting for a stalled source (hung
+    tar read, dead decode worker) still checkpoints the completed steps and
+    exits cleanly inside the grace window (prefetch's interruptible wait)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    run_dir = str(tmp_path / "stall_run")
+    child = tmp_path / "child.py"
+    child.write_text(f"""
+import sys
+import time
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+from clip_mixer_tpu.data.pipeline import SyntheticSource
+from clip_mixer_tpu.train.trainer import Trainer
+
+class StallAfter:
+    \"\"\"Yields the inner source's batches, then hangs forever.\"\"\"
+    def __init__(self, inner):
+        self.inner = inner
+        self.batches_per_epoch = 100000
+    def iter_batches(self, epoch, start_batch=0):
+        yield from self.inner.iter_batches(epoch, start_batch)
+        print("STALLED", flush=True)
+        time.sleep(100000)
+
+cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+                 vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                 text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32")
+tcfg = TrainConfig(global_batch_size=8, epochs=1, steps_per_epoch=100000,
+                   learning_rate=1e-3, warmup_steps=2, checkpoint_every_steps=10**6)
+data = StallAfter(SyntheticSource(batch_size=8, image_size=16, n_batches=1, context_length=16))
+tr = Trainer(cfg, tcfg, data, {run_dir!r}, verbose=True)
+print("READY", flush=True)
+tr.train()
+print("EXITED_CLEANLY step", tr.global_step, flush=True)
+""")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.Popen(
+        [sys.executable, str(child)], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, env=env, text=True,
+    )
+    try:
+        _wait_for_ready(p)
+        # the single batch is prefetched immediately, so STALLED prints right
+        # away; the long sleep then lets the consumer finish compiling and
+        # stepping batch 1 and settle into the BLOCKED data wait before the
+        # signal lands. (With the old blocking q.get() this SIGTERM would
+        # hang the child forever and communicate() below would time out.)
+        _wait_for_line(p, "STALLED")
+        time.sleep(20)
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=120)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, out[-3000:]
+    assert "preemption save: step 1" in out and "EXITED_CLEANLY" in out, out[-2000:]

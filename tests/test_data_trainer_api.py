@@ -203,6 +203,76 @@ def test_prefetch_propagates_errors():
         next(it)
 
 
+def test_prefetch_stop_interrupts_blocked_wait():
+    """A consumer blocked on a stalled source must unblock once the stop
+    event is set (the Trainer's preemption flag rides this) — but batches
+    already queued are still delivered first."""
+    import threading
+    import time as _time
+
+    stall = threading.Event()
+
+    def stalling():
+        yield {"i": 0}
+        yield {"i": 1}
+        stall.wait()  # never set: upstream hangs forever
+
+    stop = threading.Event()
+    it = prefetch(stalling(), depth=2, stop=stop)
+    assert next(it)["i"] == 0
+    assert next(it)["i"] == 1
+    t0 = _time.monotonic()
+    threading.Timer(0.3, stop.set).start()
+    remaining = list(it)  # would hang forever without the stop event
+    assert remaining == []
+    assert _time.monotonic() - t0 < 10
+    stall.set()  # let the worker thread die
+
+
+def test_stop_agreed_multiprocess_cadence(monkeypatch, tmp_path):
+    """In multi-process mode the preemption stop must only be acted on at
+    the agreement cadence (every host reaches the collective at the same
+    step); off-cadence steps ignore the local flag."""
+    import threading
+
+    import jax as _jax
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    data = SyntheticSource(batch_size=4, image_size=16, n_batches=2, context_length=16)
+    tcfg = TrainConfig(global_batch_size=4, epochs=1, learning_rate=1e-3,
+                       warmup_steps=2, checkpoint_every_steps=100,
+                       preemption_sync_every_steps=4)
+    tr = Trainer(CFG, tcfg, data, str(tmp_path / "agree"), mesh=mesh)
+    flag = threading.Event()
+    flag.set()
+
+    # single process: acted on immediately at any step
+    assert tr._stop_agreed(flag, 3) is True
+    # "multi-process": off-cadence steps defer; cadence steps OR the flags
+    # gathered from every process (collective stubbed — its real multi-host
+    # execution is covered by tests/test_multiprocess.py's infrastructure)
+    from jax.experimental import multihost_utils
+
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(np.asarray(x))
+        return np.stack([np.asarray(x), np.asarray([other_flag])])
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    other_flag = False
+    assert tr._stop_agreed(flag, 3) is False  # off-cadence: no collective
+    assert calls == []
+    assert tr._stop_agreed(flag, 8) is True  # local flag set
+    other_flag = True
+    unset = threading.Event()
+    assert tr._stop_agreed(unset, 8) is True  # OTHER host's flag suffices
+    other_flag = False
+    assert tr._stop_agreed(unset, 8) is False
+    assert len(calls) == 3  # collective ran only at cadence steps
+
+
 class _KillAfter:
     """DataSource wrapper that raises once, mid-epoch, on its first pass —
     simulating a crash between two checkpoints."""
