@@ -13,8 +13,10 @@ For production deployment this module provides:
   [...]} (PNG/JPEG), POST /classify {"images_b64": [...]} against a loaded
   classifier, and GET /healthz.
 
-Single-process, single-device by design: cross-replica serving is a router
-concern, not a model concern.
+Single-process by design: cross-HOST serving is a router concern, not a
+model concern. Within a host, the engine optionally drives every local chip
+(``InferenceEngine(mesh=...)``): params replicated, each padded batch
+sharded over the mesh — data-parallel inference without per-chip processes.
 """
 
 from __future__ import annotations
@@ -40,10 +42,27 @@ from clip_mixer_tpu.text.fast import fast_tokenize
 
 
 class InferenceEngine:
-    """Padded fixed-shape encoders; one compiled program per batch bucket."""
+    """Padded fixed-shape encoders; one compiled program per batch bucket.
 
-    def __init__(self, params, cfg: CLIPConfig, batch_buckets: Sequence[int] = (8, 32, 128)):
-        self.params = jax.device_put(params)
+    ``mesh``: optional ``jax.sharding.Mesh`` — params are replicated and
+    every padded batch is sharded over ALL mesh axes, so one engine drives
+    every chip of a multi-chip serving host (v5e-4/8) data-parallel from a
+    single process. Batch buckets are rounded up to multiples of the device
+    count so the batch axis always shards evenly."""
+
+    def __init__(self, params, cfg: CLIPConfig, batch_buckets: Sequence[int] = (8, 32, 128), mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._rep_sharding = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+            n_dev = mesh.devices.size
+            batch_buckets = sorted({-(-b // n_dev) * n_dev for b in batch_buckets})
+        else:
+            self._rep_sharding = None
+            self._batch_sharding = None
+        self.params = self._put_params(params)
         self.cfg = cfg
         self.buckets = sorted(batch_buckets)
 
@@ -90,7 +109,7 @@ class InferenceEngine:
         sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
         calibrate, quantize, encode_q = image_quant_fns(cfg)
         scales = calibrate(self.params, cfg, sample)
-        qparams = jax.device_put(quantize(self.params, cfg, scales))
+        qparams = self._put_params(quantize(self.params, cfg, scales))
 
         @jax.jit
         def _encode_image_q(p, images_u8):
@@ -103,13 +122,25 @@ class InferenceEngine:
             tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
             t_calibrate, t_quantize, encode_text_q = text_quant_fns(cfg)
             t_scales = t_calibrate(self.params, cfg, tokens)
-            tparams = jax.device_put(t_quantize(self.params, cfg, t_scales))
+            tparams = self._put_params(t_quantize(self.params, cfg, t_scales))
 
             @jax.jit
             def _encode_text_q(p, toks):
                 return clip_model.l2_normalize(encode_text_q(p, cfg, toks))
 
             self._text_path = (_encode_text_q, tparams)  # atomic swap
+
+    def _put_params(self, tree):
+        """Place a param tree for the engine's device layout (replicated
+        over the mesh when one is configured)."""
+        if self._rep_sharding is not None:
+            return jax.device_put(tree, self._rep_sharding)
+        return jax.device_put(tree)
+
+    def _put_batch(self, chunk: np.ndarray):
+        if self._batch_sharding is not None:
+            return jax.device_put(chunk, self._batch_sharding)
+        return jnp.asarray(chunk)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -130,7 +161,7 @@ class InferenceEngine:
             chunk = arr[i : i + take]
             if take < b:
                 chunk = np.concatenate([chunk, np.zeros((b - take,) + arr.shape[1:], arr.dtype)])
-            out.append(np.asarray(fn(params, jnp.asarray(chunk)), np.float32)[:take])
+            out.append(np.asarray(fn(params, self._put_batch(chunk)), np.float32)[:take])
             i += take
         return np.concatenate(out)
 
@@ -289,10 +320,19 @@ def main():  # pragma: no cover - CLI
     p.add_argument("--model", required=True)
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--classifier", default=None, help="'imagenet' or a file with one classname per line")
+    p.add_argument(
+        "--all-devices", action="store_true",
+        help="shard each batch over every local chip (data-parallel serving)",
+    )
     args = p.parse_args()
 
     params, cfg, _ = load(args.model)
-    engine = InferenceEngine(params, cfg)
+    mesh = None
+    if args.all_devices and len(jax.local_devices()) > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+    engine = InferenceEngine(params, cfg, mesh=mesh)
     if args.classifier:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
 

@@ -213,3 +213,39 @@ def test_enable_int8_transformer_preset_full():
     t_q = engine.encode_text(["a photo of a cat"])
     assert (f_bf * f_q).sum(-1).min() > 0.99
     assert float((t_bf * t_q).sum(-1)[0]) > 0.99
+
+
+def test_mesh_engine_matches_single_device():
+    """A mesh-backed engine (batch sharded over all local devices, params
+    replicated) must produce the same features as the single-device engine —
+    bf16/int8 paths included — and round its buckets up to shard evenly."""
+    from jax.sharding import Mesh
+
+    params = clip_model.init(jax.random.key(1), CFG)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (10, 32, 32, 3), dtype=np.uint8)
+    texts = ["a cat", "a dog on a mat", "hello world"]
+
+    single = InferenceEngine(params, CFG, batch_buckets=(4, 8))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    meshed = InferenceEngine(params, CFG, batch_buckets=(2, 4, 6, 8), mesh=mesh)
+    assert meshed.buckets == [4, 8]  # 2->4, 6->8: multiples of 4 devices
+
+    np.testing.assert_allclose(
+        single.encode_image_arrays(imgs), meshed.encode_image_arrays(imgs),
+        rtol=0, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        single.encode_text(texts), meshed.encode_text(texts), rtol=0, atol=1e-6
+    )
+
+    # int8 path under the mesh: qparams placed replicated, batch sharded
+    single.enable_int8(imgs[:4], sample_texts=texts)
+    meshed.enable_int8(imgs[:4], sample_texts=texts)
+    np.testing.assert_allclose(
+        single.encode_image_arrays(imgs), meshed.encode_image_arrays(imgs),
+        rtol=0, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        single.encode_text(texts), meshed.encode_text(texts), rtol=0, atol=1e-6
+    )
