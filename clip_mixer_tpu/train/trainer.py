@@ -44,11 +44,20 @@ class Trainer:
         chunk_size: Optional[int] = None,
         params=None,
         verbose: bool = False,
+        profile_steps: int = 0,
     ):
         self.cfg, self.tcfg, self.data = cfg, tcfg, data
         self.mesh = mesh if mesh is not None else make_mesh()
         self.verbose = verbose
         self.is_lead = jax.process_index() == 0
+        # profile_steps > 0: capture a TensorBoard-viewable device trace of
+        # that many steady-state steps (the run's second step onward, so the
+        # first step's compile doesn't dominate the trace) to
+        # {run_dir}/profile on the lead process (SURVEY §5: the reference
+        # has no tracing at all).
+        self.profile_steps = profile_steps
+        self._profile_dir = f"{run_dir}/profile"
+        self._profiling = False
 
         steps_per_epoch = tcfg.steps_per_epoch or data.batches_per_epoch
         if steps_per_epoch is None:
@@ -180,6 +189,9 @@ class Trainer:
         try:
             self._train_loop(first_caption_logged, stop_requested)
         finally:
+            if self._profiling:  # loop left early mid-capture
+                jax.profiler.stop_trace()
+                self._profiling = False
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
 
@@ -221,6 +233,7 @@ class Trainer:
         # state.step from the device every iteration would force a host-device
         # sync and defeat async dispatch.
         step = self.global_step
+        run_start_step = step  # for the steady-state profile window
         # Single process: let a stop request also interrupt a BLOCKED data
         # wait (stalled tar read / dead decode worker) so the preemption save
         # happens within the grace window even when input-bound. Multi-host
@@ -260,6 +273,20 @@ class Trainer:
                 steps_since_t0 += 1
                 if self.is_lead:
                     pending.append((step, metrics))  # device arrays; no sync
+                if self.profile_steps and self.is_lead:
+                    # Window = steps [start+2, start+1+N]: step start+1 paid
+                    # the compile; block at both edges so the capture holds
+                    # exactly N whole steady-state steps of device work.
+                    if step == run_start_step + 1 and not self._profiling:
+                        jax.block_until_ready(self.state)
+                        jax.profiler.start_trace(self._profile_dir)
+                        self._profiling = True
+                    elif self._profiling and step == run_start_step + 1 + self.profile_steps:
+                        jax.block_until_ready(self.state)
+                        jax.profiler.stop_trace()
+                        self._profiling = False
+                        if self.verbose:
+                            print(f"profile: {self.profile_steps} steps traced to {self._profile_dir}")
 
                 if step % self.tcfg.checkpoint_every_steps == 0:
                     self._flush_metrics(pending)

@@ -387,3 +387,19 @@ def test_tar_source_process_decode_matches_thread(tmp_path):
     for ba, bb in zip(a.iter_batches(0), b.iter_batches(0)):
         np.testing.assert_array_equal(ba["images"], bb["images"])
         np.testing.assert_array_equal(ba["texts"], bb["texts"])
+
+
+def test_trainer_profile_steps_writes_trace(tmp_path):
+    """profile_steps captures a steady-state device trace: the profile dir
+    exists and contains an .xplane.pb after training past the window."""
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    data = SyntheticSource(batch_size=4, image_size=16, n_batches=5, context_length=16)
+    tcfg = TrainConfig(global_batch_size=4, epochs=1, learning_rate=1e-3,
+                       warmup_steps=2, checkpoint_every_steps=100)
+    run = tmp_path / "prof_run"
+    tr = Trainer(CFG, tcfg, data, str(run), mesh=mesh, profile_steps=2)
+    tr.train()
+    assert tr.global_step == 5
+    assert not tr._profiling
+    traces = list((run / "profile").rglob("*.xplane.pb"))
+    assert traces, list((run / "profile").rglob("*"))

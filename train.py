@@ -72,6 +72,9 @@ def parse_args():
                         "pre-activations so backward skips the dominant matmul "
                         "recompute (~[B,T,4W] bf16/block); 'all_hidden' also "
                         "keeps the mixer token-mix hidden")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="trace this many steady-state steps to outputs/<run>/profile "
+                        "(TensorBoard profile plugin; lead process only)")
     p.add_argument("--verbose", action="store_true")
     # Explicit rendezvous/platform — used by launch.rehearse_local (a pod
     # launch on real TPUs needs none of these: jax.distributed.initialize()
@@ -184,6 +187,7 @@ def main():
         grad_through_gather=args.grad_through_gather,
         chunk_size=args.chunk_size,
         verbose=args.verbose,
+        profile_steps=args.profile_steps,
     )
     trainer.train()
 
