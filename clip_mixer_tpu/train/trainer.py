@@ -56,6 +56,7 @@ class Trainer:
         # {run_dir}/profile on the lead process (SURVEY §5: the reference
         # has no tracing at all).
         self.profile_steps = profile_steps
+        self.run_dir = run_dir
         self._profile_dir = f"{run_dir}/profile"
         self._profiling = False
 
@@ -320,6 +321,7 @@ class Trainer:
         if self.checkpointer.latest_step() != step:
             self.save(self.tcfg.epochs, 0)
         self.checkpointer.wait()
+        self.export()
         self.writer.flush()
 
     def _flush_metrics(self, pending) -> None:
@@ -335,6 +337,24 @@ class Trainer:
 
     def save(self, epoch: int, batch_idx: int) -> None:
         self.checkpointer.save(self.state, epoch=epoch, step=batch_idx)
+
+    def export(self, path: Optional[str] = None) -> str:
+        """Write the inference-ready export (save_pretrained layout:
+        config.json + params-only orbax) that the rest of the stack
+        consumes — api.load, `eval.py --model`, `serving --model`
+        (`outputs/<run>/export`). Training checkpoints hold the full
+        optimizer state in the run's shardings and are NOT loadable by the
+        inference API; this is the bridge, written automatically when
+        training completes (the reference leaves trained weights inside
+        Accelerate state dirs, validateModel.py:48-50). Multi-host safe:
+        params are gathered on device, written by the lead process."""
+        path = path or f"{self.run_dir}/export"
+        params = self._host_params()
+        if self.is_lead:
+            from clip_mixer_tpu.api import save_pretrained
+
+            save_pretrained(params, self.cfg, path)
+        return path
 
     def _host_params(self):
         """Fetch live params to host memory. Under FSDP/PP the state is

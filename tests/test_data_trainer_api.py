@@ -163,6 +163,15 @@ def test_trainer_end_to_end_with_resume(tmp_path):
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(a, b)
 
+    # Completion wrote the inference export (the documented
+    # `outputs/<run>/export` consumed by eval.py / serving / api.load),
+    # holding exactly the final params.
+    exp_params, exp_cfg, _ = cm.load(f"{run}/export")
+    assert exp_cfg == CFG
+    le = jax.tree.leaves(jax.tree.map(np.asarray, exp_params))
+    for a, e in zip(la, le):
+        np.testing.assert_array_equal(a, e)
+
 
 def test_api_presets_and_save_load(tmp_path):
     assert "ViT-B/32" in cm.available_models()
