@@ -188,6 +188,17 @@ class CLIP:
 
     __call__ = forward
 
+    def state_dict(self) -> dict:
+        """Reference-format torch state_dict (model.py naming), so compat
+        users can `torch.save(model.state_dict(), ...)` and load the result
+        with the reference's ``build_model`` — or back into :func:`load`."""
+        from clip_mixer_tpu.models.convert import params_to_state_dict
+
+        return {
+            k: torch.as_tensor(v)
+            for k, v in params_to_state_dict(self.params, self.cfg).items()
+        }
+
     def logits(self, image, text) -> Tuple[torch.Tensor, torch.Tensor]:
         """(logits_per_image, logits_per_text) — the OpenAI demo contract
         the stale reference tests/test.py expected from forward."""

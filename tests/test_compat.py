@@ -123,6 +123,20 @@ def test_torch_idioms_and_attributes(model_and_preprocess):
     assert model.dtype == torch.float32
 
 
+def test_state_dict_round_trips(model_and_preprocess, tmp_path):
+    """torch.save(model.state_dict()) must be loadable back through load()."""
+    model, _, params = model_and_preprocess
+    sd = model.state_dict()
+    assert all(isinstance(v, torch.Tensor) for v in sd.values())
+    pt = tmp_path / "compat.pt"
+    torch.save(sd, pt)
+    model2, _ = clip.load(str(pt), device="cpu")
+    toks = clip.tokenize(["round trip"], context_length=16, truncate=True)
+    np.testing.assert_allclose(
+        model.encode_text(toks).numpy(), model2.encode_text(toks).numpy(), atol=1e-5
+    )
+
+
 def test_load_preset_by_name():
     model, preprocess = clip.load("mixer-debug", device="cpu")
     assert model.input_resolution == model.cfg.image_resolution
