@@ -73,18 +73,32 @@ def _download(url: str, root: str) -> str:
     return target
 
 
+def _as_path(path: str):
+    """epath.Path that keeps remote URIs (gs://...) intact — os.path.abspath
+    would mangle the scheme into a local ./gs:/ directory."""
+    from etils import epath
+
+    return epath.Path(path if "://" in path else os.path.abspath(path))
+
+
 def save_pretrained(params, cfg: CLIPConfig, path: str) -> None:
-    """Native inference checkpoint: orbax params + config.json."""
+    """Native inference checkpoint: orbax params + config.json.
+
+    Multi-host: call from EVERY process — the orbax save is a collective
+    (it synchronizes all processes and writes from the primary host only);
+    entering it on one rank deadlocks the others at the save barrier.
+    config.json is written by process 0. Local and gs:// paths both work.
+    """
     import dataclasses
 
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    p = _as_path(path)
+    if jax.process_index() == 0:
+        p.mkdir(parents=True, exist_ok=True)
+        (p / "config.json").write_text(json.dumps(dataclasses.asdict(cfg), indent=2))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "params"), params, force=True)
+    ckptr.save(p / "params", params, force=True)
     ckptr.wait_until_finished()
     ckptr.close()
 
@@ -94,9 +108,8 @@ def load_pretrained(path: str) -> Tuple[dict, CLIPConfig]:
 
     import dataclasses
 
-    path = os.path.abspath(path)
-    with open(os.path.join(path, "config.json")) as f:
-        raw = json.load(f)
+    p = _as_path(path)
+    raw = json.loads((p / "config.json").read_text())
     if isinstance(raw.get("vision_layers"), list):
         raw["vision_layers"] = tuple(raw["vision_layers"])
     # Ignore config keys this version doesn't know (forward compatibility
@@ -107,7 +120,7 @@ def load_pretrained(path: str) -> Tuple[dict, CLIPConfig]:
     # Restore onto the CURRENT devices: a bare restore pins arrays to the
     # shardings recorded at save time, which fails when the checkpoint was
     # written on a different platform (e.g. saved on CPU, loaded on TPU).
-    item = os.path.join(path, "params")
+    item = p / "params"
     meta = ckptr.metadata(item)
     sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     target = jax.tree.map(
@@ -136,6 +149,8 @@ def load(
         from clip_mixer_tpu.models.convert import load_torch_checkpoint
 
         params, cfg = load_torch_checkpoint(path)
+    elif "://" in name:  # remote native export, e.g. gs://bucket/run/export
+        params, cfg = load_pretrained(name)
     elif os.path.isdir(name):
         if os.path.exists(os.path.join(name, "config.json")):
             params, cfg = load_pretrained(name)

@@ -52,12 +52,7 @@ import jax.numpy as jnp
 from clip_mixer_tpu import api
 from clip_mixer_tpu.config import CLIPConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.preprocess import (
-    CLIP_MEAN,
-    CLIP_STD,
-    make_transform,
-    normalize_images,
-)
+from clip_mixer_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, normalize_images
 from clip_mixer_tpu.text import tokenize as _tokenize_np
 
 __all__ = ["available_models", "load", "tokenize"]
@@ -195,7 +190,7 @@ class CLIP:
         from clip_mixer_tpu.models.convert import params_to_state_dict
 
         return {
-            k: torch.as_tensor(v)
+            k: _to_torch(v, v.dtype)
             for k, v in params_to_state_dict(self.params, self.cfg).items()
         }
 
@@ -208,11 +203,11 @@ class CLIP:
         return (_to_torch(per_image), _to_torch(per_text))
 
 
-def _make_torch_transform(n_px: int):
+def _make_torch_transform(hwc_uint8):
     """The reference `_transform(n_px)` composed with the deferred
     normalisation (clip.py:76-87 + training.py:115): PIL -> normalized CHW
-    float32 torch tensor, byte-parity resize/crop via preprocess_pil."""
-    hwc_uint8 = make_transform(n_px)
+    float32 torch tensor. ``hwc_uint8`` is the native preprocess callable
+    api.load already returns (byte-parity resize/crop via preprocess_pil)."""
     mean = torch.tensor(CLIP_MEAN).view(3, 1, 1)
     std = torch.tensor(CLIP_STD).view(3, 1, 1)
 
@@ -241,7 +236,7 @@ def load(
     if device is None:
         device = "cpu" if jax.default_backend() == "cpu" else "tpu"
     compute_dtype = "float32" if "cpu" in str(device) else "bfloat16"
-    params, cfg, _ = api.load(
+    params, cfg, preprocess_hwc = api.load(
         name, download_root=download_root, compute_dtype=compute_dtype
     )
-    return CLIP(params, cfg), _make_torch_transform(cfg.image_resolution)
+    return CLIP(params, cfg), _make_torch_transform(preprocess_hwc)

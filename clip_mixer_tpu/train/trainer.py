@@ -347,13 +347,15 @@ class Trainer:
         inference API; this is the bridge, written automatically when
         training completes (the reference leaves trained weights inside
         Accelerate state dirs, validateModel.py:48-50). Multi-host safe:
-        params are gathered on device, written by the lead process."""
+        params are gathered on device on every process and EVERY process
+        enters save_pretrained — the orbax save inside is a collective
+        (primary host writes, all hosts synchronize); rank-gating it would
+        deadlock the lead at the save barrier."""
         path = path or f"{self.run_dir}/export"
         params = self._host_params()
-        if self.is_lead:
-            from clip_mixer_tpu.api import save_pretrained
+        from clip_mixer_tpu.api import save_pretrained
 
-            save_pretrained(params, self.cfg, path)
+        save_pretrained(params, self.cfg, path)
         return path
 
     def _host_params(self):
