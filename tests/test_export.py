@@ -80,7 +80,7 @@ def test_export_loads_into_reference_model():
 
     cfg = CFG
     params = clip_model.init(jax.random.key(6), cfg)
-    sd = {k: torch.as_tensor(v) for k, v in params_to_state_dict(params, cfg).items()}
+    sd = {k: torch.as_tensor(v.copy()) for k, v in params_to_state_dict(params, cfg).items()}
 
     tm = TorchCLIP(32, 32, 2, 64, 16, 13, 256, 64, 1, 2, useTransformer=False).float()
     tm.load_state_dict(sd, strict=True)  # strict raises on missing/unexpected keys
