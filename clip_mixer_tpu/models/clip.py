@@ -10,7 +10,6 @@ for the README zero-shot demo.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Tuple
 
 import jax

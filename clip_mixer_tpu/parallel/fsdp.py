@@ -39,7 +39,7 @@ compute sharding for the MLPs from the same annotations.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import functools
 import os
 import subprocess
 import sys
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 

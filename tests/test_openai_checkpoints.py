@@ -44,3 +44,20 @@ def test_vit_b32_demo_probs():
     per_image, _ = clip_model.logits(params, cfg, img, text)
     probs = np.asarray(jax.nn.softmax(per_image, axis=-1))
     np.testing.assert_allclose(probs, EXPECTED, atol=0.01, rtol=0.1)
+
+
+def test_vit_b32_demo_probs_compat():
+    """The same published-probs oracle through the torch drop-in — the
+    reference README demo verbatim (README.md:42-59)."""
+    import torch
+
+    _try_load()  # same availability gate (and warms the download cache)
+    import clip_mixer_tpu.compat as clip
+
+    model, preprocess = clip.load("ViT-B/32", device="cpu")
+    image = preprocess(Image.open(ASSET)).unsqueeze(0)
+    text = clip.tokenize(["a diagram", "a dog", "a cat"])
+    with torch.no_grad():
+        per_image, _ = model.logits(image, text)
+        probs = per_image.softmax(dim=-1).numpy()
+    np.testing.assert_allclose(probs, EXPECTED, atol=0.01, rtol=0.1)
