@@ -3,7 +3,9 @@
 The reference dynamically creates one torch.hub entrypoint per registry model
 with punctuation sanitised to underscores (hubconf.py:8,40-42). Same naming
 here; each entrypoint returns ``(params, cfg, preprocess)`` from
-``clip_mixer_tpu.load``.
+``clip_mixer_tpu.load`` — or, with ``compat=True``, the reference-style
+``(model, preprocess)`` pair of torch-tensor objects
+(``clip_mixer_tpu.compat``), matching what the reference's hub returned.
 """
 
 from clip_mixer_tpu.api import _MODELS, available_models, load
@@ -19,10 +21,17 @@ def tokenize(*args, **kwargs):
 
 
 def _create_entrypoint(model_name):
-    def entrypoint(**kwargs):
+    def entrypoint(compat=False, **kwargs):
+        if compat:
+            from clip_mixer_tpu import compat as _compat
+
+            return _compat.load(model_name, **kwargs)
         return load(model_name, **kwargs)
 
-    entrypoint.__doc__ = f"Load the {model_name} model (params, cfg, preprocess)."
+    entrypoint.__doc__ = (
+        f"Load the {model_name} model (params, cfg, preprocess); "
+        "compat=True returns the reference-style torch (model, preprocess)."
+    )
     return entrypoint
 
 
