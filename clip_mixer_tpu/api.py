@@ -149,8 +149,28 @@ def load(
         from clip_mixer_tpu.models.convert import load_torch_checkpoint
 
         params, cfg = load_torch_checkpoint(path)
-    elif "://" in name:  # remote native export, e.g. gs://bucket/run/export
-        params, cfg = load_pretrained(name)
+    elif "://" in name:  # remote URI (gs://, ...)
+        if name.endswith((".pt", ".pth")):
+            # Remote torch checkpoint: stage it locally (torch.load needs a
+            # seekable file), then go through the normal converter.
+            from clip_mixer_tpu.models.convert import load_torch_checkpoint
+
+            root = download_root or os.path.expanduser("~/.cache/clip")
+            os.makedirs(root, exist_ok=True)
+            local = os.path.join(root, os.path.basename(name))
+            if not os.path.exists(local):
+                _as_path(name).copy(local)
+            params, cfg = load_torch_checkpoint(local)
+        else:  # native export dir, e.g. gs://bucket/run/export
+            try:
+                params, cfg = load_pretrained(name)
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"Model {name} not found: remote path has no config.json, so it "
+                    "is not a save_pretrained/export dir (for a remote torch "
+                    "checkpoint use a .pt/.pth suffix); available models = "
+                    f"{available_models()}"
+                ) from e
     elif os.path.isdir(name):
         if os.path.exists(os.path.join(name, "config.json")):
             params, cfg = load_pretrained(name)

@@ -30,6 +30,26 @@ from clip_mixer_tpu.train.optimizer import make_optimizer
 from clip_mixer_tpu.train.schedule import warmup_cosine
 
 
+def _pick_trace_start(step: int, n: int, cadences) -> int:
+    """Step value S after which the profile trace should start.
+
+    The trace then covers the N whole steps S+1..S+N *and* the host-side
+    checkpoint/validation blocks of steps S..S+N-1 (the profiling hook runs
+    before those blocks in the loop body). Pick the smallest S >= step+1
+    whose covered block range [S, S+N-1] contains no multiple of any
+    cadence, so a traced _flush_metrics device_get / orbax save / validator
+    pass can't pollute the "N steady-state steps" contract (matters when
+    resuming near a cadence boundary). If no clear window exists (n >= some
+    cadence), fall back to step+1 and accept the overlap.
+    """
+    if not n:
+        return step + 1
+    for s0 in range(step + 1, step + 2 + max(cadences)):
+        if all(s % c for c in cadences for s in range(s0, s0 + n)):
+            return s0
+    return step + 1
+
+
 class Trainer:
     def __init__(
         self,
@@ -234,7 +254,16 @@ class Trainer:
         # state.step from the device every iteration would force a host-device
         # sync and defeat async dispatch.
         step = self.global_step
-        run_start_step = step  # for the steady-state profile window
+        # Steady-state profile window: start after step+1 (which pays the
+        # compile), and slide the window forward so it contains no checkpoint
+        # or validation step — a traced _flush_metrics device_get / orbax
+        # save / validator pass would pollute the "N steady-state steps"
+        # contract (matters when resuming near a cadence boundary).
+        self._trace_start_after = _pick_trace_start(
+            step,
+            self.profile_steps,
+            (self.tcfg.checkpoint_every_steps, self.validate_every_steps),
+        )
         # Single process: let a stop request also interrupt a BLOCKED data
         # wait (stalled tar read / dead decode worker) so the preemption save
         # happens within the grace window even when input-bound. Multi-host
@@ -275,14 +304,15 @@ class Trainer:
                 if self.is_lead:
                     pending.append((step, metrics))  # device arrays; no sync
                 if self.profile_steps and self.is_lead:
-                    # Window = steps [start+2, start+1+N]: step start+1 paid
-                    # the compile; block at both edges so the capture holds
-                    # exactly N whole steady-state steps of device work.
-                    if step == run_start_step + 1 and not self._profiling:
+                    # Trace covers exactly N whole steps after
+                    # _trace_start_after (chosen above to dodge checkpoint /
+                    # validation steps); block at both edges so the capture
+                    # holds exactly N steady-state steps of device work.
+                    if step == self._trace_start_after and not self._profiling:
                         jax.block_until_ready(self.state)
                         jax.profiler.start_trace(self._profile_dir)
                         self._profiling = True
-                    elif self._profiling and step == run_start_step + 1 + self.profile_steps:
+                    elif self._profiling and step == self._trace_start_after + self.profile_steps:
                         jax.block_until_ready(self.state)
                         jax.profiler.stop_trace()
                         self._profiling = False

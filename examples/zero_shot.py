@@ -33,6 +33,7 @@ def demo_image() -> Image.Image:
 
 def native_style():
     """The functional API — what training/serving/evals use."""
+    import jax
     import jax.numpy as jnp
 
     import clip_mixer_tpu as cm
@@ -47,8 +48,7 @@ def native_style():
         cm.tokenize(LABELS, context_length=cfg.context_length, truncate=True)
     )
     per_image, _ = clip_model.logits(params, cfg, normalize_images(image), tokens)
-    probs = np.asarray(jnp.exp(per_image - jnp.max(per_image)))
-    probs = probs / probs.sum()
+    probs = np.asarray(jax.nn.softmax(per_image, axis=-1))  # per row: correct for any batch size
     print("native:", dict(zip(LABELS, np.round(probs[0], 4))))
 
 

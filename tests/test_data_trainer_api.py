@@ -201,6 +201,51 @@ def test_api_unknown_name():
         cm.load("definitely-not-a-model")
 
 
+def test_api_remote_uri_dispatch(tmp_path, monkeypatch):
+    """Remote URIs: a .pt/.pth torch checkpoint is staged into the download
+    cache and converted; a remote dir without config.json raises the clear
+    'not found' error instead of a bare epath stack. The fake scheme is
+    mapped onto local files the way epath maps gs:// blobs."""
+    import torch
+    from etils import epath
+
+    from clip_mixer_tpu import api
+    from clip_mixer_tpu.models.convert import params_to_state_dict
+
+    params = clip_model.init(jax.random.key(3), CFG)
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    torch.save(
+        {k: torch.as_tensor(np.asarray(v).copy())
+         for k, v in params_to_state_dict(params, CFG).items()},
+        str(remote / "ckpt.pt"),
+    )
+
+    real_as_path = api._as_path
+    monkeypatch.setattr(
+        api,
+        "_as_path",
+        lambda name: epath.Path(str(remote / name.rsplit("/", 1)[-1]))
+        if "://" in name else real_as_path(name),
+    )
+
+    cache = tmp_path / "cache"
+    p2, cfg2, _ = cm.load("mock://bucket/ckpt.pt", download_root=str(cache),
+                          compute_dtype="float32")
+    assert (cache / "ckpt.pt").exists()  # staged locally for torch.load
+    # sniffing uses the reference's heads = width // 64 rule (model.py:506),
+    # which floors to 0 at this tiny 32-wide mixer (heads are unused there)
+    assert cfg2.replace(text_heads=CFG.text_heads) == CFG
+    la, lb = jax.tree.leaves(params), jax.tree.leaves(p2)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+    # not-an-export remote dir: actionable error, not a config.json traceback
+    with pytest.raises(RuntimeError, match="no config.json"):
+        cm.load("mock://bucket/no-such-export")
+
+
 def test_prefetch_propagates_errors():
     def bad():
         yield {"a": 1}
@@ -396,6 +441,23 @@ def test_tar_source_process_decode_matches_thread(tmp_path):
     for ba, bb in zip(a.iter_batches(0), b.iter_batches(0)):
         np.testing.assert_array_equal(ba["images"], bb["images"])
         np.testing.assert_array_equal(ba["texts"], bb["texts"])
+
+
+def test_pick_trace_start_dodges_cadence_boundaries():
+    """The profile window must contain no checkpoint/validation step: a
+    traced _flush_metrics device_get or orbax save isn't steady-state."""
+    from clip_mixer_tpu.train.trainer import _pick_trace_start
+
+    # fresh run, window fits before the first checkpoint
+    assert _pick_trace_start(0, 2, (100, 100)) == 1
+    # resume just before a checkpoint step: slides past step 400
+    s = _pick_trace_start(398, 3, (400, 400))
+    assert s == 401 and all(x % 400 for x in range(s, s + 3))
+    # a different validation cadence is dodged too
+    s = _pick_trace_start(8, 2, (400, 10))
+    assert all(x % 400 and x % 10 for x in range(s, s + 2))
+    # no clear window exists (cadence 1): falls back to step+1
+    assert _pick_trace_start(5, 2, (1, 400)) == 6
 
 
 def test_trainer_profile_steps_writes_trace(tmp_path):
