@@ -24,3 +24,58 @@ def test_dryrun_multichip_8_in_process():
 def test_provision_devices_reports_current_capacity():
     assert graft._provision_devices(8) is True
     assert graft._provision_devices(10_000) is False
+
+
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", str(Path(__file__).resolve().parents[1] / "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_supervisor_retries_hang_then_relays_json(monkeypatch, capsys):
+    """The driver runs `python bench.py` unattended at round end: a hung
+    remote-compile tunnel must not hang the round. The supervisor kills the
+    child at the deadline (subprocess.run's own by-pid kill), retries, and
+    relays ONLY the final JSON line to stdout."""
+    import subprocess
+    import types
+
+    bench = _load_bench()
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+
+    def fake_run(cmd, stdout=None, timeout=None):
+        calls.append(list(cmd))
+        if len(calls) == 1:  # first attempt hangs -> TimeoutExpired kills child
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return types.SimpleNamespace(
+            returncode=0,
+            stdout=b'some warning noise\n{"metric": "m", "value": 1.0}\n',
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._run_supervised(max_attempts=3, attempt_timeout_s=5) == 0
+    assert len(calls) == 2 and calls[0][-1] == "--measure"
+    assert capsys.readouterr().out.strip() == '{"metric": "m", "value": 1.0}'
+
+
+def test_bench_supervisor_exhausts_attempts(monkeypatch, capsys):
+    import subprocess
+    import types
+
+    bench = _load_bench()
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(
+        subprocess,
+        "run",
+        lambda cmd, stdout=None, timeout=None: types.SimpleNamespace(
+            returncode=1, stdout=b"boom\n"
+        ),
+    )
+    assert bench._run_supervised(max_attempts=2, attempt_timeout_s=5) == 1
+    assert capsys.readouterr().out == ""  # no JSON -> nothing on stdout
