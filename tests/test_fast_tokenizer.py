@@ -98,3 +98,15 @@ def test_concurrent_tokenize_thread_safe():
             outs = list(ex.map(run, range(len(texts))))
         for got, want in zip(outs, expected):
             np.testing.assert_array_equal(got, want)
+
+
+def test_fuzz_matches_python_tokenizer():
+    """Random mixed-script strings (same generator as the Python-vs-oracle
+    fuzz) must agree between the C++ merge loop and the Python tokenizer —
+    guards the UTF-8 pre-tokenizer paths the curated corpus misses."""
+    from test_tokenizer import _random_unicode_strings
+
+    batch = _random_unicode_strings(300, seed=321)
+    np.testing.assert_array_equal(
+        fast_tokenize(batch, truncate=True), tokenize(batch, truncate=True)
+    )

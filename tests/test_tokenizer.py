@@ -99,3 +99,37 @@ def test_tokenize_matches_reference_oracle(oracle):
         expected = np.zeros(77, dtype=np.int32)
         expected[: len(ids)] = ids
         np.testing.assert_array_equal(ours[i], expected)
+
+
+def _random_unicode_strings(n, seed):
+    """Mixed-script fuzz corpus: ASCII, Latin-1, Greek, Cyrillic, kana, CJK,
+    emoji, interleaved whitespace — codepoints the curated CORPUS misses."""
+    rng = np.random.default_rng(seed)
+    pools = [
+        (0x20, 0x7F),       # ASCII incl. punctuation
+        (0xA0, 0x100),      # Latin-1 accents
+        (0x370, 0x400),     # Greek
+        (0x400, 0x500),     # Cyrillic
+        (0x3040, 0x3100),   # kana
+        (0x4E00, 0x4F00),   # CJK slice
+        (0x1F300, 0x1F600), # emoji
+    ]
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(int(rng.integers(1, 40))):
+            lo, hi = pools[int(rng.integers(0, len(pools)))]
+            parts.append(chr(int(rng.integers(lo, hi))))
+            if rng.random() < 0.3:
+                parts.append(" \t\n"[int(rng.integers(0, 3))])
+        out.append("".join(parts))
+    return out
+
+
+def test_encode_fuzz_matches_reference(oracle):
+    """300 random mixed-script strings must tokenize identically to the
+    reference implementation — guards the regex/merge paths the curated
+    corpus doesn't reach."""
+    tok = get_tokenizer()
+    for s in _random_unicode_strings(300, seed=123):
+        assert tok.encode(s) == oracle.encode(s), repr(s)
