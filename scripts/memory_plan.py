@@ -16,6 +16,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import jax
+
+# Pure shape math (jax.eval_shape only) — never wait on an accelerator
+# backend; keeps the planner usable when the TPU tunnel is down.
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
@@ -27,12 +33,39 @@ def main():
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--remat-policy", default="none", choices=["none", "mlp_hidden", "all_hidden"],
                    help="include the saved hidden pre-activations in the working set")
+    p.add_argument("--suggest", action="store_true",
+                   help="pick the cheapest parallelism plan that fits --hbm-gib "
+                        "(preference order: dp, fsdp, fsdp+accum, fsdp x tp2, pp2)")
+    p.add_argument("--global-batch", type=int, default=None,
+                   help="global batch for --suggest (default: --batch x --devices)")
+    p.add_argument("--hbm-gib", type=float, default=16.0,
+                   help="per-chip HBM for --suggest (v5e: 16)")
     args = p.parse_args()
 
     from clip_mixer_tpu.config import PRESETS
-    from clip_mixer_tpu.utils.memory import plan
+    from clip_mixer_tpu.utils.memory import plan, suggest
 
     cfg = PRESETS[args.preset].replace(remat_policy=args.remat_policy)
+
+    if args.suggest:
+        global_batch = args.global_batch or args.batch * args.devices
+        best, tried = suggest(
+            cfg, args.devices, global_batch, hbm_bytes=int(args.hbm_gib * (1 << 30))
+        )
+        print(f"{args.preset} @ {args.devices} devices, global batch {global_batch}, "
+              f"{args.hbm_gib:g} GiB/chip (10% headroom), remat_policy {args.remat_policy}")
+        for label, pl, fits in tried:
+            if pl is None:
+                print(f"  {label:<22} n/a ({fits})")
+            else:
+                mark = "FITS" if fits else "over"
+                star = "  <-- suggested" if best is pl else ""
+                print(f"  {pl.row()}  [{mark}]{star}")
+        if best is None:
+            print("no candidate fits; raise --hbm-gib, devices, or accum range")
+            raise SystemExit(1)
+        return
+
     print(f"{args.preset} @ {args.devices} devices, {args.batch}/chip, accum {args.accum}, "
           f"remat_policy {args.remat_policy}")
     for mode, kw in (("dp", {}), ("fsdp", {}), ("fsdp", {"n_model": 2}), ("tp", {}), ("pp", {})):

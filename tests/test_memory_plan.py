@@ -64,3 +64,40 @@ def test_accum_divides_activations():
     a4 = plan(cfg, "dp", 8, per_chip_batch=4096, accum_steps=4)
     assert a4.act_bytes * 4 == a1.act_bytes
     assert a4.params_bytes == a1.params_bytes
+
+
+def test_suggest_prefers_dp_when_everything_fits():
+    from clip_mixer_tpu.utils.memory import suggest
+
+    best, tried = suggest(PRESETS["mixer-b32"], 8, global_batch=8192)
+    assert best is not None and best.mode.startswith("dp")
+    # dp is the first candidate, so nothing before it to check
+    assert tried[0][1] is best
+
+
+def test_suggest_escalates_to_first_fitting_candidate():
+    from clip_mixer_tpu.utils.memory import suggest
+
+    # ViT-L/14 at 4096/chip: activations blow 16 GiB until accum divides them
+    best, tried = suggest(PRESETS["vit-l14"], 8, global_batch=32768)
+    assert best is not None and best.mode.startswith("fsdp")
+    assert best.total_bytes <= int(0.9 * (16 << 30))
+    # internal consistency: every candidate ranked before the pick overflows
+    for label, pl, fits in tried:
+        if pl is best:
+            break
+        assert fits is not True, label
+    else:
+        raise AssertionError("suggested plan not in tried list")
+
+
+def test_suggest_none_when_nothing_fits_and_divisibility_reasons():
+    from clip_mixer_tpu.utils.memory import suggest
+
+    best, _ = suggest(PRESETS["vit-l14"], 8, global_batch=32768, hbm_bytes=1 << 30)
+    assert best is None
+
+    # indivisible global batch: candidates are skipped with a reason string
+    _, tried = suggest(PRESETS["mixer-b32"], 8, global_batch=12)
+    reasons = [fits for _, pl, fits in tried if pl is None]
+    assert any("not divisible" in r for r in reasons)
