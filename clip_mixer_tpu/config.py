@@ -269,6 +269,12 @@ class TrainConfig:
     # validation cadence; None -> follow checkpoint_every_steps (the
     # reference couples them, training.py:197-205 — decoupled here by design)
     validate_every_steps: Optional[int] = None
+    # Abort the run when a flushed loss is non-finite, BEFORE the boundary's
+    # checkpoint save — a diverged step must not overwrite the last good
+    # checkpoint (the retained-checkpoint window is finite). The reference
+    # trains on through NaNs (training.py has no guard). Disable only for
+    # divergence-debugging runs.
+    abort_on_nonfinite_loss: bool = True
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,

@@ -360,6 +360,20 @@ class Trainer:
         if not pending or not self.is_lead:
             return
         values = jax.device_get([m for _, m in pending])
+        if self.tcfg.abort_on_nonfinite_loss:
+            # Check BEFORE the caller's checkpoint save: aborting here keeps
+            # the last good checkpoint alive (a NaN'd AdamW update poisons
+            # every param; saving it would evict good history). Multi-host:
+            # the lead's abort takes the job down via the broken collective —
+            # the other workers never reach their save either.
+            for (s, _), m in zip(pending, values):
+                if not np.isfinite(m["loss"]):
+                    raise FloatingPointError(
+                        f"non-finite loss {float(m['loss'])} at step {s}; aborting before "
+                        "this boundary's checkpoint so the last good one survives. "
+                        "Resume from it with a lower lr / longer warmup "
+                        "(set abort_on_nonfinite_loss=False to train through)."
+                    )
         for (s, _), m in zip(pending, values):
             self.writer.add_scalar("Loss", float(m["loss"]), s)
             self.writer.add_scalar("Learning rate", float(self._schedule(s - 1)), s)

@@ -474,3 +474,51 @@ def test_trainer_profile_steps_writes_trace(tmp_path):
     assert not tr._profiling
     traces = list((run / "profile").rglob("*.xplane.pb"))
     assert traces, list((run / "profile").rglob("*"))
+
+
+def test_nonfinite_loss_aborts_before_checkpoint(tmp_path):
+    """A diverged (NaN) loss must abort at the flush boundary BEFORE that
+    boundary's checkpoint save, so the last good checkpoint survives — and
+    must not write the completion export either."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    data = SyntheticSource(batch_size=4, image_size=16, n_batches=6, context_length=16)
+    tcfg = TrainConfig(global_batch_size=4, epochs=1, learning_rate=1e-3,
+                       warmup_steps=2, checkpoint_every_steps=3)
+    run = tmp_path / "nanrun"
+    tr = Trainer(CFG, tcfg, data, str(run), mesh=mesh)
+
+    real_step, calls = tr.step_fn, []
+
+    def poisoned(state, batch):
+        state, metrics = real_step(state, batch)
+        calls.append(1)
+        if len(calls) == 2:
+            metrics = dict(metrics, loss=jnp.float32(jnp.nan))
+        return state, metrics
+
+    tr.step_fn = poisoned
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        tr.train()
+    assert tr.checkpointer.latest_step() is None
+    assert not (run / "export").exists()
+
+    # the guard is opt-out for divergence debugging
+    import dataclasses
+
+    data2 = SyntheticSource(batch_size=4, image_size=16, n_batches=6, context_length=16)
+    tr2 = Trainer(CFG, dataclasses.replace(tcfg, abort_on_nonfinite_loss=False), data2,
+                  str(tmp_path / "nanrun2"), mesh=mesh)
+    real2, calls2 = tr2.step_fn, []
+
+    def poisoned2(state, batch):
+        state, metrics = real2(state, batch)
+        calls2.append(1)
+        if len(calls2) == 2:
+            metrics = dict(metrics, loss=jnp.float32(jnp.nan))
+        return state, metrics
+
+    tr2.step_fn = poisoned2
+    tr2.train()  # trains through
+    assert tr2.global_step == 6
