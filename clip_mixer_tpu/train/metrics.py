@@ -1,13 +1,19 @@
-"""Thin metrics writer: TensorBoard when available, always an in-memory log.
+"""Thin metrics writer: TensorBoard when available, always an in-memory log,
+and a plain-text JSONL sink for scripting.
 
 The reference logs Loss / Learning rate / Gradient norm plus validator
 scalars to a rank-0 SummaryWriter (training.py:98-100,183,188-190). Same
 scalar names here; tensorboardX is optional (offline/test environments run
-without it).
+without it). ``{log_dir}/metrics.jsonl`` gets every scalar as
+``{"step": s, "name": n, "value": v}`` regardless — greppable/plottable
+without the TB toolchain, appended at flush() cadence so the step path
+never touches disk.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
@@ -16,7 +22,11 @@ class MetricsWriter:
     def __init__(self, log_dir: Optional[str] = None, enabled: bool = True):
         self.history: Dict[str, List[Tuple[int, float]]] = defaultdict(list)
         self._tb = None
+        self._jsonl_path = None
+        self._jsonl_buf: List[str] = []
         if enabled and log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
             try:
                 from tensorboardX import SummaryWriter
 
@@ -26,6 +36,10 @@ class MetricsWriter:
 
     def add_scalar(self, name: str, value: float, step: int) -> None:
         self.history[name].append((int(step), float(value)))
+        if self._jsonl_path is not None:
+            self._jsonl_buf.append(
+                json.dumps({"step": int(step), "name": name, "value": float(value)})
+            )
         if self._tb is not None:
             self._tb.add_scalar(name, value, step)
 
@@ -35,9 +49,14 @@ class MetricsWriter:
             self._tb.add_figure(name, figure, step)
 
     def flush(self) -> None:
+        if self._jsonl_path is not None and self._jsonl_buf:
+            with open(self._jsonl_path, "a") as f:
+                f.write("\n".join(self._jsonl_buf) + "\n")
+            self._jsonl_buf = []
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
+        self.flush()
         if self._tb is not None:
             self._tb.close()

@@ -322,6 +322,7 @@ class Trainer:
                 if step % self.tcfg.checkpoint_every_steps == 0:
                     self._flush_metrics(pending)
                     pending = []
+                    self.writer.flush()  # metrics.jsonl stays live mid-run
                     dt = time.monotonic() - t0
                     if self.verbose and self.is_lead:
                         ips = steps_since_t0 * self.tcfg.global_batch_size / dt

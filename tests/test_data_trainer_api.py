@@ -172,6 +172,13 @@ def test_trainer_end_to_end_with_resume(tmp_path):
     for a, e in zip(la, le):
         np.testing.assert_array_equal(a, e)
 
+    # scripting-friendly scalar sink alongside the TB events
+    import json as _json
+
+    with open(f"{run}/runs/metrics.jsonl") as f:
+        rows = [_json.loads(line) for line in f]
+    assert sum(r["name"] == "Loss" for r in rows) == 12
+
 
 def test_api_presets_and_save_load(tmp_path):
     assert "ViT-B/32" in cm.available_models()
@@ -522,3 +529,23 @@ def test_nonfinite_loss_aborts_before_checkpoint(tmp_path):
     tr2.step_fn = poisoned2
     tr2.train()  # trains through
     assert tr2.global_step == 6
+
+
+def test_metrics_jsonl_sink(tmp_path):
+    """Every scalar lands in {log_dir}/metrics.jsonl at flush()/close()
+    cadence — persistent and greppable without the TB toolchain."""
+    import json
+
+    from clip_mixer_tpu.train.metrics import MetricsWriter
+
+    w = MetricsWriter(log_dir=str(tmp_path / "runs"))
+    w.add_scalar("Loss", 1.5, 1)
+    w.add_scalar("Loss", 1.25, 2)
+    w.flush()
+    path = tmp_path / "runs" / "metrics.jsonl"
+    rows = [json.loads(line) for line in open(path)]
+    assert rows[0] == {"step": 1, "name": "Loss", "value": 1.5}
+    assert len(rows) == 2
+    w.add_scalar("Gradient norm", 0.5, 3)
+    w.close()  # close flushes the tail
+    assert len(list(open(path))) == 3
