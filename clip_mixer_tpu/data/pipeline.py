@@ -101,11 +101,26 @@ def _decode_one(img_bytes: bytes, image_size: int) -> np.ndarray:
         return preprocess_pil(im, image_size)
 
 
+class _DecodeError:
+    """Captured per-sample decode failure (picklable across the process
+    pool); resolved to raise-or-substitute on the consumer side."""
+
+    def __init__(self, msg: str):
+        self.msg = msg
+
+
+def _decode_checked(img_bytes: bytes, caption: str, image_size: int):
+    try:
+        return _decode_one(img_bytes, image_size), caption
+    except Exception as e:  # corrupt JPEG/PNG, truncated record, ...
+        return _DecodeError(repr(e))
+
+
 def _decode_chunk(args):
     """Decode a chunk of (bytes, caption) samples (one process-pool task —
     chunked so IPC overhead amortises across many images)."""
     samples, image_size = args
-    return [( _decode_one(b, image_size), c) for b, c in samples]
+    return [_decode_checked(b, c, image_size) for b, c in samples]
 
 
 class TarShardSource(DataSource):
@@ -131,6 +146,7 @@ class TarShardSource(DataSource):
         decode_mode: str = "thread",
         drop_last: bool = True,
         shuffle_buffer: int = 0,
+        on_decode_error: str = "raise",
     ):
         """decode_mode: "thread" (PIL releases the GIL during JPEG decode;
         cheapest) or "process" (sidesteps the GIL entirely for the Python
@@ -146,8 +162,17 @@ class TarShardSource(DataSource):
         stream stays a pure function of the epoch and the resume contract
         (skip-by-count fast-forward) is unchanged. Buffer bytes are raw JPEG
         (~30KB each; 20k buffer ~ 600MB host RAM); size it >= the per-shard
-        sample count so consecutive batches mix across shards."""
+        sample count so consecutive batches mix across shards.
+
+        on_decode_error: "raise" (default) fails the run on the first
+        undecodable image; "substitute" replaces a corrupt (image, caption)
+        PAIR with the nearest good pair in the same batch and counts it
+        (``self.decode_errors``). Substitution — not drop-and-backfill —
+        keeps every batch boundary aligned with raw sample counts, so the
+        deterministic skip-by-count resume contract is untouched; the cost
+        is a duplicated positive pair at the (rare) corrupt-record rate."""
         assert decode_mode in ("thread", "process"), decode_mode
+        assert on_decode_error in ("raise", "substitute"), on_decode_error
         all_shards = sorted(shard_paths)
         if n_hosts > 1:
             # EQUAL shard counts per host: an uneven split (host 0 gets one
@@ -170,6 +195,8 @@ class TarShardSource(DataSource):
         self.decode_mode = decode_mode
         self.drop_last = drop_last
         self.shuffle_buffer = shuffle_buffer
+        self.on_decode_error = on_decode_error
+        self.decode_errors = 0  # substituted samples (on_decode_error="substitute")
 
     def _iter_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
         it = self._iter_shard_samples(epoch)
@@ -211,9 +238,9 @@ class TarShardSource(DataSource):
                         yield entry["img"], entry["txt"].decode("utf-8", "replace")
                         del pending[key]
 
-    def _decode(self, sample: Tuple[bytes, str]) -> Tuple[np.ndarray, str]:
+    def _decode(self, sample: Tuple[bytes, str]):
         img_bytes, caption = sample
-        return _decode_one(img_bytes, self.image_size), caption
+        return _decode_checked(img_bytes, caption, self.image_size)
 
     def _decode_batch(self, pool, raw):
         if self.decode_mode == "process":
@@ -222,8 +249,32 @@ class TarShardSource(DataSource):
             out: List[Tuple[np.ndarray, str]] = []
             for part in pool.map(_decode_chunk, chunks):
                 out.extend(part)
+        else:
+            out = list(pool.map(self._decode, raw))
+        bad = [i for i, d in enumerate(out) if isinstance(d, _DecodeError)]
+        if not bad:
             return out
-        return list(pool.map(self._decode, raw))
+        if self.on_decode_error == "raise" or len(bad) == len(out):
+            raise RuntimeError(
+                f"{len(bad)}/{len(out)} samples failed to decode "
+                f"(first: {out[bad[0]].msg}); pass on_decode_error='substitute' "
+                "to train through corrupt records"
+            )
+        good = [i for i in range(len(out)) if not isinstance(out[i], _DecodeError)]
+        for i in bad:
+            out[i] = out[min(good, key=lambda g: abs(g - i))]
+        first_errors = self.decode_errors == 0
+        self.decode_errors += len(bad)
+        if first_errors:
+            import sys
+
+            print(
+                f"TarShardSource: substituted {len(bad)} undecodable sample(s) "
+                "with in-batch neighbors (counted in .decode_errors; "
+                "further substitutions are silent)",
+                file=sys.stderr,
+            )
+        return out
 
     def iter_batches(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
         if self.decode_mode == "process":

@@ -549,3 +549,56 @@ def test_metrics_jsonl_sink(tmp_path):
     w.add_scalar("Gradient norm", 0.5, 3)
     w.close()  # close flushes the tail
     assert len(list(open(path))) == 3
+
+
+def test_tar_source_corrupt_sample_handling(tmp_path):
+    """A corrupt image record must fail loudly by default, and with
+    on_decode_error='substitute' must be replaced by the nearest good pair
+    in the batch — keeping batch boundaries (and thus the skip-by-count
+    resume contract) exactly as if every record decoded."""
+    import io
+    import tarfile
+
+    rng = np.random.default_rng(3)
+    samples = [(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"cap {i}") for i in range(8)]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "c"), samples_per_shard=8)
+
+    # corrupt sample index 2's image bytes in-place (rewrite the tar)
+    src = paths[0]
+    rewritten = str(tmp_path / "corrupt.tar")
+    with tarfile.open(src) as tin, tarfile.open(rewritten, "w") as tout:
+        for info in tin:
+            data = tin.extractfile(info).read()
+            if info.name == "000000002.jpg":
+                data = b"not a jpeg at all"
+            out_info = tarfile.TarInfo(info.name)
+            out_info.size = len(data)
+            tout.addfile(out_info, io.BytesIO(data))
+
+    kw = dict(batch_size=4, image_size=16, context_length=16)
+    with pytest.raises(RuntimeError, match="failed to decode"):
+        list(TarShardSource([rewritten], **kw).iter_batches(0))
+
+    sub = TarShardSource([rewritten], on_decode_error="substitute", **kw)
+    got = list(sub.iter_batches(0))
+    clean = list(TarShardSource(paths, **kw).iter_batches(0))
+    assert len(got) == len(clean) == 2
+    assert sub.decode_errors == 1
+    # batch boundaries identical to the clean stream; index 2 became a copy
+    # of its nearest good neighbor (index 1 or 3), pair-consistent
+    bad_b, bad_i = 0, 2
+    np.testing.assert_array_equal(got[1]["images"], clean[1]["images"])
+    assert not np.array_equal(got[bad_b]["images"][bad_i], clean[bad_b]["images"][bad_i])
+    neighbors = [1, 3]
+    assert any(
+        np.array_equal(got[bad_b]["images"][bad_i], got[bad_b]["images"][j])
+        and np.array_equal(got[bad_b]["texts"][bad_i], got[bad_b]["texts"][j])
+        for j in neighbors
+    )
+    # process-pool decode takes the same path
+    subp = TarShardSource([rewritten], on_decode_error="substitute",
+                          decode_mode="process", decode_workers=2, **kw)
+    gotp = list(subp.iter_batches(0))
+    for a, b in zip(got, gotp):
+        np.testing.assert_array_equal(a["images"], b["images"])
+    assert subp.decode_errors == 1

@@ -62,6 +62,10 @@ def parse_args():
                    help="streaming sample-shuffle buffer (the reference trains "
                         "with DataLoader(shuffle=True)); 0 = sequential shard "
                         "order; size >= samples/shard mixes across shards")
+    p.add_argument("--on-decode-error", default="raise", choices=["raise", "substitute"],
+                   help="substitute: replace a corrupt record with an in-batch "
+                        "neighbor pair instead of failing the run (counted; "
+                        "batch boundaries and resume determinism unchanged)")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -141,6 +145,7 @@ def main():
             n_hosts=n_hosts,
             host_index=host,
             shuffle_buffer=args.shuffle_buffer,
+            on_decode_error=args.on_decode_error,
         )
 
     validators = []
