@@ -322,11 +322,16 @@ class Trainer:
                 if step % self.tcfg.checkpoint_every_steps == 0:
                     self._flush_metrics(pending)
                     pending = []
-                    self.writer.flush()  # metrics.jsonl stays live mid-run
                     dt = time.monotonic() - t0
-                    if self.verbose and self.is_lead:
+                    if self.is_lead and steps_since_t0 and dt > 0:
                         ips = steps_since_t0 * self.tcfg.global_batch_size / dt
-                        print(f"step {step}: loss {float(metrics['loss']):.4f}  {ips:.0f} imgs/s")
+                        # wall-clock global throughput over the window —
+                        # includes data waits, so an input-bound run shows
+                        # up here, not just in device profiles
+                        self.writer.add_scalar("Throughput (imgs/s)", ips, step)
+                        if self.verbose:
+                            print(f"step {step}: loss {float(metrics['loss']):.4f}  {ips:.0f} imgs/s")
+                    self.writer.flush()  # metrics.jsonl stays live mid-run
                     self.save(epoch, batch_idx)
                     t0 = time.monotonic()
                     steps_since_t0 = 0

@@ -178,6 +178,8 @@ def test_trainer_end_to_end_with_resume(tmp_path):
     with open(f"{run}/runs/metrics.jsonl") as f:
         rows = [_json.loads(line) for line in f]
     assert sum(r["name"] == "Loss" for r in rows) == 12
+    # wall-clock throughput recorded at each checkpoint boundary
+    assert any(r["name"] == "Throughput (imgs/s)" and r["value"] > 0 for r in rows)
 
 
 def test_api_presets_and_save_load(tmp_path):
