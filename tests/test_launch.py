@@ -72,3 +72,38 @@ def test_rehearse_local_two_process(tmp_path):
     # the multihost checkpoint exists
     ckpt_dir = tmp_path / "outputs" / "rehearsal" / "checkpoints"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+
+
+def test_preflight_go_and_no_go(tmp_path, capsys):
+    """scripts/preflight.py: all host checks pass in this env (the device
+    subprocess is pointed at the CPU platform via --platform), a good shard
+    glob passes, and a bad glob flips the report to NO-GO with exit count 1."""
+    import importlib.util
+    from pathlib import Path as _Path
+
+    import numpy as np
+
+    from clip_mixer_tpu.data.pipeline import write_tar_shards
+
+    spec = importlib.util.spec_from_file_location(
+        "preflight", str(_Path(__file__).resolve().parents[1] / "scripts" / "preflight.py")
+    )
+    pf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pf)
+
+    rng = np.random.default_rng(0)
+    samples = [(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), "cap")]
+    write_tar_shards(iter(samples), str(tmp_path / "sh"), samples_per_shard=1)
+
+    pf._RESULTS.clear()
+    rc = pf.main(["--data", str(tmp_path / "sh" / "*.tar"),
+                  "--preset", "mixer-debug", "--device-timeout", "120",
+                  "--platform", "cpu"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "GO: 0 failed" in out
+
+    pf._RESULTS.clear()
+    rc = pf.main(["--data", str(tmp_path / "nothing" / "*.tar"),
+                  "--device-timeout", "120", "--platform", "cpu"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "NO-GO" in out and "no shards match" in out
