@@ -278,8 +278,10 @@ def _run_supervised(max_attempts: int = 3, attempt_timeout_s: int = 2100) -> int
     indefinitely — which no in-process handler can escape because the
     stall is inside a C call. The supervisor owns no JAX state, so it can
     always enforce the deadline (subprocess.run kills the child by pid on
-    timeout) and retry with backoff. Only the child's final JSON line is
-    relayed to stdout; everything else goes to stderr.
+    timeout) and retry with backoff. Hangs and tunnel-fault signatures
+    retry; a deterministic child error (a bug in the measurement) fails
+    fast rather than burning the retry budget. Only the child's final
+    JSON line is relayed to stdout; everything else goes to stderr.
     """
     import subprocess
     import sys
@@ -289,6 +291,7 @@ def _run_supervised(max_attempts: int = 3, attempt_timeout_s: int = 2100) -> int
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--measure"],
                 stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 timeout=attempt_timeout_s,
             )
         except subprocess.TimeoutExpired:
@@ -301,15 +304,25 @@ def _run_supervised(max_attempts: int = 3, attempt_timeout_s: int = 2100) -> int
                 time.sleep(30 * attempt)
             continue
         out = proc.stdout.decode(errors="replace")
+        err = proc.stderr.decode(errors="replace")
+        sys.stderr.write(err)
         json_lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
         if proc.returncode == 0 and json_lines:
             print(json_lines[-1])
             return 0
         sys.stderr.write(out)
         print(f"bench attempt {attempt}/{max_attempts}: rc={proc.returncode}", file=sys.stderr)
+        if not _is_tunnel_fault_text(out + err):
+            return 1  # deterministic failure: retrying would just repeat it
         if attempt < max_attempts:
             time.sleep(30 * attempt)
     return 1
+
+
+def _is_tunnel_fault_text(s: str) -> bool:
+    return any(
+        k in s for k in ("remote_compile", "HTTP 50", "DEADLINE", "UNAVAILABLE", "timed out")
+    )
 
 
 if __name__ == "__main__":

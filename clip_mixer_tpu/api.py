@@ -152,14 +152,24 @@ def load(
     elif "://" in name:  # remote URI (gs://, ...)
         if name.endswith((".pt", ".pth")):
             # Remote torch checkpoint: stage it locally (torch.load needs a
-            # seekable file), then go through the normal converter.
+            # seekable file), then go through the normal converter. The cache
+            # key is a hash of the FULL URI (basename alone would collide
+            # across buckets/runs), and the copy goes through a temp file +
+            # atomic rename so an interrupted stage can't leave a truncated
+            # file that every later load() trusts. A re-uploaded remote
+            # object is NOT revalidated — delete the cache entry to refresh.
+            import hashlib
+
             from clip_mixer_tpu.models.convert import load_torch_checkpoint
 
             root = download_root or os.path.expanduser("~/.cache/clip")
             os.makedirs(root, exist_ok=True)
-            local = os.path.join(root, os.path.basename(name))
+            uri_key = hashlib.sha256(name.encode()).hexdigest()[:16]
+            local = os.path.join(root, f"{uri_key}-{os.path.basename(name)}")
             if not os.path.exists(local):
-                _as_path(name).copy(local)
+                tmp = f"{local}.tmp.{os.getpid()}"
+                _as_path(name).copy(tmp)
+                os.replace(tmp, local)
             params, cfg = load_torch_checkpoint(local)
         else:  # native export dir, e.g. gs://bucket/run/export
             try:

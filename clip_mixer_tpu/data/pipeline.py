@@ -254,12 +254,24 @@ class TarShardSource(DataSource):
         bad = [i for i, d in enumerate(out) if isinstance(d, _DecodeError)]
         if not bad:
             return out
-        if self.on_decode_error == "raise" or len(bad) == len(out):
+        if self.on_decode_error == "raise":
             raise RuntimeError(
                 f"{len(bad)}/{len(out)} samples failed to decode "
                 f"(first: {out[bad[0]].msg}); pass on_decode_error='substitute' "
                 "to train through corrupt records"
             )
+        if len(bad) == len(out):
+            # nothing in-batch to substitute from: drop the whole batch
+            # (raw-sample counts still advanced, so resume alignment holds)
+            self.decode_errors += len(bad)
+            import sys
+
+            print(
+                f"TarShardSource: dropped a batch of {len(out)} samples — "
+                f"ALL failed to decode (first: {out[bad[0]].msg})",
+                file=sys.stderr,
+            )
+            return None
         good = [i for i in range(len(out)) if not isinstance(out[i], _DecodeError)]
         for i in bad:
             out[i] = out[min(good, key=lambda g: abs(g - i))]
@@ -305,6 +317,8 @@ class TarShardSource(DataSource):
                 if len(raw) < self.batch_size and (self.drop_last or not raw):
                     return
                 decoded = self._decode_batch(pool, raw)
+                if decoded is None:  # substitute mode, every sample corrupt
+                    continue
                 images = np.stack([d[0] for d in decoded])
                 texts = tokenize([d[1] for d in decoded], self.context_length, truncate=True)
                 yield Batch(images=images, texts=texts)

@@ -23,16 +23,31 @@ class MetricsWriter:
         self.history: Dict[str, List[Tuple[int, float]]] = defaultdict(list)
         self._tb = None
         self._jsonl_path = None
+        self._remote = log_dir is not None and "://" in log_dir
         self._jsonl_buf: List[str] = []
+        self._all_rows: List[str] = []  # full file image for remote rewrites
         if enabled and log_dir is not None:
-            os.makedirs(log_dir, exist_ok=True)
-            self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
-            try:
-                from tensorboardX import SummaryWriter
+            if self._remote:
+                # gs://... run dirs: os.makedirs/open would silently create a
+                # LOCAL "./gs:/..." directory. Object stores can't append, so
+                # flush() rewrites the (small) whole file through epath.
+                from etils import epath
 
-                self._tb = SummaryWriter(log_dir=log_dir)
-            except ImportError:
-                pass
+                p = epath.Path(log_dir)
+                p.mkdir(parents=True, exist_ok=True)
+                self._jsonl_path = p / "metrics.jsonl"
+            else:
+                os.makedirs(log_dir, exist_ok=True)
+                self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+                # TB events only for local dirs: without the tf stack,
+                # tensorboardX would "write" gs://... via os.makedirs and
+                # silently land events in a local ./gs:/ directory.
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self._tb = SummaryWriter(log_dir=log_dir)
+                except ImportError:
+                    pass
 
     def add_scalar(self, name: str, value: float, step: int) -> None:
         self.history[name].append((int(step), float(value)))
@@ -50,8 +65,12 @@ class MetricsWriter:
 
     def flush(self) -> None:
         if self._jsonl_path is not None and self._jsonl_buf:
-            with open(self._jsonl_path, "a") as f:
-                f.write("\n".join(self._jsonl_buf) + "\n")
+            self._all_rows.extend(self._jsonl_buf)
+            if self._remote:
+                self._jsonl_path.write_text("\n".join(self._all_rows) + "\n")
+            else:
+                with open(self._jsonl_path, "a") as f:
+                    f.write("\n".join(self._jsonl_buf) + "\n")
             self._jsonl_buf = []
         if self._tb is not None:
             self._tb.flush()

@@ -370,8 +370,12 @@ class Trainer:
             # Check BEFORE the caller's checkpoint save: aborting here keeps
             # the last good checkpoint alive (a NaN'd AdamW update poisons
             # every param; saving it would evict good history). Multi-host:
-            # the lead's abort takes the job down via the broken collective —
-            # the other workers never reach their save either.
+            # only the lead buffers metrics, so only it raises; the other
+            # workers proceed INTO the collective orbax save and block there
+            # until the coordinator (process 0 == the lead) dies and the
+            # distributed runtime tears them down. The save never commits —
+            # orbax finalizes a step only after every participant arrives —
+            # so the last good checkpoint still survives on all hosts.
             for (s, _), m in zip(pending, values):
                 if not np.isfinite(m["loss"]):
                     raise FloatingPointError(

@@ -159,6 +159,7 @@ def suggest(
     preference order for display.
     """
     budget = int(hbm_bytes * headroom)
+    shapes = param_shapes(cfg)  # eval_shape once, not once per candidate
 
     def candidates():
         yield "dp", dict(mode="dp", n_devices=n_devices), n_devices, 1
@@ -187,7 +188,7 @@ def suggest(
             tried.append((label, None, f"per-chip batch {per_chip} not divisible by accum {accum}"))
             continue
         try:
-            p = plan(cfg, per_chip_batch=per_chip, accum_steps=accum, **kw)
+            p = plan(cfg, per_chip_batch=per_chip, accum_steps=accum, shapes=shapes, **kw)
         except ValueError as e:
             tried.append((label, None, str(e)))
             continue
@@ -205,12 +206,15 @@ def plan(
     per_chip_batch: int,
     accum_steps: int = 1,
     n_model: int = 1,
+    shapes=None,
 ) -> MemoryPlan:
     """Per-chip memory plan. mode: dp | fsdp | tp | pp (tp/pp divisor = the
     model/stage axis size = n_devices for a pure mesh). ``n_model > 1`` with
     mode="fsdp" plans the FSDP x TP composition on a
-    (n_devices/n_model) x n_model grid."""
-    shapes = param_shapes(cfg)
+    (n_devices/n_model) x n_model grid. ``shapes``: pre-computed
+    param_shapes(cfg), for callers pricing many plans of one config."""
+    if shapes is None:
+        shapes = param_shapes(cfg)
     full = _full_bytes(shapes)
     n_stages = 1
     if mode == "dp":

@@ -167,22 +167,21 @@ def check_capacity(preset: str, devices: int, global_batch: int, hbm_gib: float)
 
 def check_train_smoke():
     try:
-        from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+        from clip_mixer_tpu.config import PRESETS, TrainConfig
         from clip_mixer_tpu.data.pipeline import SyntheticSource
         from clip_mixer_tpu.parallel.mesh import make_mesh
         from clip_mixer_tpu.train.trainer import Trainer
 
-        cfg = CLIPConfig(
-            embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
-            vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
-            text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32",
-        )
+        cfg = PRESETS["mixer-debug"]  # the maintained CPU-smoke config
         tcfg = TrainConfig(global_batch_size=4, epochs=1, learning_rate=1e-3,
                            warmup_steps=1, checkpoint_every_steps=2)
         run = os.path.join(tempfile.mkdtemp(prefix="preflight_"), "run")
         tr = Trainer(
             cfg, tcfg,
-            SyntheticSource(batch_size=4, image_size=16, n_batches=2, context_length=16),
+            SyntheticSource(
+                batch_size=4, image_size=cfg.image_resolution, n_batches=2,
+                context_length=cfg.context_length,
+            ),
             run, mesh=make_mesh(n_data=1, devices=jax.devices()[:1]),
         )
         tr.train()

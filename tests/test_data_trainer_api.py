@@ -241,7 +241,8 @@ def test_api_remote_uri_dispatch(tmp_path, monkeypatch):
     cache = tmp_path / "cache"
     p2, cfg2, _ = cm.load("mock://bucket/ckpt.pt", download_root=str(cache),
                           compute_dtype="float32")
-    assert (cache / "ckpt.pt").exists()  # staged locally for torch.load
+    staged = list(cache.glob("*-ckpt.pt"))  # URI-hash-keyed atomic stage
+    assert len(staged) == 1 and not list(cache.glob("*.tmp.*"))
     # sniffing uses the reference's heads = width // 64 rule (model.py:506),
     # which floors to 0 at this tiny 32-wide mixer (heads are unused there)
     assert cfg2.replace(text_heads=CFG.text_heads) == CFG
@@ -604,3 +605,51 @@ def test_tar_source_corrupt_sample_handling(tmp_path):
     for a, b in zip(got, gotp):
         np.testing.assert_array_equal(a["images"], b["images"])
     assert subp.decode_errors == 1
+
+    # an ALL-corrupt batch has nothing to substitute from: dropped, counted,
+    # the stream continues (raw counts advanced -> resume alignment holds)
+    all_bad = str(tmp_path / "allbad.tar")
+    with tarfile.open(src) as tin, tarfile.open(all_bad, "w") as tout:
+        for info in tin:
+            data = tin.extractfile(info).read()
+            if info.name.endswith(".jpg") and info.name < "000000004":
+                data = b"junk"
+            out_info = tarfile.TarInfo(info.name)
+            out_info.size = len(data)
+            tout.addfile(out_info, io.BytesIO(data))
+    sub2 = TarShardSource([all_bad], on_decode_error="substitute", seed=1, **kw)
+    got2 = list(sub2.iter_batches(0))
+    assert len(got2) == 1 and sub2.decode_errors == 4
+    np.testing.assert_array_equal(got2[0]["images"], clean[1]["images"])
+
+
+def test_metrics_writer_remote_log_dir(tmp_path, monkeypatch):
+    """A gs:// log_dir must go through epath (object stores can't append:
+    flush rewrites the whole small file) and must NOT create a bogus local
+    './gs:/...' directory via os.makedirs."""
+    import json
+    import os
+
+    from etils import epath
+
+    from clip_mixer_tpu.train.metrics import MetricsWriter
+
+    target = tmp_path / "bucket" / "runs"
+    real_path = epath.Path
+    monkeypatch.setattr(
+        epath, "Path",
+        lambda p: real_path(str(target)) if "://" in str(p) else real_path(p),
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # any accidental relative 'gs:/...' dir lands here
+    try:
+        w = MetricsWriter(log_dir="gs://bucket/runs")
+        w.add_scalar("Loss", 1.0, 1)
+        w.flush()
+        w.add_scalar("Loss", 0.5, 2)
+        w.close()
+        rows = [json.loads(line) for line in open(target / "metrics.jsonl")]
+        assert [r["value"] for r in rows] == [1.0, 0.5]  # rewrite keeps history
+        assert not os.path.exists("gs:")  # no mangled local path
+    finally:
+        os.chdir(cwd)

@@ -49,13 +49,14 @@ def test_bench_supervisor_retries_hang_then_relays_json(monkeypatch, capsys):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     calls = []
 
-    def fake_run(cmd, stdout=None, timeout=None):
+    def fake_run(cmd, stdout=None, stderr=None, timeout=None):
         calls.append(list(cmd))
         if len(calls) == 1:  # first attempt hangs -> TimeoutExpired kills child
             raise subprocess.TimeoutExpired(cmd, timeout)
         return types.SimpleNamespace(
             returncode=0,
             stdout=b'some warning noise\n{"metric": "m", "value": 1.0}\n',
+            stderr=b"",
         )
 
     monkeypatch.setattr(subprocess, "run", fake_run)
@@ -64,18 +65,43 @@ def test_bench_supervisor_retries_hang_then_relays_json(monkeypatch, capsys):
     assert capsys.readouterr().out.strip() == '{"metric": "m", "value": 1.0}'
 
 
-def test_bench_supervisor_exhausts_attempts(monkeypatch, capsys):
+def test_bench_supervisor_exhausts_attempts_on_tunnel_faults(monkeypatch, capsys):
     import subprocess
     import types
 
     bench = _load_bench()
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    monkeypatch.setattr(
-        subprocess,
-        "run",
-        lambda cmd, stdout=None, timeout=None: types.SimpleNamespace(
-            returncode=1, stdout=b"boom\n"
-        ),
-    )
+    calls = []
+
+    def fake_run(cmd, stdout=None, stderr=None, timeout=None):
+        calls.append(1)
+        return types.SimpleNamespace(
+            returncode=1, stdout=b"", stderr=b"DEADLINE_EXCEEDED talking to tunnel\n"
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._run_supervised(max_attempts=2, attempt_timeout_s=5) == 1
+    assert len(calls) == 2  # tunnel-signature failures use the retry budget
     assert capsys.readouterr().out == ""  # no JSON -> nothing on stdout
+
+
+def test_bench_supervisor_fails_fast_on_deterministic_errors(monkeypatch, capsys):
+    """A bug in the measurement child (no tunnel-fault signature) must not
+    burn ~an hour of retries on an unattended driver run."""
+    import subprocess
+    import types
+
+    bench = _load_bench()
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+
+    def fake_run(cmd, stdout=None, stderr=None, timeout=None):
+        calls.append(1)
+        return types.SimpleNamespace(
+            returncode=1, stdout=b"", stderr=b"TypeError: bad bench code\n"
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._run_supervised(max_attempts=3, attempt_timeout_s=5) == 1
+    assert len(calls) == 1
+    assert capsys.readouterr().out == ""
