@@ -7,6 +7,10 @@ same two figures from a results JSON so any pair of runs can be compared:
 
   python scripts/plot_results.py --results results.json --out figures/
 
+``--metrics outputs/<run>/runs/metrics.jsonl`` additionally renders the
+training curves (every scalar in the run's JSONL sink — Loss, Gradient
+norm, Throughput, validator scalars — one subplot each).
+
 results.json format (numbers are percentages / SRCC):
 {
   "models": ["Mixer", "Transformer"],
@@ -39,9 +43,35 @@ REFERENCE_RESULTS = {
 }
 
 
+def plot_metrics_jsonl(path: str, out_dir: str, plt, np) -> str:
+    """Training curves from the run's metrics.jsonl (train/metrics.py sink):
+    one subplot per scalar name, step on x."""
+    series = {}
+    with open(path) as f:
+        for line in f:
+            row = json.loads(line)
+            series.setdefault(row["name"], []).append((row["step"], row["value"]))
+    if not series:
+        raise SystemExit(f"{path}: no scalars")
+    names = sorted(series)
+    fig, axes = plt.subplots(len(names), 1, figsize=(7, 2.2 * len(names)), sharex=True)
+    axes = np.atleast_1d(axes)
+    for ax, name in zip(axes, names):
+        pts = sorted(series[name])
+        ax.plot([s for s, _ in pts], [v for _, v in pts], lw=1.2)
+        ax.set_ylabel(name, fontsize=8)
+        ax.grid(True, alpha=0.3)
+    axes[-1].set_xlabel("step")
+    fig.tight_layout()
+    out = os.path.join(out_dir, "training_curves.png")
+    fig.savefig(out, dpi=150)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--results", default=None, help="results JSON (default: reference step-16k numbers)")
+    p.add_argument("--metrics", default=None, help="a run's metrics.jsonl -> training_curves.png")
     p.add_argument("--out", default="figures")
     args = p.parse_args()
 
@@ -50,6 +80,12 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     import numpy as np
+
+    if args.metrics:
+        os.makedirs(args.out, exist_ok=True)
+        print(f"wrote {plot_metrics_jsonl(args.metrics, args.out, plt, np)}")
+        if args.results is None:
+            return
 
     results = REFERENCE_RESULTS if args.results is None else json.load(open(args.results))
     os.makedirs(args.out, exist_ok=True)

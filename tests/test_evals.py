@@ -148,3 +148,39 @@ def test_sst2_probe_separable():
     res = v.validate(step=0)
     # even an untrained encoder separates these lexically via token embeddings
     assert res["accuracy"] >= 80.0, res
+
+
+def test_plot_results_both_modes(tmp_path):
+    """scripts/plot_results.py: reference-figure mode and the metrics.jsonl
+    training-curves mode both render files."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "plot_results", str(Path(__file__).resolve().parents[1] / "scripts" / "plot_results.py")
+    )
+    pr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pr)
+
+    jsonl = tmp_path / "metrics.jsonl"
+    with open(jsonl, "w") as f:
+        for s in range(1, 9):
+            f.write(json.dumps({"step": s, "name": "Loss", "value": 2.0 / s}) + "\n")
+
+    out = tmp_path / "figs"
+    argv = sys.argv
+    sys.argv = ["plot_results.py", "--metrics", str(jsonl), "--out", str(out)]
+    try:
+        pr.main()
+    finally:
+        sys.argv = argv
+    assert (out / "training_curves.png").stat().st_size > 0
+
+    sys.argv = ["plot_results.py", "--out", str(out)]
+    try:
+        pr.main()
+    finally:
+        sys.argv = argv
+    assert (out / "imagenet.png").exists() and (out / "sts.png").exists()
