@@ -259,6 +259,9 @@ class TrainConfig:
     pipeline_microbatches: int = 8
     logit_scale_max: float = math.log(100.0)  # training.py:173-178 (ln(100))
     checkpoint_every_steps: int = 400  # training.py:197
+    # orbax retention window (the reference keeps every checkpoint forever,
+    # training.py:197-205 — bounded here so long runs don't fill the disk)
+    keep_checkpoints: int = 3
     # Multi-host preemption agreement cadence (steps): every N steps all
     # processes OR their locally-received SIGTERM/SIGINT flags (a tiny
     # process_allgather) so the preemption checkpoint — a collective orbax

@@ -58,6 +58,10 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        """Retained step ids (bounded by max_to_keep)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(self, abstract_state: TrainState) -> Optional[Tuple[TrainState, int, int]]:
         """abstract_state: a TrainState of real or jax.ShapeDtypeStruct leaves
         defining shapes/dtypes/shardings to restore into."""

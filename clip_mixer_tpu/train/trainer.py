@@ -117,7 +117,9 @@ class Trainer:
         # else: the FSDP step needs the state pytree as a shape template —
         # built below, after init/restore.
         self.writer = MetricsWriter(log_dir=f"{run_dir}/runs" if self.is_lead else None)
-        self.checkpointer = Checkpointer(f"{run_dir}/checkpoints")
+        self.checkpointer = Checkpointer(
+            f"{run_dir}/checkpoints", max_to_keep=tcfg.keep_checkpoints
+        )
         self.validators = list(validators)
         # Validation cadence is decoupled from the checkpoint cadence (the
         # reference couples both at 400 steps, training.py:197-205).

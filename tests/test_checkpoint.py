@@ -264,3 +264,29 @@ print("EXITED_CLEANLY step", tr.global_step, flush=True)
             p.kill()
     assert p.returncode == 0, out[-3000:]
     assert "preemption save: step 1" in out and "EXITED_CLEANLY" in out, out[-2000:]
+
+
+def test_keep_checkpoints_retention(tmp_path):
+    """tcfg.keep_checkpoints bounds the orbax retention window."""
+    import jax
+    import numpy as np
+
+    from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+    from clip_mixer_tpu.data.pipeline import SyntheticSource
+    from clip_mixer_tpu.parallel.mesh import make_mesh
+    from clip_mixer_tpu.train.trainer import Trainer
+
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+        vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+        text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32",
+    )
+    tcfg = TrainConfig(global_batch_size=4, epochs=1, learning_rate=1e-3,
+                       warmup_steps=1, checkpoint_every_steps=1, keep_checkpoints=2)
+    tr = Trainer(
+        cfg, tcfg,
+        SyntheticSource(batch_size=4, image_size=16, n_batches=5, context_length=16),
+        str(tmp_path / "keep"), mesh=make_mesh(n_data=1, devices=jax.devices()[:1]),
+    )
+    tr.train()
+    assert len(tr.checkpointer.all_steps()) == 2  # only the last two survive

@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--learning-rate", type=float, default=5e-4)  # training.py:55
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=400)  # training.py:197
+    p.add_argument("--keep-checkpoints", type=int, default=3,
+                   help="orbax retention window (last N cadence checkpoints)")
     p.add_argument("--grad-through-gather", action="store_true",
                    help="exact global-batch InfoNCE gradient (default: reference detach semantics)")
     p.add_argument("--chunk-size", type=int, default=None,
@@ -113,6 +115,7 @@ def main():
         steps_per_epoch=args.steps_per_epoch,
         learning_rate=args.learning_rate,
         checkpoint_every_steps=args.checkpoint_every,
+        keep_checkpoints=args.keep_checkpoints,
         accum_steps=args.accum_steps,
         fsdp=args.fsdp,
         pipeline_microbatches=args.pipeline_microbatches,
