@@ -155,6 +155,61 @@ print("RESULT " + json.dumps(out), flush=True)
 """
 
 
+WORKER_PP = r"""
+import json, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+sys.path.insert(0, REPO)
+
+import numpy as np
+from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.parallel.mesh import shard_batch
+from clip_mixer_tpu.parallel.pp import make_pp_mesh, make_pp_train_step, place_pp_state
+from clip_mixer_tpu.parallel.train_step import init_train_state
+from clip_mixer_tpu.train.optimizer import make_optimizer
+
+assert jax.process_count() == 2 and jax.device_count() == 2
+
+cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=2, vision_width=32,
+                 vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                 text_heads=1, text_layers=2, tower="mixer", compute_dtype="float32")
+tcfg = TrainConfig(global_batch_size=8, learning_rate=1e-3, warmup_steps=2)
+# (data=1, stage=2): the STAGE axis spans the two processes, so every
+# ppermute activation hop in the GPipe schedule crosses a process boundary.
+mesh = make_pp_mesh(n_data=1, n_stage=2)
+opt = make_optimizer(tcfg, total_steps=10)
+state = place_pp_state(mesh, init_train_state(clip_model.init(jax.random.key(0), cfg), opt))
+
+blk = state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]  # [2, 32, 128]
+blk_local = sorted(tuple(s.data.shape) for s in blk.addressable_shards)
+
+step = make_pp_train_step(cfg, tcfg, mesh, opt, n_micro=2)
+# identical deterministic batch on both processes (data axis is 1-wide)
+rng = np.random.default_rng(11)
+texts = np.zeros((8, 16), np.int32)
+texts[:, 0] = 49406
+texts[:, 1] = 200 + np.arange(8)
+texts[:, 2] = 49407
+batch = {"images": rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8), "texts": texts}
+state, metrics = step(state, shard_batch(mesh, batch))
+
+out = {
+    "pid": pid,
+    "loss": float(jax.device_get(metrics["loss"])),
+    "blk_local": blk_local,
+}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -281,3 +336,44 @@ def test_two_process_fsdp_tp_grid(tmp_path):
     # Both processes agree on the global loss of the grid step.
     assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
     assert np.isfinite(r0["loss"])
+
+
+def test_two_process_pipeline_stage_hops(tmp_path):
+    """PP across REAL process boundaries: (data=1, stage=2) with one process
+    per stage, so every GPipe ppermute hop (and the autodiff-derived reverse
+    hops in backward) crosses processes. Each process must hold exactly its
+    stage's block slice, agree on the global loss, and match the DP oracle
+    (PP is DP-equivalent by construction)."""
+    r0, r1 = outs = _run_two_workers(tmp_path, WORKER_PP)
+    for r in outs:
+        # stacked blocks [2, 32, 128] stage-sharded on the layer axis:
+        # exactly ONE [1, 32, 128] slice addressable per process
+        assert r["blk_local"] == [[1, 32, 128]]
+    assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
+
+    # DP oracle on the same deterministic batch, single device in-process.
+    import jax
+
+    from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+    from clip_mixer_tpu.models import clip as clip_model
+    from clip_mixer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from clip_mixer_tpu.parallel.train_step import init_train_state, make_train_step
+    from clip_mixer_tpu.train.optimizer import make_optimizer
+
+    cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=2, vision_width=32,
+                     vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                     text_heads=1, text_layers=2, tower="mixer", compute_dtype="float32")
+    tcfg = TrainConfig(global_batch_size=8, learning_rate=1e-3, warmup_steps=2)
+    rng = np.random.default_rng(11)
+    texts = np.zeros((8, 16), np.int32)
+    texts[:, 0] = 49406
+    texts[:, 1] = 200 + np.arange(8)
+    texts[:, 2] = 49407
+    batch = {"images": rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8), "texts": texts}
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(tcfg, total_steps=10)
+    state = replicate(mesh, init_train_state(clip_model.init(jax.random.key(0), cfg), opt))
+    _, metrics = make_train_step(cfg, tcfg, mesh, opt)(state, shard_batch(mesh, batch))
+    oracle = float(jax.device_get(metrics["loss"]))
+    assert r0["loss"] == pytest.approx(oracle, abs=1e-5)
