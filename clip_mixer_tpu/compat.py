@@ -85,6 +85,13 @@ def _to_torch(x, dtype=np.float32) -> torch.Tensor:
     return torch.from_numpy(np.array(x, dtype=dtype, copy=True))
 
 
+class _VisualShim:
+    """Attribute shim for reference code touching ``model.visual``."""
+
+    def __init__(self, input_resolution: int):
+        self.input_resolution = input_resolution
+
+
 class CLIP:
     """Object-style wrapper over the functional model: the reference
     ``model.py:293-442`` surface with torch tensors at the boundary.
@@ -101,6 +108,9 @@ class CLIP:
         self.context_length = cfg.context_length
         self.vocab_size = cfg.vocab_size
         self.input_resolution = cfg.image_resolution
+        # reference call sites read model.visual.input_resolution (e.g. its
+        # own training.py:288 builds the transform from it)
+        self.visual = _VisualShim(cfg.image_resolution)
         self._encode_image = jax.jit(
             lambda p, x: clip_model.encode_image(p, cfg, x)
         )

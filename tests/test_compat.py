@@ -120,6 +120,8 @@ def test_torch_idioms_and_attributes(model_and_preprocess):
     assert model.context_length == 16
     assert model.vocab_size == 49408
     assert model.input_resolution == 32
+    # the reference's own training.py:288 reads model.visual.input_resolution
+    assert model.visual.input_resolution == 32
     assert model.dtype == torch.float32
 
 
