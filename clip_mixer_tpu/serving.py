@@ -96,19 +96,59 @@ class InferenceEngine:
                 )
             return self.__batcher
 
-    def enable_int8(self, sample_images_u8: np.ndarray, sample_texts: Optional[Sequence[str]] = None) -> None:
-        """Switch image encoding (and, when ``sample_texts`` is given, text
-        encoding) to the calibrated W8A8 path — every preset (mixer /
+    def enable_int8(
+        self,
+        sample_images_u8: Optional[np.ndarray] = None,
+        sample_texts: Optional[Sequence[str]] = None,
+        *,
+        calibration: Optional[str] = None,
+        save_calibration: Optional[str] = None,
+    ) -> None:
+        """Switch image encoding (and text encoding, when text scales are
+        available) to the calibrated W8A8 path — every preset (mixer /
         transformer / ResNet towers; RN convs run int8 with folded BN);
         +51% imgs/s on v5e for the mixer at feature cosine >0.999
         (ops/quant.py).
-        sample_images_u8: [N, H, W, 3] calibration batch."""
+
+        Scales come from ``calibration`` (a ``.npz`` written by
+        ``save_calibration=`` here or by ``scripts/calibrate_int8.py``;
+        architecture-fingerprint-checked) and/or are measured on
+        ``sample_images_u8`` ([N, H, W, 3]) / ``sample_texts``. Sample
+        arguments fill in whatever tower the artifact lacks."""
+        from clip_mixer_tpu.ops import quant_io
         from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
 
         cfg = self.cfg
-        sample = normalize_images(jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype))
+        scales = t_scales = None
+        if calibration is not None:
+            art = quant_io.load_calibration(calibration)
+            quant_io.check_cfg(art["cfg"], cfg)
+            scales, t_scales = art["image_scales"], art["text_scales"]
+
         calibrate, quantize, encode_q = image_quant_fns(cfg)
-        scales = calibrate(self.params, cfg, sample)
+        if scales is None:
+            if sample_images_u8 is None:
+                raise ValueError(
+                    "enable_int8 needs image scales: pass sample_images_u8 or a "
+                    "calibration= artifact containing them"
+                )
+            sample = normalize_images(
+                jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype)
+            )
+            scales = calibrate(self.params, cfg, sample)
+        t_calibrate, t_quantize, encode_text_q = text_quant_fns(cfg)
+        if t_scales is None and sample_texts:
+            tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
+            t_scales = t_calibrate(self.params, cfg, tokens)
+
+        if save_calibration is not None:
+            quant_io.save_calibration(
+                save_calibration,
+                cfg,
+                image_scales=jax.device_get(scales),
+                text_scales=None if t_scales is None else jax.device_get(t_scales),
+            )
+
         qparams = self._put_params(quantize(self.params, cfg, scales))
 
         @jax.jit
@@ -118,10 +158,7 @@ class InferenceEngine:
 
         self._image_path = (_encode_image_q, qparams)  # atomic swap
 
-        if sample_texts:
-            tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
-            t_calibrate, t_quantize, encode_text_q = text_quant_fns(cfg)
-            t_scales = t_calibrate(self.params, cfg, tokens)
+        if t_scales is not None:
             tparams = self._put_params(t_quantize(self.params, cfg, t_scales))
 
             @jax.jit
@@ -324,6 +361,11 @@ def main():  # pragma: no cover - CLI
         "--all-devices", action="store_true",
         help="shard each batch over every local chip (data-parallel serving)",
     )
+    p.add_argument(
+        "--int8", default=None, metavar="CALIB_NPZ",
+        help="serve the W8A8 path using a calibration artifact "
+        "(scripts/calibrate_int8.py); covers whichever towers it holds",
+    )
     args = p.parse_args()
 
     params, cfg, _ = load(args.model)
@@ -333,6 +375,8 @@ def main():  # pragma: no cover - CLI
 
         mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
     engine = InferenceEngine(params, cfg, mesh=mesh)
+    if args.int8:
+        engine.enable_int8(calibration=args.int8)
     if args.classifier:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
 
