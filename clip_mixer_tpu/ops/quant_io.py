@@ -56,8 +56,12 @@ _Path = Tuple[Tuple[str, Any], ...]
 
 def _flatten(tree: Any, prefix: _Path = ()) -> Iterator[Tuple[_Path, np.ndarray]]:
     if isinstance(tree, dict):
+        bad = [k for k in tree if not isinstance(k, str)]
+        if bad:
+            # str(k) would silently change the key on the load side
+            raise TypeError(f"scale-tree dict keys must be str, got {bad!r}")
         for k in sorted(tree):
-            yield from _flatten(tree[k], prefix + (("d", str(k)),))
+            yield from _flatten(tree[k], prefix + (("d", k),))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             yield from _flatten(v, prefix + (("i", i),))
@@ -83,10 +87,12 @@ def _unflatten(items: List[Tuple[_Path, np.ndarray]]) -> Any:
         if not isinstance(node, dict):
             return node
         kinds = {k[0] for k in node}
-        assert len(kinds) == 1, f"mixed dict/list level in artifact: {sorted(node)}"
+        if len(kinds) != 1:
+            raise ValueError(f"corrupt artifact: mixed dict/list level {sorted(node)}")
         if kinds == {"i"}:
             idx = sorted(node, key=lambda k: k[1])
-            assert [k[1] for k in idx] == list(range(len(idx))), "non-contiguous list indices"
+            if [k[1] for k in idx] != list(range(len(idx))):
+                raise ValueError(f"corrupt artifact: non-contiguous list indices {idx}")
             return [convert(node[k]) for k in idx]
         return {k[1]: convert(v) for k, v in node.items()}
 

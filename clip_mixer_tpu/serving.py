@@ -104,8 +104,8 @@ class InferenceEngine:
         calibration: Optional[str] = None,
         save_calibration: Optional[str] = None,
     ) -> None:
-        """Switch image encoding (and text encoding, when text scales are
-        available) to the calibrated W8A8 path — every preset (mixer /
+        """Switch whichever towers scales are available for (image, text,
+        or both) to the calibrated W8A8 path — every preset (mixer /
         transformer / ResNet towers; RN convs run int8 with folded BN);
         +51% imgs/s on v5e for the mixer at feature cosine >0.999
         (ops/quant.py).
@@ -126,12 +126,7 @@ class InferenceEngine:
             scales, t_scales = art["image_scales"], art["text_scales"]
 
         calibrate, quantize, encode_q = image_quant_fns(cfg)
-        if scales is None:
-            if sample_images_u8 is None:
-                raise ValueError(
-                    "enable_int8 needs image scales: pass sample_images_u8 or a "
-                    "calibration= artifact containing them"
-                )
+        if scales is None and sample_images_u8 is not None:
             sample = normalize_images(
                 jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype)
             )
@@ -140,23 +135,29 @@ class InferenceEngine:
         if t_scales is None and sample_texts:
             tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
             t_scales = t_calibrate(self.params, cfg, tokens)
+        if scales is None and t_scales is None:
+            raise ValueError(
+                "enable_int8 has no scales for either tower: pass "
+                "sample_images_u8 / sample_texts or a calibration= artifact"
+            )
 
         if save_calibration is not None:
             quant_io.save_calibration(
                 save_calibration,
                 cfg,
-                image_scales=jax.device_get(scales),
+                image_scales=None if scales is None else jax.device_get(scales),
                 text_scales=None if t_scales is None else jax.device_get(t_scales),
             )
 
-        qparams = self._put_params(quantize(self.params, cfg, scales))
+        if scales is not None:
+            qparams = self._put_params(quantize(self.params, cfg, scales))
 
-        @jax.jit
-        def _encode_image_q(p, images_u8):
-            images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-            return clip_model.l2_normalize(encode_q(p, cfg, images))
+            @jax.jit
+            def _encode_image_q(p, images_u8):
+                images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+                return clip_model.l2_normalize(encode_q(p, cfg, images))
 
-        self._image_path = (_encode_image_q, qparams)  # atomic swap
+            self._image_path = (_encode_image_q, qparams)  # atomic swap
 
         if t_scales is not None:
             tparams = self._put_params(t_quantize(self.params, cfg, t_scales))

@@ -75,6 +75,8 @@ def main(argv=None):
         n += len(b["images"])
         if n >= args.n:
             break
+    if n == 0:
+        p.error("calibration source yielded zero samples (empty/undecodable shards?)")
     images_u8 = np.concatenate(images)[: args.n]
     sample = normalize_images(jnp.asarray(images_u8), dtype=jnp.dtype(cfg.compute_dtype))
 
@@ -86,6 +88,8 @@ def main(argv=None):
     if not args.no_text:
         if args.texts:
             lines = [l.strip() for l in open(args.texts) if l.strip()][: args.n]
+            if not lines:
+                p.error(f"--texts {args.texts} contains no captions")
             tokens = np.asarray(tokenize(lines, cfg.context_length, truncate=True))
         else:
             tokens = np.concatenate(token_batches)[: args.n]

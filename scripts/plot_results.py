@@ -49,7 +49,14 @@ def plot_metrics_jsonl(path: str, out_dir: str, plt, np) -> str:
     series = {}
     with open(path) as f:
         for line in f:
-            row = json.loads(line)
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                # a run killed mid-append (preemption/OOM — the very case
+                # this post-mortem mode serves) leaves a truncated tail line
+                if line.strip():
+                    print(f"note: skipping malformed metrics line: {line[:60]!r}")
+                continue
             series.setdefault(row["name"], []).append((row["step"], row["value"]))
     if not series:
         raise SystemExit(f"{path}: no scalars")

@@ -168,6 +168,8 @@ def test_plot_results_both_modes(tmp_path):
     with open(jsonl, "w") as f:
         for s in range(1, 9):
             f.write(json.dumps({"step": s, "name": "Loss", "value": 2.0 / s}) + "\n")
+        # a preempted run's truncated tail line must not break post-mortems
+        f.write('{"step": 9, "name": "Lo')
 
     out = tmp_path / "figs"
     argv = sys.argv

@@ -22,7 +22,7 @@ CFG = CLIPConfig(
     vision_width=32,
     vision_patch_size=16,
     context_length=16,
-    vocab_size=512,
+    vocab_size=49408,
     text_width=32,
     text_heads=1,
     text_layers=2,
@@ -100,8 +100,12 @@ def test_engine_int8_from_artifact_matches_direct(tmp_path):
     loaded = InferenceEngine(params, CFG, batch_buckets=(8,))
     loaded.enable_int8(calibration=path)
 
-    np.testing.assert_array_equal(direct.encode_image_arrays(imgs), loaded.encode_image_arrays(imgs))
-    np.testing.assert_array_equal(direct.encode_text(texts), loaded.encode_text(texts))
+    img_feats, txt_feats = direct.encode_image_arrays(imgs), direct.encode_text(texts)
+    # finite first: assert_array_equal treats aligned NaNs as equal, which
+    # would mask a broken path matching itself
+    assert np.all(np.isfinite(img_feats)) and np.all(np.isfinite(txt_feats))
+    np.testing.assert_array_equal(img_feats, loaded.encode_image_arrays(imgs))
+    np.testing.assert_array_equal(txt_feats, loaded.encode_text(texts))
 
     # artifact for a different architecture is refused
     with pytest.raises(ValueError, match="different architecture"):
@@ -111,12 +115,45 @@ def test_engine_int8_from_artifact_matches_direct(tmp_path):
         ).enable_int8(calibration=path)
 
 
-def test_enable_int8_requires_some_image_source():
+def test_enable_int8_requires_some_source():
     from clip_mixer_tpu.models import clip as clip_model
 
     engine = InferenceEngine(clip_model.init(jax.random.key(0), CFG), CFG)
-    with pytest.raises(ValueError, match="image scales"):
+    with pytest.raises(ValueError, match="no scales"):
         engine.enable_int8()
+
+
+def test_text_only_artifact_quantizes_only_text(tmp_path):
+    """A text-only artifact serves: text path goes int8, image path keeps
+    the float encoder (the advertised 'whichever towers it holds')."""
+    from clip_mixer_tpu.models import clip as clip_model
+
+    params = clip_model.init(jax.random.key(0), CFG)
+    texts = ["a cat", "a dog"]
+    imgs = np.zeros((4, 32, 32, 3), np.uint8)
+    path = str(tmp_path / "text_scales.npz")
+
+    src = InferenceEngine(params, CFG, batch_buckets=(4,))
+    src.enable_int8(sample_texts=texts, save_calibration=path)
+    art = quant_io.load_calibration(path)
+    assert art["image_scales"] is None and art["text_scales"] is not None
+
+    flt = InferenceEngine(params, CFG, batch_buckets=(4,))
+    before_img, before_txt = flt.encode_image_arrays(imgs), flt.encode_text(texts)
+    eng = InferenceEngine(params, CFG, batch_buckets=(4,))
+    eng.enable_int8(calibration=path)
+    np.testing.assert_array_equal(eng.encode_image_arrays(imgs), before_img)
+    after_txt = eng.encode_text(texts)
+    assert not np.array_equal(after_txt, before_txt)  # int8 path engaged
+    cos = (after_txt * before_txt).sum(-1)
+    assert cos.min() > 0.99, cos
+
+
+def test_non_string_dict_keys_rejected(tmp_path):
+    with pytest.raises(TypeError, match="keys must be str"):
+        quant_io.save_calibration(
+            str(tmp_path / "x.npz"), CFG, image_scales={0: np.float32(0.1)}
+        )
 
 
 def test_calibrate_cli_smoke(tmp_path):
@@ -158,6 +195,6 @@ def test_resnet_artifact_roundtrip(tmp_path):
     direct.enable_int8(imgs[:4], save_calibration=path)
     loaded = InferenceEngine(params, RN_CFG, batch_buckets=(8,))
     loaded.enable_int8(calibration=path)
-    np.testing.assert_array_equal(
-        direct.encode_image_arrays(imgs), loaded.encode_image_arrays(imgs)
-    )
+    feats = direct.encode_image_arrays(imgs)
+    assert np.all(np.isfinite(feats))
+    np.testing.assert_array_equal(feats, loaded.encode_image_arrays(imgs))
