@@ -1,0 +1,112 @@
+"""Frozen serving programs (clip_mixer_tpu/aot.py).
+
+Contract: export_servable writes a save_pretrained superset whose recorded
+jax.export programs reproduce the live engine bit-for-bit — the JAX
+equivalent of the reference's TorchScript serving path (clip.py:95-195,
+jit=True), which PARITY previously marked torch-specific."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import clip_mixer_tpu as clip
+from clip_mixer_tpu import aot
+from clip_mixer_tpu.config import CLIPConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.serving import InferenceEngine
+
+CFG = CLIPConfig(
+    embed_dim=16,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=32,
+    vision_patch_size=16,
+    context_length=16,
+    vocab_size=49408,
+    text_width=32,
+    text_heads=1,
+    text_layers=2,
+    tower="mixer",
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return clip_model.init(jax.random.key(0), CFG)
+
+
+def test_float_export_matches_live_engine(tmp_path, params):
+    out = str(tmp_path / "srv")
+    aot.export_servable(params, CFG, out, batch_buckets=(4, 8))
+    eng = aot.load_servable(out)
+    live = InferenceEngine(params, CFG, batch_buckets=(4, 8))
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)  # pads to bucket 8
+    texts = ["a cat", "two dogs", "a diagram"]
+    got_i, got_t = eng.encode_image_arrays(imgs), eng.encode_text(texts)
+    assert np.all(np.isfinite(got_i)) and np.all(np.isfinite(got_t))
+    np.testing.assert_array_equal(got_i, live.encode_image_arrays(imgs))
+    np.testing.assert_array_equal(got_t, live.encode_text(texts))
+
+    # the dir stays a valid save_pretrained checkpoint
+    p2, cfg2, _ = clip.load(out)
+    assert cfg2 == CFG
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_export_matches_direct_int8(tmp_path, params):
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    texts = ["a photo of a cat", "a dog"]
+    calib = str(tmp_path / "scales.npz")
+
+    direct = InferenceEngine(params, CFG, batch_buckets=(8,))
+    direct.enable_int8(imgs, sample_texts=texts, save_calibration=calib)
+
+    out = str(tmp_path / "srv8")
+    aot.export_servable(params, CFG, out, batch_buckets=(8,), int8_calibration=calib)
+    frozen = aot.load_servable(out)
+
+    want_i, want_t = direct.encode_image_arrays(imgs), direct.encode_text(texts)
+    assert np.all(np.isfinite(want_i)) and np.all(np.isfinite(want_t))
+    np.testing.assert_array_equal(frozen.encode_image_arrays(imgs), want_i)
+    np.testing.assert_array_equal(frozen.encode_text(texts), want_t)
+
+
+def test_int8_export_needs_both_towers(tmp_path, params):
+    from clip_mixer_tpu.ops import quant_io
+
+    calib = str(tmp_path / "img_only.npz")
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    engine.enable_int8(
+        np.zeros((4, 32, 32, 3), np.uint8), save_calibration=calib
+    )
+    with pytest.raises(ValueError, match="BOTH towers"):
+        aot.export_servable(params, CFG, str(tmp_path / "x"), int8_calibration=calib)
+
+
+def test_load_servable_rejects_plain_checkpoint(tmp_path, params):
+    plain = str(tmp_path / "plain")
+    clip.save_pretrained(params, CFG, plain)
+    with pytest.raises(FileNotFoundError, match="servable"):
+        aot.load_servable(plain)
+
+
+def test_export_cli(tmp_path, params):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import export_servable as cli
+
+    src = str(tmp_path / "src")
+    clip.save_pretrained(params, CFG, src)
+    out = str(tmp_path / "out")
+    cli.main(["--model", src, "--out", out, "--buckets", "2,4"])
+    eng = aot.load_servable(out)
+    feats = eng.encode_text(["hello world"])
+    assert feats.shape == (1, CFG.embed_dim) and np.all(np.isfinite(feats))
