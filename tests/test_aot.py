@@ -110,3 +110,17 @@ def test_export_cli(tmp_path, params):
     eng = aot.load_servable(out)
     feats = eng.encode_text(["hello world"])
     assert feats.shape == (1, CFG.embed_dim) and np.all(np.isfinite(feats))
+
+
+def test_cross_platform_export(tmp_path, params):
+    """Freeze for a device family the host doesn't have: platforms=("tpu",
+    "cpu") lowers both on a CPU host; the CPU leg still runs here (the TPU
+    leg is selected at .call time on a TPU host)."""
+    out = str(tmp_path / "xsrv")
+    aot.export_servable(params, CFG, out, batch_buckets=(2,), platforms=("tpu", "cpu"))
+    import json, os
+    manifest = json.load(open(os.path.join(out, "servable", "manifest.json")))
+    assert sorted(manifest["platforms"]) == ["cpu", "tpu"]
+    eng = aot.load_servable(out)
+    feats = eng.encode_text(["a cat"])
+    assert feats.shape == (1, CFG.embed_dim) and np.all(np.isfinite(feats))
