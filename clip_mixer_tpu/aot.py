@@ -97,7 +97,8 @@ def export_servable(
     int8_calibration: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
 ) -> str:
-    """Write a self-contained frozen-serving directory (see module doc).
+    """Write a self-contained frozen-serving directory (see module doc):
+    a save_pretrained checkpoint plus the recorded programs.
 
     int8_calibration: path to a quant_io artifact holding BOTH towers'
     scales — the exported programs are then the calibrated W8A8 encoders.
@@ -106,10 +107,32 @@ def export_servable(
     """
     from clip_mixer_tpu.api import save_pretrained
 
+    save_pretrained(params, cfg, out_dir)
+    freeze_programs(
+        params, cfg, out_dir,
+        batch_buckets=batch_buckets,
+        int8_calibration=int8_calibration,
+        platforms=platforms,
+    )
+    return out_dir
+
+
+def freeze_programs(
+    params,
+    cfg: CLIPConfig,
+    out_dir: str,
+    *,
+    batch_buckets: Sequence[int] = (1, 8, 32, 128),
+    int8_calibration: Optional[str] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Record just the ``servable/`` payload into an EXISTING
+    save_pretrained directory (e.g. the Trainer's completion export) —
+    pure local tracing/lowering, no collectives, so on a pod it is
+    rank-gated by the caller."""
     buckets = sorted(set(int(b) for b in batch_buckets))
     if not buckets or buckets[0] < 1:
         raise ValueError(f"batch_buckets must be positive ints, got {batch_buckets!r}")
-    save_pretrained(params, cfg, out_dir)
     sdir = os.path.join(out_dir, "servable")
     os.makedirs(sdir, exist_ok=True)
 

@@ -278,6 +278,11 @@ class TrainConfig:
     # trains on through NaNs (training.py has no guard). Disable only for
     # divergence-debugging runs.
     abort_on_nonfinite_loss: bool = True
+    # Also record frozen serving programs (aot.freeze_programs: per-bucket
+    # jax.export encoders) into the completion export, so the release
+    # artifact serves without re-tracing model code. Local lowering only —
+    # no collectives; the Trainer rank-gates it on a pod.
+    freeze_serving: bool = False
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,

@@ -412,6 +412,12 @@ class Trainer:
         from clip_mixer_tpu.api import save_pretrained
 
         save_pretrained(params, self.cfg, path)
+        if self.tcfg.freeze_serving and jax.process_index() == 0:
+            # pure local lowering (no collectives) — rank-gated so N pod
+            # workers don't race on the same servable/ files
+            from clip_mixer_tpu.aot import freeze_programs
+
+            freeze_programs(params, self.cfg, path)
         return path
 
     def _host_params(self):

@@ -124,3 +124,26 @@ def test_cross_platform_export(tmp_path, params):
     eng = aot.load_servable(out)
     feats = eng.encode_text(["a cat"])
     assert feats.shape == (1, CFG.embed_dim) and np.all(np.isfinite(feats))
+
+
+def test_trainer_freeze_serving(tmp_path):
+    """--freeze-serving: training completion writes an export that
+    load_servable accepts directly (the release-artifact path)."""
+    from clip_mixer_tpu.config import TrainConfig
+    from clip_mixer_tpu.data.pipeline import SyntheticSource
+    from clip_mixer_tpu.parallel.mesh import make_mesh
+    from clip_mixer_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    data = SyntheticSource(batch_size=4, image_size=32, n_batches=2, n_classes=4, context_length=16)
+    tcfg = TrainConfig(
+        global_batch_size=4, epochs=1, learning_rate=1e-3, warmup_steps=1,
+        checkpoint_every_steps=2, freeze_serving=True,
+    )
+    run = str(tmp_path / "run")
+    tr = Trainer(CFG, tcfg, data, run, mesh=mesh)
+    tr.train()
+
+    eng = aot.load_servable(f"{run}/export")
+    feats = eng.encode_text(["a red square"])
+    assert feats.shape == (1, CFG.embed_dim) and np.all(np.isfinite(feats))

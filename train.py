@@ -68,6 +68,9 @@ def parse_args():
                    help="substitute: replace a corrupt record with an in-batch "
                         "neighbor pair instead of failing the run (counted; "
                         "batch boundaries and resume determinism unchanged)")
+    p.add_argument("--freeze-serving", action="store_true",
+                   help="also record frozen serving programs (jax.export, "
+                        "clip_mixer_tpu.aot) into the completion export")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -119,6 +122,7 @@ def main():
         accum_steps=args.accum_steps,
         fsdp=args.fsdp,
         pipeline_microbatches=args.pipeline_microbatches,
+        freeze_serving=args.freeze_serving,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
