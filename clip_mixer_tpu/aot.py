@@ -28,8 +28,6 @@ work unchanged on top.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -39,50 +37,48 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from clip_mixer_tpu.config import CLIPConfig
-from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.preprocess import normalize_images
 
 _MANIFEST_VERSION = 1
 
 
+def _sdir(out_dir: str):
+    """servable/ under out_dir, gs://-safe (api._as_path keeps the scheme)."""
+    from clip_mixer_tpu.api import _as_path
+
+    return _as_path(out_dir) / "servable"
+
+
 def _struct_of(tree):
-    return jax.tree.map(lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), tree)
+    # pure shape/dtype metadata: no jnp.asarray — that would round-trip
+    # every leaf through the default device just to read a dtype
+    def s(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(tuple(x.shape), jnp.dtype(x.dtype))
+        x = np.asarray(x)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    return jax.tree.map(s, tree)
 
 
-def _encode_fns(cfg: CLIPConfig, int8: bool):
-    """(image_fn, text_fn) with the SAME composition the live engine jits
-    (serving.InferenceEngine): in-graph normalize + encode + l2-normalize."""
-    if int8:
-        from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
-
-        encode_image = image_quant_fns(cfg)[2]
-        encode_text = text_quant_fns(cfg)[2]
-    else:
-        encode_image = clip_model.encode_image
-        encode_text = clip_model.encode_text
-
-    def image_fn(p, images_u8):
-        images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-        return clip_model.l2_normalize(encode_image(p, cfg, images))
-
-    def text_fn(p, tokens):
-        return clip_model.l2_normalize(encode_text(p, cfg, tokens))
-
-    return image_fn, text_fn
-
-
-def _quantized_params(params, cfg: CLIPConfig, art: dict) -> Tuple[dict, dict]:
-    """(image qparams, text qparams) re-derived from a calibration artifact
-    (deterministic given params + scales — ops/quant_io.py)."""
+def _checked_artifact(int8_calibration: str, cfg: CLIPConfig) -> dict:
+    """Load + validate a calibration artifact for frozen int8 export."""
     from clip_mixer_tpu.ops import quant_io
-    from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
 
+    art = quant_io.load_calibration(int8_calibration)
     quant_io.check_cfg(art["cfg"], cfg)
     if art["image_scales"] is None or art["text_scales"] is None:
         raise ValueError(
             "servable int8 export needs a calibration artifact with BOTH "
             "towers (scripts/calibrate_int8.py writes one)"
         )
+    return art
+
+
+def _quantized_params(params, cfg: CLIPConfig, art: dict) -> Tuple[dict, dict]:
+    """(image qparams, text qparams) re-derived from a calibration artifact
+    (deterministic given params + scales — ops/quant_io.py)."""
+    from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
+
     qimg = image_quant_fns(cfg)[1](params, cfg, art["image_scales"])
     qtxt = text_quant_fns(cfg)[1](params, cfg, art["text_scales"])
     return qimg, qtxt
@@ -107,6 +103,10 @@ def export_servable(
     """
     from clip_mixer_tpu.api import save_pretrained
 
+    if int8_calibration is not None:
+        # validate BEFORE the (possibly multi-GB) checkpoint write so a bad
+        # artifact doesn't leave a half-written export behind
+        _checked_artifact(int8_calibration, cfg)
     save_pretrained(params, cfg, out_dir)
     freeze_programs(
         params, cfg, out_dir,
@@ -130,36 +130,38 @@ def freeze_programs(
     save_pretrained directory (e.g. the Trainer's completion export) —
     pure local tracing/lowering, no collectives, so on a pod it is
     rank-gated by the caller."""
+    from clip_mixer_tpu.api import _as_path
+    from clip_mixer_tpu.serving import encoder_fns
+
     buckets = sorted(set(int(b) for b in batch_buckets))
     if not buckets or buckets[0] < 1:
         raise ValueError(f"batch_buckets must be positive ints, got {batch_buckets!r}")
-    sdir = os.path.join(out_dir, "servable")
-    os.makedirs(sdir, exist_ok=True)
+    sdir = _sdir(out_dir)
+    sdir.mkdir(parents=True, exist_ok=True)
 
     int8 = int8_calibration is not None
-    image_fn, text_fn = _encode_fns(cfg, int8)
+    # the ONE serving composition (serving.encoder_fns) — frozen-vs-live
+    # bit-equality depends on both paths building from it
+    image_fn, text_fn = encoder_fns(cfg, int8=int8)
     if int8:
-        from clip_mixer_tpu.ops import quant_io
-
-        art = quant_io.load_calibration(int8_calibration)
+        art = _checked_artifact(int8_calibration, cfg)
         img_params, txt_params = _quantized_params(params, cfg, art)
-        shutil.copyfile(int8_calibration, os.path.join(sdir, "calibration.npz"))
+        (sdir / "calibration.npz").write_bytes(_as_path(int8_calibration).read_bytes())
     else:
         img_params = txt_params = params
 
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     R, ctx = cfg.image_resolution, cfg.context_length
+    img_struct, txt_struct = _struct_of(img_params), _struct_of(txt_params)
     exported_platforms = None
     for b in buckets:
         img_batch = jax.ShapeDtypeStruct((b, R, R, 3), jnp.uint8)
         txt_batch = jax.ShapeDtypeStruct((b, ctx), jnp.int32)
-        exp_i = jax_export.export(jax.jit(image_fn), **kw)(_struct_of(img_params), img_batch)
-        exp_t = jax_export.export(jax.jit(text_fn), **kw)(_struct_of(txt_params), txt_batch)
+        exp_i = jax_export.export(jax.jit(image_fn), **kw)(img_struct, img_batch)
+        exp_t = jax_export.export(jax.jit(text_fn), **kw)(txt_struct, txt_batch)
         exported_platforms = list(exp_i.platforms)
-        with open(os.path.join(sdir, f"image_{b}.bin"), "wb") as f:
-            f.write(exp_i.serialize())
-        with open(os.path.join(sdir, f"text_{b}.bin"), "wb") as f:
-            f.write(exp_t.serialize())
+        (sdir / f"image_{b}.bin").write_bytes(exp_i.serialize())
+        (sdir / f"text_{b}.bin").write_bytes(exp_t.serialize())
 
     manifest = {
         "version": _MANIFEST_VERSION,
@@ -168,46 +170,57 @@ def freeze_programs(
         "platforms": exported_platforms,
         "jax_version": jax.__version__,
     }
-    with open(os.path.join(sdir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    (sdir / "manifest.json").write_text(json.dumps(manifest, indent=1))
     return out_dir
 
 
-def load_servable(path: str):
+def load_servable(path: str, *, check_platform: bool = True):
     """Load a frozen-serving directory into an InferenceEngine that runs
     the RECORDED programs (no re-tracing of model code). Raises if `path`
-    has no ``servable/`` payload — use plain clip_mixer_tpu.load then."""
+    has no ``servable/`` payload — use plain clip_mixer_tpu.load then.
+
+    check_platform: fail fast when the running backend is not among the
+    platforms the programs were lowered for (otherwise the mismatch only
+    surfaces as a per-request error inside the HTTP handler). Pass False
+    to defer to call time, e.g. for a platform alias the check can't see.
+    """
     from clip_mixer_tpu.api import load
     from clip_mixer_tpu.serving import InferenceEngine
 
-    sdir = os.path.join(path, "servable")
-    mpath = os.path.join(sdir, "manifest.json")
-    if not os.path.exists(mpath):
+    sdir = _sdir(path)
+    mpath = sdir / "manifest.json"
+    if not mpath.exists():
         raise FileNotFoundError(
             f"{path} has no servable/manifest.json — not an export_servable dir"
         )
-    with open(mpath) as f:
-        manifest = json.load(f)
+    manifest = json.loads(mpath.read_text())
     if manifest.get("version") != _MANIFEST_VERSION:
         raise ValueError(f"unsupported servable manifest version {manifest.get('version')!r}")
+    backend = jax.default_backend()
+    if check_platform and manifest["platforms"] and backend not in manifest["platforms"]:
+        raise ValueError(
+            f"servable programs were lowered for {manifest['platforms']} but this "
+            f"process runs on {backend!r} — re-export with platforms=({backend!r},) "
+            "or pass check_platform=False to defer to call time"
+        )
 
-    params, cfg, _ = load(path)
+    params, cfg, _ = load(str(path))
     engine = InferenceEngine(params, cfg, batch_buckets=tuple(manifest["buckets"]))
 
     if manifest["int8"]:
         from clip_mixer_tpu.ops import quant_io
 
-        art = quant_io.load_calibration(os.path.join(sdir, "calibration.npz"))
+        art = quant_io.load_calibration(str(sdir / "calibration.npz"))
+        quant_io.check_cfg(art["cfg"], cfg)
         img_params, txt_params = _quantized_params(params, cfg, art)
     else:
         img_params = txt_params = params
 
     def _table(modality):
-        progs = {}
-        for b in manifest["buckets"]:
-            with open(os.path.join(sdir, f"{modality}_{b}.bin"), "rb") as f:
-                progs[b] = jax_export.deserialize(f.read())
-        return progs
+        return {
+            b: jax_export.deserialize((sdir / f"{modality}_{b}.bin").read_bytes())
+            for b in manifest["buckets"]
+        }
 
     def _dispatch(progs):
         def fn(p, batch):

@@ -22,6 +22,7 @@ the ResNet tree carries per-stage lists) are flattened to arrays keyed
 from __future__ import annotations
 
 import dataclasses
+import io
 import json
 import warnings
 from typing import Any, Dict, Iterator, List, Optional, Tuple
@@ -147,14 +148,21 @@ def save_calibration(
             paths.append([list(step) for step in p])
         meta["paths"][section] = paths
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
+    # buffer + epath write so gs:// destinations work (api._as_path keeps
+    # remote URI schemes intact)
+    from clip_mixer_tpu.api import _as_path
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    _as_path(path).write_bytes(buf.getvalue())
 
 
 def load_calibration(path: str) -> Dict[str, Any]:
     """Read an artifact -> {"cfg": dict, "image_scales": tree|None,
     "text_scales": tree|None}. Validate against a model with check_cfg()."""
-    with np.load(path) as z:
+    from clip_mixer_tpu.api import _as_path
+
+    with np.load(io.BytesIO(_as_path(path).read_bytes())) as z:
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
         if meta.get("version") != FORMAT_VERSION:
             raise ValueError(

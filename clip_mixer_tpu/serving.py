@@ -41,6 +41,31 @@ from clip_mixer_tpu.ops.preprocess import normalize_images, preprocess_pil
 from clip_mixer_tpu.text.fast import fast_tokenize
 
 
+def encoder_fns(cfg: CLIPConfig, int8: bool = False):
+    """(image_fn, text_fn) — the ONE serving composition: in-graph
+    uint8→normalize + encode + l2-normalize (image) and encode +
+    l2-normalize (text), float or calibrated-int8 encoders. Shared by the
+    live jitted engine below AND the frozen jax.export programs (aot.py);
+    the frozen-vs-live bit-equality contract depends on both building from
+    here, so don't inline a copy."""
+    if int8:
+        from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
+
+        encode_image = image_quant_fns(cfg)[2]
+        encode_text = text_quant_fns(cfg)[2]
+    else:
+        encode_image, encode_text = clip_model.encode_image, clip_model.encode_text
+
+    def image_fn(p, images_u8):
+        images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+        return clip_model.l2_normalize(encode_image(p, cfg, images))
+
+    def text_fn(p, tokens):
+        return clip_model.l2_normalize(encode_text(p, cfg, tokens))
+
+    return image_fn, text_fn
+
+
 class InferenceEngine:
     """Padded fixed-shape encoders; one compiled program per batch bucket.
 
@@ -66,20 +91,12 @@ class InferenceEngine:
         self.cfg = cfg
         self.buckets = sorted(batch_buckets)
 
-        @jax.jit
-        def _encode_text(p, tokens):
-            return clip_model.l2_normalize(clip_model.encode_text(p, cfg, tokens))
-
-        @jax.jit
-        def _encode_image(p, images_u8):
-            images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-            return clip_model.l2_normalize(clip_model.encode_image(p, cfg, images))
-
+        image_fn, text_fn = encoder_fns(cfg)
         # (fn, params) tuples are swapped ATOMICALLY (single attribute write)
         # so concurrent server threads never see a fn/params mismatch, e.g.
         # during enable_int8 on a live server.
-        self._text_path = (_encode_text, self.params)
-        self._image_path = (_encode_image, self.params)
+        self._text_path = (jax.jit(text_fn), self.params)
+        self._image_path = (jax.jit(image_fn), self.params)
         self._classifier: Optional[jnp.ndarray] = None
         self._classnames: Optional[List[str]] = None
         # Micro-batcher over the image path for concurrent single-image
@@ -125,13 +142,13 @@ class InferenceEngine:
             quant_io.check_cfg(art["cfg"], cfg)
             scales, t_scales = art["image_scales"], art["text_scales"]
 
-        calibrate, quantize, encode_q = image_quant_fns(cfg)
+        calibrate, quantize, _ = image_quant_fns(cfg)
         if scales is None and sample_images_u8 is not None:
             sample = normalize_images(
                 jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype)
             )
             scales = calibrate(self.params, cfg, sample)
-        t_calibrate, t_quantize, encode_text_q = text_quant_fns(cfg)
+        t_calibrate, t_quantize, _ = text_quant_fns(cfg)
         if t_scales is None and sample_texts:
             tokens = jnp.asarray(fast_tokenize(list(sample_texts), cfg.context_length, truncate=True))
             t_scales = t_calibrate(self.params, cfg, tokens)
@@ -149,24 +166,14 @@ class InferenceEngine:
                 text_scales=None if t_scales is None else jax.device_get(t_scales),
             )
 
+        image_fn_q, text_fn_q = encoder_fns(cfg, int8=True)
         if scales is not None:
             qparams = self._put_params(quantize(self.params, cfg, scales))
-
-            @jax.jit
-            def _encode_image_q(p, images_u8):
-                images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-                return clip_model.l2_normalize(encode_q(p, cfg, images))
-
-            self._image_path = (_encode_image_q, qparams)  # atomic swap
+            self._image_path = (jax.jit(image_fn_q), qparams)  # atomic swap
 
         if t_scales is not None:
             tparams = self._put_params(t_quantize(self.params, cfg, t_scales))
-
-            @jax.jit
-            def _encode_text_q(p, toks):
-                return clip_model.l2_normalize(encode_text_q(p, cfg, toks))
-
-            self._text_path = (_encode_text_q, tparams)  # atomic swap
+            self._text_path = (jax.jit(text_fn_q), tparams)  # atomic swap
 
     def _put_params(self, tree):
         """Place a param tree for the engine's device layout (replicated

@@ -36,9 +36,16 @@ def main(argv=None):
     p.add_argument("--texts", default=None, help="file of caption strings (one per line)")
     p.add_argument("--n", type=int, default=512, help="calibration sample count per tower")
     p.add_argument("--no-text", action="store_true", help="skip the text tower")
+    p.add_argument("--platform", default=None,
+                   help="force the JAX backend (e.g. cpu; the JAX_PLATFORMS env var is "
+                        "inert once sitecustomize has imported jax — this goes through "
+                        "jax.config)")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     import clip_mixer_tpu as clip

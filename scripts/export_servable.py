@@ -31,7 +31,16 @@ def main(argv=None):
     p.add_argument("--platforms", default=None,
                    help="comma-separated jax.export targets (e.g. 'tpu' to lower for TPU "
                         "from a CPU host); default = this host's platform")
+    p.add_argument("--platform", default=None,
+                   help="force the HOST backend (e.g. cpu to lower without touching a "
+                        "device tunnel; the JAX_PLATFORMS env var is inert once "
+                        "sitecustomize has imported jax — this goes through jax.config)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import clip_mixer_tpu as clip
     from clip_mixer_tpu import aot

@@ -147,3 +147,13 @@ def test_trainer_freeze_serving(tmp_path):
     eng = aot.load_servable(f"{run}/export")
     feats = eng.encode_text(["a red square"])
     assert feats.shape == (1, CFG.embed_dim) and np.all(np.isfinite(feats))
+
+
+def test_platform_mismatch_rejected_at_load(tmp_path, params):
+    out = str(tmp_path / "tpuonly")
+    aot.export_servable(params, CFG, out, batch_buckets=(2,), platforms=("tpu",))
+    with pytest.raises(ValueError, match="lowered for"):
+        aot.load_servable(out)  # running on cpu
+    # escape hatch defers the check to call time
+    eng = aot.load_servable(out, check_platform=False)
+    assert eng.buckets == [2]
