@@ -233,4 +233,7 @@ def load_servable(path: str, *, check_platform: bool = True):
 
     engine._image_path = (_dispatch(_table("image")), jax.device_put(img_params))
     engine._text_path = (_dispatch(_table("text")), jax.device_put(txt_params))
+    kind = "int8" if manifest["int8"] else "float"
+    engine.path_kinds = {"image": kind, "text": kind}
+    engine.frozen = True
     return engine

@@ -97,6 +97,10 @@ class InferenceEngine:
         # during enable_int8 on a live server.
         self._text_path = (jax.jit(text_fn), self.params)
         self._image_path = (jax.jit(image_fn), self.params)
+        # observability (reported by /healthz): numeric path per tower and
+        # whether the programs are live-jitted or recorded (aot.load_servable)
+        self.path_kinds = {"image": "float", "text": "float"}
+        self.frozen = False
         self._classifier: Optional[jnp.ndarray] = None
         self._classnames: Optional[List[str]] = None
         # Micro-batcher over the image path for concurrent single-image
@@ -170,10 +174,12 @@ class InferenceEngine:
         if scales is not None:
             qparams = self._put_params(quantize(self.params, cfg, scales))
             self._image_path = (jax.jit(image_fn_q), qparams)  # atomic swap
+            self.path_kinds["image"] = "int8"
 
         if t_scales is not None:
             tparams = self._put_params(t_quantize(self.params, cfg, t_scales))
             self._text_path = (jax.jit(text_fn_q), tparams)  # atomic swap
+            self.path_kinds["text"] = "int8"
 
     def _put_params(self, tree):
         """Place a param tree for the engine's device layout (replicated
@@ -311,7 +317,18 @@ def make_handler(engine: InferenceEngine):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok", "model": engine.cfg.tower})
+                self._reply(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": engine.cfg.tower,
+                        "embed_dim": engine.cfg.embed_dim,
+                        "image_resolution": engine.cfg.image_resolution,
+                        "buckets": list(engine.buckets),
+                        "paths": dict(engine.path_kinds),
+                        "frozen": engine.frozen,
+                    },
+                )
             else:
                 self._reply(404, {"error": "unknown path"})
 

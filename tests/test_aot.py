@@ -157,3 +157,11 @@ def test_platform_mismatch_rejected_at_load(tmp_path, params):
     # escape hatch defers the check to call time
     eng = aot.load_servable(out, check_platform=False)
     assert eng.buckets == [2]
+
+
+def test_frozen_engine_reports_provenance(tmp_path, params):
+    out = str(tmp_path / "hsrv")
+    aot.export_servable(params, CFG, out, batch_buckets=(2,))
+    eng = aot.load_servable(out)
+    assert eng.frozen is True
+    assert eng.path_kinds == {"image": "float", "text": "float"}

@@ -69,7 +69,12 @@ def _png_b64(seed=0):
 
 def test_healthz(server_port):
     with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/healthz") as r:
-        assert json.loads(r.read())["status"] == "ok"
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    # observability fields: numeric path per tower + program provenance
+    assert h["paths"] == {"image": "float", "text": "float"}
+    assert h["frozen"] is False
+    assert h["buckets"] == [4, 8] and h["embed_dim"] == 16
 
 
 def test_encode_text_endpoint(server_port):
