@@ -230,6 +230,17 @@ class InferenceEngine:
             return self._image_batcher.submit(images_u8[0])[None]
         return self._run_image(images_u8)
 
+    def warmup(self) -> None:
+        """Compile (or, for recorded programs, load-and-link) every batch
+        bucket on both towers up front, so no production request pays the
+        first-touch compile latency — on a remote-dispatch TPU host that
+        tail is seconds to minutes. Zeros are enough: compilation keys on
+        shapes/dtypes only."""
+        R, ctx = self.cfg.image_resolution, self.cfg.context_length
+        for b in self.buckets:
+            self._run_padded(self._image_path, np.zeros((b, R, R, 3), np.uint8))
+            self._run_padded(self._text_path, np.zeros((b, ctx), np.int32))
+
     def decode_and_preprocess(self, blobs: Sequence[bytes]) -> np.ndarray:
         from PIL import Image
 
@@ -391,6 +402,11 @@ def main():  # pragma: no cover - CLI
         help="serve the W8A8 path using a calibration artifact "
         "(scripts/calibrate_int8.py); covers whichever towers it holds",
     )
+    p.add_argument(
+        "--warmup", action="store_true",
+        help="compile every batch bucket on both towers before accepting "
+        "traffic (no first-request compile tail)",
+    )
     args = p.parse_args()
 
     params, cfg, _ = load(args.model)
@@ -402,6 +418,9 @@ def main():  # pragma: no cover - CLI
     engine = InferenceEngine(params, cfg, mesh=mesh)
     if args.int8:
         engine.enable_int8(calibration=args.int8)
+    if args.warmup:
+        print("warming up all batch buckets...")
+        engine.warmup()
     if args.classifier:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
 

