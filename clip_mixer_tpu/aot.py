@@ -92,6 +92,7 @@ def export_servable(
     batch_buckets: Sequence[int] = (1, 8, 32, 128),
     int8_calibration: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> str:
     """Write a self-contained frozen-serving directory (see module doc):
     a save_pretrained checkpoint plus the recorded programs.
@@ -100,6 +101,10 @@ def export_servable(
     scales — the exported programs are then the calibrated W8A8 encoders.
     platforms: jax.export target platforms (e.g. ``("tpu",)`` to lower for
     TPU from a CPU host); default = the exporting host's platform.
+    mesh: optional jax.sharding.Mesh — programs are recorded data-parallel
+    over it (params replicated, batch sharded over all axes, the
+    InferenceEngine(mesh=) layout); load_servable then requires that many
+    local devices and rebuilds the mesh.
     """
     from clip_mixer_tpu.api import save_pretrained
 
@@ -113,6 +118,7 @@ def export_servable(
         batch_buckets=batch_buckets,
         int8_calibration=int8_calibration,
         platforms=platforms,
+        mesh=mesh,
     )
     return out_dir
 
@@ -125,6 +131,7 @@ def freeze_programs(
     batch_buckets: Sequence[int] = (1, 8, 32, 128),
     int8_calibration: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> str:
     """Record just the ``servable/`` payload into an EXISTING
     save_pretrained directory (e.g. the Trainer's completion export) —
@@ -136,6 +143,19 @@ def freeze_programs(
     buckets = sorted(set(int(b) for b in batch_buckets))
     if not buckets or buckets[0] < 1:
         raise ValueError(f"batch_buckets must be positive ints, got {batch_buckets!r}")
+    jit_kw = {}
+    mesh_info = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # the InferenceEngine(mesh=) layout: params replicated, batch
+        # sharded over all axes, buckets rounded to device multiples
+        rep = NamedSharding(mesh, PartitionSpec())
+        shard = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+        n_dev = mesh.devices.size
+        buckets = sorted({-(-b // n_dev) * n_dev for b in buckets})
+        jit_kw = {"in_shardings": (rep, shard), "out_shardings": shard}
+        mesh_info = {"axis_names": list(mesh.axis_names), "shape": list(mesh.devices.shape)}
     sdir = _sdir(out_dir)
     sdir.mkdir(parents=True, exist_ok=True)
 
@@ -157,8 +177,8 @@ def freeze_programs(
     for b in buckets:
         img_batch = jax.ShapeDtypeStruct((b, R, R, 3), jnp.uint8)
         txt_batch = jax.ShapeDtypeStruct((b, ctx), jnp.int32)
-        exp_i = jax_export.export(jax.jit(image_fn), **kw)(img_struct, img_batch)
-        exp_t = jax_export.export(jax.jit(text_fn), **kw)(txt_struct, txt_batch)
+        exp_i = jax_export.export(jax.jit(image_fn, **jit_kw), **kw)(img_struct, img_batch)
+        exp_t = jax_export.export(jax.jit(text_fn, **jit_kw), **kw)(txt_struct, txt_batch)
         exported_platforms = list(exp_i.platforms)
         (sdir / f"image_{b}.bin").write_bytes(exp_i.serialize())
         (sdir / f"text_{b}.bin").write_bytes(exp_t.serialize())
@@ -168,6 +188,7 @@ def freeze_programs(
         "buckets": buckets,
         "int8": int8,
         "platforms": exported_platforms,
+        "mesh": mesh_info,
         "jax_version": jax.__version__,
     }
     (sdir / "manifest.json").write_text(json.dumps(manifest, indent=1))
@@ -205,7 +226,22 @@ def load_servable(path: str, *, check_platform: bool = True):
         )
 
     params, cfg, _ = load(str(path))
-    engine = InferenceEngine(params, cfg, batch_buckets=tuple(manifest["buckets"]))
+    mesh = None
+    if manifest.get("mesh"):
+        from jax.sharding import Mesh
+
+        shape = tuple(manifest["mesh"]["shape"])
+        n = int(np.prod(shape))
+        devs = jax.devices()
+        if len(devs) < n:
+            raise ValueError(
+                f"servable programs were recorded over a {shape} device mesh "
+                f"({n} devices) but this process sees {len(devs)}"
+            )
+        mesh = Mesh(
+            np.asarray(devs[:n]).reshape(shape), tuple(manifest["mesh"]["axis_names"])
+        )
+    engine = InferenceEngine(params, cfg, batch_buckets=tuple(manifest["buckets"]), mesh=mesh)
 
     if manifest["int8"]:
         from clip_mixer_tpu.ops import quant_io
@@ -231,8 +267,9 @@ def load_servable(path: str, *, check_platform: bool = True):
 
         return fn
 
-    engine._image_path = (_dispatch(_table("image")), jax.device_put(img_params))
-    engine._text_path = (_dispatch(_table("text")), jax.device_put(txt_params))
+    # engine placement (replicated over the mesh when one is configured)
+    engine._image_path = (_dispatch(_table("image")), engine._put_params(img_params))
+    engine._text_path = (_dispatch(_table("text")), engine._put_params(txt_params))
     kind = "int8" if manifest["int8"] else "float"
     engine.path_kinds = {"image": kind, "text": kind}
     engine.frozen = True

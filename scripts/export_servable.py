@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--platforms", default=None,
                    help="comma-separated jax.export targets (e.g. 'tpu' to lower for TPU "
                         "from a CPU host); default = this host's platform")
+    p.add_argument("--all-devices", action="store_true",
+                   help="record the programs data-parallel over every local device "
+                        "(the serving --all-devices layout); load then requires "
+                        "that many devices")
     p.add_argument("--platform", default=None,
                    help="force the HOST backend (e.g. cpu to lower without touching a "
                         "device tunnel; the JAX_PLATFORMS env var is inert once "
@@ -48,9 +52,16 @@ def main(argv=None):
     params, cfg, _ = clip.load(args.model)
     buckets = tuple(int(b) for b in args.buckets.split(","))
     platforms = None if args.platforms is None else tuple(args.platforms.split(","))
+    mesh = None
+    if args.all_devices:
+        import numpy as np
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
     aot.export_servable(
         params, cfg, args.out,
-        batch_buckets=buckets, int8_calibration=args.int8, platforms=platforms,
+        batch_buckets=buckets, int8_calibration=args.int8, platforms=platforms, mesh=mesh,
     )
     kind = "int8 W8A8" if args.int8 else "float"
     print(f"froze {kind} serving programs for buckets {sorted(set(buckets))} -> {args.out}")

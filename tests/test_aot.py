@@ -165,3 +165,34 @@ def test_frozen_engine_reports_provenance(tmp_path, params):
     eng = aot.load_servable(out)
     assert eng.frozen is True
     assert eng.path_kinds == {"image": "float", "text": "float"}
+
+
+def test_mesh_frozen_programs(tmp_path, params):
+    """Programs recorded data-parallel over a 4-device mesh: load rebuilds
+    the mesh and serves bit-identically to the live meshed engine (and
+    numerically to the single-device engine)."""
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    out = str(tmp_path / "msrv")
+    aot.export_servable(params, CFG, out, batch_buckets=(2, 8), mesh=mesh)
+
+    import json, os
+    manifest = json.load(open(os.path.join(out, "servable", "manifest.json")))
+    assert manifest["mesh"] == {"axis_names": ["data"], "shape": [4]}
+    assert manifest["buckets"] == [4, 8]  # rounded to device multiples
+
+    frozen = aot.load_servable(out)
+    assert frozen.mesh is not None and frozen.mesh.devices.size == 4
+    live = InferenceEngine(params, CFG, batch_buckets=(2, 8), mesh=mesh)
+    single = InferenceEngine(params, CFG, batch_buckets=(8,))
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    texts = ["a cat", "two dogs", "a diagram"]
+    got_i, got_t = frozen.encode_image_arrays(imgs), frozen.encode_text(texts)
+    assert np.all(np.isfinite(got_i)) and np.all(np.isfinite(got_t))
+    np.testing.assert_array_equal(got_i, live.encode_image_arrays(imgs))
+    np.testing.assert_array_equal(got_t, live.encode_text(texts))
+    np.testing.assert_allclose(got_i, single.encode_image_arrays(imgs), atol=1e-5)
