@@ -198,3 +198,23 @@ def test_resnet_artifact_roundtrip(tmp_path):
     feats = direct.encode_image_arrays(imgs)
     assert np.all(np.isfinite(feats))
     np.testing.assert_array_equal(feats, loaded.encode_image_arrays(imgs))
+
+
+def test_flatten_fuzz_random_trees():
+    """Property test: save/load round-trips arbitrary nested dict/list
+    trees of arrays (the artifact format must never depend on the exact
+    scale-tree shapes the quantizers happen to emit today)."""
+    rng = np.random.default_rng(0)
+
+    def random_tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            shape = tuple(rng.integers(1, 4, rng.integers(0, 3)))
+            return rng.standard_normal(shape).astype(np.float32)
+        if rng.random() < 0.5:
+            return {f"k{i}": random_tree(depth - 1) for i in range(rng.integers(1, 4))}
+        return [random_tree(depth - 1) for _ in range(rng.integers(1, 4))]
+
+    for seed in range(20):
+        tree = {"root": random_tree(3)}  # top level must be a dict
+        back = quant_io._unflatten(list(quant_io._flatten(tree)))
+        _tree_equal(tree, back)
