@@ -189,8 +189,12 @@ def noise_floor_gate(
     calibrate_n: int = 128,
     batch_size: int = 256,
     max_flip_ratio: float = 2.5,
+    a_scales=None,
 ) -> Dict[str, float]:
     """int8 accuracy gate relative to the numerics noise floor.
+
+    a_scales: gate these activation scales (e.g. a release artifact's)
+    instead of self-calibrating on the first ``calibrate_n`` gate images.
 
     On a random-init model (worst-case decision margins) even bf16 flips
     ~1% of top-1 predictions vs f32 — measured 0.91% at full Mixer-B/32
@@ -226,8 +230,13 @@ def noise_floor_gate(
         )
     )
     calibrate, quantize, encode_q = image_quant_fns(cfg)
-    sample = normalize_images(jnp.asarray(images_u8[:calibrate_n]), dtype=jnp.dtype(cfg.compute_dtype))
-    scales = jax.jit(lambda p, x: calibrate(p, cfg, x))(params, sample)
+    if a_scales is None:
+        sample = normalize_images(
+            jnp.asarray(images_u8[:calibrate_n]), dtype=jnp.dtype(cfg.compute_dtype)
+        )
+        scales = jax.jit(lambda p, x: calibrate(p, cfg, x))(params, sample)
+    else:
+        scales = a_scales  # gate the SHIPPED scales (release validation)
     qparams = jax.jit(lambda p, s: quantize(p, cfg, s))(params, scales)
     f_int8 = jax.jit(
         lambda p, x: clip_model.l2_normalize(
@@ -268,19 +277,24 @@ def text_noise_floor_gate(
     calibrate_n: int = 128,
     batch_size: int = 256,
     max_flip_ratio: float = 2.5,
+    a_scales=None,
 ) -> Dict[str, float]:
     """The noise-floor gate for the TEXT tower (same budget logic as
     :func:`noise_floor_gate`): each tokenized text retrieves its top-1 image
     from a float image-feature bank ``image_bank`` [embed_dim, M] — the
     text-side analogue of the class-prompt classifier — and the int8 path's
     retrieval flip rate vs f32 must stay within ``max_flip_ratio`` times the
-    flip rate bf16 numerics already introduce."""
+    flip rate bf16 numerics already introduce. ``a_scales``: gate these
+    shipped scales instead of self-calibrating on the first texts."""
     cfg32 = cfg.replace(compute_dtype="float32")
     f_f32 = jax.jit(lambda p, t: clip_model.l2_normalize(clip_model.encode_text(p, cfg32, t)))
     f_bf16 = jax.jit(lambda p, t: clip_model.l2_normalize(clip_model.encode_text(p, cfg, t)))
 
     calibrate, quantize, encode_q = text_quant_fns(cfg)
-    scales = jax.jit(lambda p, t: calibrate(p, cfg, t))(params, jnp.asarray(texts[:calibrate_n]))
+    if a_scales is None:
+        scales = jax.jit(lambda p, t: calibrate(p, cfg, t))(params, jnp.asarray(texts[:calibrate_n]))
+    else:
+        scales = a_scales
     qparams = jax.jit(lambda p, s: quantize(p, cfg, s))(params, scales)
     f_int8 = jax.jit(lambda p, t: clip_model.l2_normalize(encode_q(p, cfg, t)))
 

@@ -1,0 +1,171 @@
+"""One-command release artifact: calibrate -> gate -> freeze -> manifest.
+
+Builds the directory a production serving fleet consumes, from any model
+source, in one step:
+
+    python scripts/release.py --model outputs/run/export --out release/ \\
+        --data '/data/shards/*.tar' [--platforms tpu] [--all-devices]
+
+Pipeline (each stage reuses the standalone tool/library it wraps):
+  1. int8 calibration on real data  (scripts/calibrate_int8.py)
+  2. accuracy gates on the SHIPPED scales — the noise-floor framing from
+     evals/quant_gate for both towers; the release ABORTS if a gate fails
+  3. frozen serving programs        (clip_mixer_tpu.aot.export_servable:
+     per-bucket jax.export encoders, int8, optional device mesh/platforms)
+  4. RELEASE.json                   (gates, buckets, provenance)
+
+Serve with:  python -m clip_mixer_tpu.serving --model release/ ...  (live
+jit over the checkpoint) or `aot.load_servable("release/")` (recorded
+programs). `--no-int8` releases the float path (stages 1-2 skipped).
+
+The reference ships raw Accelerate state dirs with no release procedure
+(training/validateModel.py:48-50 reads them directly); this is the
+deployment story its production users would need.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # sibling script imports
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True, help="preset, OpenAI name, .pt, or checkpoint dir")
+    p.add_argument("--out", required=True, help="release directory")
+    p.add_argument("--data", default=None, help="tar-shard glob for calibration samples")
+    p.add_argument("--texts", default=None, help="caption file for text calibration")
+    p.add_argument("--n", type=int, default=512, help="calibration sample count")
+    p.add_argument("--buckets", default="1,8,32,128")
+    p.add_argument("--no-int8", action="store_true", help="release the float path")
+    p.add_argument("--skip-gate", action="store_true",
+                   help="skip the accuracy gates (NOT recommended for real releases)")
+    p.add_argument("--gate-n", type=int, default=768, help="gate sample count")
+    p.add_argument("--max-flip-ratio", type=float, default=2.5)
+    p.add_argument("--platforms", default=None, help="jax.export targets, comma-separated")
+    p.add_argument("--all-devices", action="store_true",
+                   help="record programs data-parallel over every local device")
+    p.add_argument("--platform", default=None,
+                   help="force the host backend (e.g. cpu) via jax.config")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    import clip_mixer_tpu as clip
+    from clip_mixer_tpu import aot
+    from clip_mixer_tpu.models import clip as clip_model
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    params, cfg, _ = clip.load(args.model)
+    gates = {}
+    calib_path = None
+
+    if not args.no_int8:
+        # 1. calibration artifact (both towers) on the user's data
+        import calibrate_int8
+
+        calib_path = str(out / "calibration.npz")
+        calib_argv = ["--model", args.model, "--out", calib_path, "--n", str(args.n)]
+        if args.data:
+            calib_argv += ["--data", args.data]
+        if args.texts:
+            calib_argv += ["--texts", args.texts]
+        calibrate_int8.main(calib_argv)
+
+        if not args.skip_gate:
+            # 2. gate the SHIPPED scales (noise-floor framing, both towers)
+            from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
+            from clip_mixer_tpu.evals.quant_gate import (
+                build_float_classifier,
+                noise_floor_gate,
+                synthetic_images,
+                text_noise_floor_gate,
+            )
+            from clip_mixer_tpu.ops import quant_io
+            from clip_mixer_tpu.ops.preprocess import normalize_images
+
+            art = quant_io.load_calibration(calib_path)
+            gate_imgs = synthetic_images(args.gate_n, cfg.image_resolution, seed=1)
+            w = build_float_classifier(
+                params, cfg, IMAGENET_CLASSNAMES[:64], PROMPT_TEMPLATES[:4], batch_size=256
+            )
+            gates["image"] = noise_floor_gate(
+                params, cfg, gate_imgs, w, batch_size=256,
+                max_flip_ratio=args.max_flip_ratio, a_scales=art["image_scales"],
+            )
+            print(f"image gate: flip_ratio={gates['image']['flip_ratio']:.2f} "
+                  f"passed={gates['image']['passed']}")
+
+            rng = np.random.default_rng(1)
+            texts = np.zeros((args.gate_n, cfg.context_length), np.int32)
+            texts[:, 0] = min(49406, cfg.vocab_size - 2)  # BOS (in-range for tiny vocabs)
+            texts[:, 1:8] = rng.integers(1, min(49000, cfg.vocab_size - 2), (args.gate_n, 7))
+            texts[:, 8] = min(49407, cfg.vocab_size - 1)  # EOS
+            bank_imgs = synthetic_images(256, cfg.image_resolution, seed=2)
+            cfg32 = cfg.replace(compute_dtype="float32")
+            bank = np.asarray(
+                jax.jit(
+                    lambda pp, x: clip_model.l2_normalize(
+                        clip_model.encode_image(pp, cfg32, normalize_images(x, dtype="float32"))
+                    )
+                )(params, jnp.asarray(bank_imgs)),
+                np.float32,
+            )
+            gates["text"] = text_noise_floor_gate(
+                params, cfg, texts, bank.T, batch_size=256,
+                max_flip_ratio=args.max_flip_ratio, a_scales=art["text_scales"],
+            )
+            print(f"text gate: flip_ratio={gates['text']['flip_ratio']:.2f} "
+                  f"passed={gates['text']['passed']}")
+            failed = [k for k, g in gates.items() if not g["passed"]]
+            if failed:
+                raise SystemExit(
+                    f"RELEASE ABORTED: accuracy gate failed for {failed} "
+                    f"(flip ratio over {args.max_flip_ratio}); nothing frozen"
+                )
+
+    # 3. checkpoint + frozen programs
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    platforms = None if args.platforms is None else tuple(args.platforms.split(","))
+    mesh = None
+    if args.all_devices:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+    aot.export_servable(
+        params, cfg, str(out),
+        batch_buckets=buckets, int8_calibration=calib_path,
+        platforms=platforms, mesh=mesh,
+    )
+
+    # 4. release manifest
+    manifest = {
+        "source": args.model,
+        "int8": not args.no_int8,
+        "gates": gates,
+        "buckets": sorted(set(buckets)),
+        "platforms": list(platforms) if platforms else None,
+        "mesh_devices": None if mesh is None else int(mesh.devices.size),
+        "calibration_samples": None if args.no_int8 else args.n,
+        "jax_version": jax.__version__,
+    }
+    (out / "RELEASE.json").write_text(json.dumps(manifest, indent=1))
+    kind = "float" if args.no_int8 else "int8"
+    print(f"release ({kind}) written to {out} — serve with "
+          f"aot.load_servable({str(out)!r}) or --model {out}")
+
+
+if __name__ == "__main__":
+    main()
