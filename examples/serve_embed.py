@@ -45,3 +45,11 @@ print("top-2:", engine.classify(images[:1], top_k=2)[0])
 # gated by evals/quant_gate.py (see README).
 engine.enable_int8(sample_images_u8=images, sample_texts=texts)
 print("int8 image:", engine.encode_image_arrays(images).shape)
+
+# Production path — calibrate once, freeze, serve anywhere:
+#   python scripts/release.py --model <ckpt> --out release/ --data '.../*.tar'
+# then in the serving process (no calibration data, no model-code re-trace):
+#   from clip_mixer_tpu.aot import load_servable
+#   engine = load_servable("release/")   # recorded jax.export programs
+#   engine.warmup()                      # pre-compile every bucket
+#   serve(engine, port=8000)
