@@ -11,7 +11,9 @@ For production deployment this module provides:
 * :func:`serve` — a dependency-free ThreadingHTTPServer exposing
   POST /encode_text {"texts": [...]}, POST /encode_image {"images_b64":
   [...]} (PNG/JPEG), POST /classify {"images_b64": [...]} against a loaded
-  classifier, and GET /healthz.
+  classifier, GET /healthz (model dims, per-tower numeric path, program
+  provenance), and GET /metrics (per-endpoint counts/errors + p50/p99
+  latency over a bounded window).
 
 Single-process by design: cross-HOST serving is a router concern, not a
 model concern. Within a host, the engine optionally drives every local chip
@@ -313,12 +315,61 @@ class MicroBatcher:
                     d.set()
 
 
-def make_handler(engine: InferenceEngine):
+class ServerStats:
+    """Thread-safe per-endpoint request counters and latency quantiles over
+    a bounded window — the GET /metrics payload."""
+
+    def __init__(self, window: int = 1024):
+        from collections import deque
+
+        self._deque = deque
+        self._lock = threading.Lock()
+        self.window = window
+        self._lat: dict = {}
+        self._count: dict = {}
+        self._errors: dict = {}
+
+    def record(self, endpoint: str, seconds: float, ok: bool) -> None:
+        with self._lock:
+            self._count[endpoint] = self._count.get(endpoint, 0) + 1
+            if not ok:
+                self._errors[endpoint] = self._errors.get(endpoint, 0) + 1
+            self._lat.setdefault(endpoint, self._deque(maxlen=self.window)).append(seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for ep, n in self._count.items():
+                lat = sorted(self._lat.get(ep, ()))
+
+                def q(p):
+                    return round(1e3 * lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+
+                out[ep] = {
+                    "count": n,
+                    "errors": self._errors.get(ep, 0),
+                    "window": len(lat),
+                    "p50_ms": q(0.50) if lat else None,
+                    "p99_ms": q(0.99) if lat else None,
+                    "max_ms": round(1e3 * lat[-1], 3) if lat else None,
+                }
+            return out
+
+
+def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
+    stats = stats or ServerStats()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
 
         def _reply(self, code: int, payload: dict):
+            # record BEFORE the body is written: a client that reads the
+            # response and immediately polls /metrics must see this request
+            t0 = getattr(self, "_t0", None)
+            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify"):
+                stats.record(self.path, time.perf_counter() - t0, ok=code == 200)
+                self._t0 = None
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -340,10 +391,13 @@ def make_handler(engine: InferenceEngine):
                         "frozen": engine.frozen,
                     },
                 )
+            elif self.path == "/metrics":
+                self._reply(200, {"endpoints": stats.snapshot()})
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            self._t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")

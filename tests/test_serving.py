@@ -267,3 +267,15 @@ def test_warmup_compiles_all_buckets():
     engine.warmup()
     feats = engine.encode_image_arrays(imgs)
     assert feats.shape == (4, CFG.embed_dim) and np.all(np.isfinite(feats))
+
+
+def test_metrics_endpoint(server_port):
+    """GET /metrics: per-endpoint counters + latency quantiles, errors
+    counted separately."""
+    _post(server_port, "/encode_text", {"texts": ["warm"]})
+    _post(server_port, "/encode_text", {"wrong_key": []})  # a 400
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/metrics") as r:
+        m = json.loads(r.read())["endpoints"]
+    et = m["/encode_text"]
+    assert et["count"] >= 2 and et["errors"] >= 1
+    assert et["p50_ms"] is not None and et["p99_ms"] >= et["p50_ms"] >= 0
