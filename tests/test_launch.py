@@ -54,13 +54,16 @@ def test_render_all_presets_distinct():
 def test_rehearse_local_two_process(tmp_path):
     """2-process local rehearsal of the pod launch: train.py end to end
     (CLI, explicit rendezvous, per-host synthetic shards, cross-process
-    train step, multihost orbax checkpoint)."""
+    train step, multihost orbax checkpoint). --freeze-serving rides along:
+    the completion export is a COLLECTIVE save followed by a rank-0-gated
+    freeze — exactly the ordering class that can deadlock a pod, so it must
+    be exercised across real process boundaries."""
     outs = rehearse_local(
         n_processes=2,
         train_args=(
             "--preset mixer-debug --synthetic --global-batch-size 8 "
             "--steps-per-epoch 2 --epochs 1 --checkpoint-every 2 "
-            "--no-validators --run-name rehearsal --verbose"
+            "--no-validators --run-name rehearsal --freeze-serving --verbose"
         ),
         cwd=str(tmp_path),
         timeout=420.0,
@@ -72,6 +75,9 @@ def test_rehearse_local_two_process(tmp_path):
     # the multihost checkpoint exists
     ckpt_dir = tmp_path / "outputs" / "rehearsal" / "checkpoints"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+    # the completion export carries the rank-0-frozen serving programs
+    manifest = tmp_path / "outputs" / "rehearsal" / "export" / "servable" / "manifest.json"
+    assert manifest.exists()
 
 
 def test_preflight_go_and_no_go(tmp_path, capsys):
