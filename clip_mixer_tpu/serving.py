@@ -177,11 +177,13 @@ class InferenceEngine:
             qparams = self._put_params(quantize(self.params, cfg, scales))
             self._image_path = (jax.jit(image_fn_q), qparams)  # atomic swap
             self.path_kinds["image"] = "int8"
+            self.frozen = False  # live-jitted now, even on a load_servable engine
 
         if t_scales is not None:
             tparams = self._put_params(t_quantize(self.params, cfg, t_scales))
             self._text_path = (jax.jit(text_fn_q), tparams)  # atomic swap
             self.path_kinds["text"] = "int8"
+            self.frozen = False
 
     def _put_params(self, tree):
         """Place a param tree for the engine's device layout (replicated
@@ -365,11 +367,13 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
 
         def _reply(self, code: int, payload: dict):
             # record BEFORE the body is written: a client that reads the
-            # response and immediately polls /metrics must see this request
+            # response and immediately polls /metrics must see this request.
+            # _t0 is cleared unconditionally — a keep-alive connection must
+            # not leak one request's clock into the next.
             t0 = getattr(self, "_t0", None)
+            self._t0 = None
             if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify"):
                 stats.record(self.path, time.perf_counter() - t0, ok=code == 200)
-                self._t0 = None
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")

@@ -28,6 +28,70 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def run(params, cfg, out, data=None, texts=None, n=512, no_text=False):
+    """Calibrate both towers on sample data and write the artifact to
+    ``out``. Library entry point — reused by scripts/release.py with
+    already-loaded params so large checkpoints aren't restored twice."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_mixer_tpu.data.pipeline import SyntheticSource, TarShardSource
+    from clip_mixer_tpu.ops import quant_io
+    from clip_mixer_tpu.ops.preprocess import normalize_images
+    from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
+    from clip_mixer_tpu.text import tokenize
+
+    batch = min(n, 256)
+    if data:
+        shards = sorted(glob.glob(data))
+        if not shards:
+            raise SystemExit(f"--data matched no shards: {data}")
+        source = TarShardSource(
+            shards, batch_size=batch, image_size=cfg.image_resolution,
+            context_length=cfg.context_length, drop_last=False,
+        )
+    else:
+        print("note: no --data given; calibrating on synthetic samples "
+              "(real data gives more representative activation scales)")
+        source = SyntheticSource(
+            batch, image_size=cfg.image_resolution,
+            n_batches=-(-n // batch), context_length=cfg.context_length,
+        )
+
+    images, token_batches = [], []
+    got = 0
+    for b in source.iter_batches(epoch=0):
+        images.append(b["images"])
+        token_batches.append(b["texts"])
+        got += len(b["images"])
+        if got >= n:
+            break
+    if got == 0:
+        raise SystemExit("calibration source yielded zero samples (empty/undecodable shards?)")
+    images_u8 = np.concatenate(images)[:n]
+    sample = normalize_images(jnp.asarray(images_u8), dtype=jnp.dtype(cfg.compute_dtype))
+
+    calibrate, _, _ = image_quant_fns(cfg)
+    image_scales = jax.device_get(calibrate(params, cfg, sample))
+    print(f"image tower: calibrated on {len(images_u8)} samples")
+
+    text_scales = None
+    if not no_text:
+        if texts:
+            lines = [l.strip() for l in open(texts) if l.strip()][:n]
+            if not lines:
+                raise SystemExit(f"--texts {texts} contains no captions")
+            tokens = np.asarray(tokenize(lines, cfg.context_length, truncate=True))
+        else:
+            tokens = np.concatenate(token_batches)[:n]
+        t_calibrate, _, _ = text_quant_fns(cfg)
+        text_scales = jax.device_get(t_calibrate(params, cfg, jnp.asarray(tokens)))
+        print(f"text tower: calibrated on {len(tokens)} samples")
+
+    quant_io.save_calibration(out, cfg, image_scales=image_scales, text_scales=text_scales)
+    print(f"wrote {out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True, help="preset, OpenAI name, .pt, or checkpoint dir")
@@ -46,66 +110,11 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    import jax.numpy as jnp
 
     import clip_mixer_tpu as clip
-    from clip_mixer_tpu.data.pipeline import SyntheticSource, TarShardSource
-    from clip_mixer_tpu.ops import quant_io
-    from clip_mixer_tpu.ops.preprocess import normalize_images
-    from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
-    from clip_mixer_tpu.text import tokenize
 
     params, cfg, _ = clip.load(args.model)
-
-    batch = min(args.n, 256)
-    if args.data:
-        shards = sorted(glob.glob(args.data))
-        if not shards:
-            p.error(f"--data matched no shards: {args.data}")
-        source = TarShardSource(
-            shards, batch_size=batch, image_size=cfg.image_resolution,
-            context_length=cfg.context_length, drop_last=False,
-        )
-    else:
-        print("note: no --data given; calibrating on synthetic samples "
-              "(real data gives more representative activation scales)")
-        source = SyntheticSource(
-            batch, image_size=cfg.image_resolution,
-            n_batches=-(-args.n // batch), context_length=cfg.context_length,
-        )
-
-    images, token_batches = [], []
-    n = 0
-    for b in source.iter_batches(epoch=0):
-        images.append(b["images"])
-        token_batches.append(b["texts"])
-        n += len(b["images"])
-        if n >= args.n:
-            break
-    if n == 0:
-        p.error("calibration source yielded zero samples (empty/undecodable shards?)")
-    images_u8 = np.concatenate(images)[: args.n]
-    sample = normalize_images(jnp.asarray(images_u8), dtype=jnp.dtype(cfg.compute_dtype))
-
-    calibrate, _, _ = image_quant_fns(cfg)
-    image_scales = jax.device_get(calibrate(params, cfg, sample))
-    print(f"image tower: calibrated on {len(images_u8)} samples")
-
-    text_scales = None
-    if not args.no_text:
-        if args.texts:
-            lines = [l.strip() for l in open(args.texts) if l.strip()][: args.n]
-            if not lines:
-                p.error(f"--texts {args.texts} contains no captions")
-            tokens = np.asarray(tokenize(lines, cfg.context_length, truncate=True))
-        else:
-            tokens = np.concatenate(token_batches)[: args.n]
-        t_calibrate, _, _ = text_quant_fns(cfg)
-        text_scales = jax.device_get(t_calibrate(params, cfg, jnp.asarray(tokens)))
-        print(f"text tower: calibrated on {len(tokens)} samples")
-
-    quant_io.save_calibration(args.out, cfg, image_scales=image_scales, text_scales=text_scales)
-    print(f"wrote {args.out}")
+    run(params, cfg, args.out, data=args.data, texts=args.texts, n=args.n, no_text=args.no_text)
 
 
 if __name__ == "__main__":

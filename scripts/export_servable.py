@@ -58,6 +58,15 @@ def main(argv=None):
         import jax
         from jax.sharding import Mesh
 
+        if args.platforms:
+            raise SystemExit(
+                "--all-devices records the mesh from THIS host's visible devices; "
+                "combining it with cross-platform --platforms would freeze the "
+                "build host's device count, not the serving host's — export the "
+                "mesh layout on a host shaped like the serving host instead"
+            )
+        if len(jax.local_devices()) == 1:
+            print("warning: --all-devices on a 1-device host records a 1-device mesh")
         mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
     aot.export_servable(
         params, cfg, args.out,

@@ -64,25 +64,32 @@ def main(argv=None):
 
     import clip_mixer_tpu as clip
     from clip_mixer_tpu import aot
+    from clip_mixer_tpu.api import _as_path
     from clip_mixer_tpu.models import clip as clip_model
 
-    out = Path(args.out)
+    if args.all_devices and args.platforms:
+        raise SystemExit(
+            "--all-devices records the mesh from THIS host's visible devices; "
+            "combining it with cross-platform --platforms would freeze the "
+            "build host's device count, not the serving host's — export the "
+            "mesh layout on a host shaped like the serving host instead"
+        )
+
+    out = _as_path(args.out)  # gs://-safe (epath keeps the scheme)
     out.mkdir(parents=True, exist_ok=True)
     params, cfg, _ = clip.load(args.model)
     gates = {}
     calib_path = None
 
     if not args.no_int8:
-        # 1. calibration artifact (both towers) on the user's data
+        # 1. calibration artifact (both towers) on the user's data —
+        # reuses the already-loaded params (no second checkpoint restore)
         import calibrate_int8
 
         calib_path = str(out / "calibration.npz")
-        calib_argv = ["--model", args.model, "--out", calib_path, "--n", str(args.n)]
-        if args.data:
-            calib_argv += ["--data", args.data]
-        if args.texts:
-            calib_argv += ["--texts", args.texts]
-        calibrate_int8.main(calib_argv)
+        calibrate_int8.run(
+            params, cfg, calib_path, data=args.data, texts=args.texts, n=args.n
+        )
 
         if not args.skip_gate:
             # 2. gate the SHIPPED scales (noise-floor framing, both towers)
@@ -143,6 +150,8 @@ def main(argv=None):
     if args.all_devices:
         from jax.sharding import Mesh
 
+        if len(jax.local_devices()) == 1:
+            print("warning: --all-devices on a 1-device host records a 1-device mesh")
         mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
     aot.export_servable(
         params, cfg, str(out),
@@ -150,13 +159,15 @@ def main(argv=None):
         platforms=platforms, mesh=mesh,
     )
 
-    # 4. release manifest
+    # 4. release manifest — buckets/platforms read back from the RECORDED
+    # servable manifest (mesh rounding may have adjusted the request)
+    srv = json.loads((out / "servable" / "manifest.json").read_text())
     manifest = {
         "source": args.model,
         "int8": not args.no_int8,
         "gates": gates,
-        "buckets": sorted(set(buckets)),
-        "platforms": list(platforms) if platforms else None,
+        "buckets": srv["buckets"],
+        "platforms": srv["platforms"],
         "mesh_devices": None if mesh is None else int(mesh.devices.size),
         "calibration_samples": None if args.no_int8 else args.n,
         "jax_version": jax.__version__,

@@ -196,3 +196,14 @@ def test_mesh_frozen_programs(tmp_path, params):
     np.testing.assert_array_equal(got_i, live.encode_image_arrays(imgs))
     np.testing.assert_array_equal(got_t, live.encode_text(texts))
     np.testing.assert_allclose(got_i, single.encode_image_arrays(imgs), atol=1e-5)
+
+
+def test_enable_int8_on_frozen_engine_clears_provenance(tmp_path, params):
+    """enable_int8 swaps recorded programs for live-jitted ones — healthz
+    must stop claiming frozen."""
+    out = str(tmp_path / "fsrv")
+    aot.export_servable(params, CFG, out, batch_buckets=(4,))
+    eng = aot.load_servable(out)
+    assert eng.frozen is True
+    eng.enable_int8(np.zeros((4, 32, 32, 3), np.uint8))
+    assert eng.frozen is False and eng.path_kinds["image"] == "int8"
