@@ -317,6 +317,12 @@ class MicroBatcher:
                     d.set()
 
 
+# Largest accepted request body. 256 MiB comfortably fits the biggest
+# sane payload (a full 128-image bucket of b64 JPEGs is ~10-50 MB) while a
+# runaway or hostile Content-Length can no longer OOM the host.
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
 class ServerStats:
     """Thread-safe per-endpoint request counters and latency quantiles over
     a bounded window — the GET /metrics payload."""
@@ -404,6 +410,12 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
             self._t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._reply(
+                        413,
+                        {"error": f"request body {length} bytes exceeds {MAX_BODY_BYTES}"},
+                    )
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/encode_text":
                     feats = engine.encode_text(req["texts"])

@@ -279,3 +279,25 @@ def test_metrics_endpoint(server_port):
     et = m["/encode_text"]
     assert et["count"] >= 2 and et["errors"] >= 1
     assert et["p50_ms"] is not None and et["p99_ms"] >= et["p50_ms"] >= 0
+
+
+def test_oversized_body_rejected(server_port):
+    """A hostile/runaway Content-Length is refused up front (413), not read
+    into memory."""
+    import clip_mixer_tpu.serving as serving_mod
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/encode_text",
+        data=b'{"texts": []}',
+        headers={"Content-Type": "application/json"},
+    )
+    # lie about the length: the server must refuse before reading
+    req.add_unredirected_header("Content-Length", str(serving_mod.MAX_BODY_BYTES + 1))
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        assert "exceeds" in json.loads(e.read())["error"]
+    except TimeoutError:
+        assert False, "server tried to read the claimed body instead of refusing"
