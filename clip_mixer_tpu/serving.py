@@ -11,9 +11,11 @@ For production deployment this module provides:
 * :func:`serve` — a dependency-free ThreadingHTTPServer exposing
   POST /encode_text {"texts": [...]}, POST /encode_image {"images_b64":
   [...]} (PNG/JPEG), POST /classify {"images_b64": [...]} against a loaded
-  classifier, GET /healthz (model dims, per-tower numeric path, program
-  provenance), and GET /metrics (per-endpoint counts/errors + p50/p99
-  latency over a bounded window).
+  classifier, POST /index {"images_b64": [...], "ids": [...]} + POST
+  /retrieve {"texts": [...]} (text→image semantic search over an indexed
+  feature bank — the canonical CLIP deployment), GET /healthz (model dims,
+  per-tower numeric path, program provenance, index size), and GET /metrics
+  (per-endpoint counts/errors + p50/p99 latency over a bounded window).
 
 Single-process by design: cross-HOST serving is a router concern, not a
 model concern. Within a host, the engine optionally drives every local chip
@@ -105,6 +107,7 @@ class InferenceEngine:
         self.frozen = False
         self._classifier: Optional[jnp.ndarray] = None
         self._classnames: Optional[List[str]] = None
+        self._index = None  # (l2-normalized features [N, D], ids) or None
         # Micro-batcher over the image path for concurrent single-image
         # requests (created lazily; thread is only spawned if used).
         self.__batcher: Optional[MicroBatcher] = None
@@ -271,6 +274,38 @@ class InferenceEngine:
             results.append([{"label": self._classnames[i], "prob": float(row[i])} for i in idx])
         return results
 
+    # ---- retrieval index (semantic search — the canonical CLIP deployment)
+
+    def load_index(self, features: np.ndarray, ids: Sequence[str]) -> None:
+        """Install a retrieval index: ``features`` [N, embed_dim] (will be
+        L2-normalized) with one opaque id per row. Atomic swap — safe on a
+        live server."""
+        feats = np.asarray(features, np.float32)
+        if feats.ndim != 2 or feats.shape[0] != len(ids):
+            raise ValueError(
+                f"index shape {feats.shape} does not match {len(ids)} ids"
+            )
+        feats = feats / np.maximum(np.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
+        self._index = (feats, list(ids))  # atomic
+
+    def index_images(self, images_u8: np.ndarray, ids: Sequence[str]) -> None:
+        """Build the retrieval index by encoding ``images_u8`` with the
+        engine's current image path (int8/frozen included)."""
+        self.load_index(self.encode_image_arrays(images_u8), ids)
+
+    def retrieve(self, texts: Sequence[str], top_k: int = 5) -> List[List[dict]]:
+        """Top-k index entries per query text by cosine similarity."""
+        index = getattr(self, "_index", None)
+        if index is None:
+            raise RuntimeError("no index loaded; call load_index/index_images first")
+        feats, ids = index  # one atomic read
+        sims = self.encode_text(texts) @ feats.T
+        results = []
+        for row in sims:
+            idx = np.argsort(-row)[:top_k]
+            results.append([{"id": ids[i], "score": float(row[i])} for i in idx])
+        return results
+
 
 class MicroBatcher:
     """Coalesce concurrent single-item requests into one device batch."""
@@ -378,7 +413,7 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
             # not leak one request's clock into the next.
             t0 = getattr(self, "_t0", None)
             self._t0 = None
-            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify"):
+            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify", "/retrieve"):
                 stats.record(self.path, time.perf_counter() - t0, ok=code == 200)
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -399,6 +434,7 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
                         "buckets": list(engine.buckets),
                         "paths": dict(engine.path_kinds),
                         "frozen": engine.frozen,
+                        "index_size": 0 if engine._index is None else len(engine._index[1]),
                     },
                 )
             elif self.path == "/metrics":
@@ -432,6 +468,13 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
                         engine.decode_and_preprocess(blobs), top_k=int(req.get("top_k", 5))
                     )
                     self._reply(200, {"results": results})
+                elif self.path == "/retrieve":
+                    results = engine.retrieve(req["texts"], top_k=int(req.get("top_k", 5)))
+                    self._reply(200, {"results": results})
+                elif self.path == "/index":
+                    blobs = [base64.b64decode(b) for b in req["images_b64"]]
+                    engine.index_images(engine.decode_and_preprocess(blobs), req["ids"])
+                    self._reply(200, {"indexed": len(req["ids"])})
                 else:
                     self._reply(404, {"error": "unknown path"})
             except (KeyError, TypeError, ValueError, json.JSONDecodeError, OSError) as e:

@@ -301,3 +301,46 @@ def test_oversized_body_rejected(server_port):
         assert "exceeds" in json.loads(e.read())["error"]
     except TimeoutError:
         assert False, "server tried to read the claimed body instead of refusing"
+
+
+def test_retrieval_index_and_endpoint(server_port):
+    """POST /index builds a feature bank; POST /retrieve returns top-k ids
+    by cosine; querying before indexing is a 409."""
+    code, out = _post(server_port, "/retrieve", {"texts": ["anything"]})
+    assert code == 409 and "no index" in out["error"]
+
+    ids = ["img-a", "img-b", "img-c"]
+    code, out = _post(
+        server_port, "/index",
+        {"images_b64": [_png_b64(10), _png_b64(11), _png_b64(12)], "ids": ids},
+    )
+    assert code == 200 and out["indexed"] == 3
+
+    code, out = _post(server_port, "/retrieve", {"texts": ["a photo", "noise"], "top_k": 2})
+    assert code == 200 and len(out["results"]) == 2
+    top = out["results"][0]
+    assert len(top) == 2 and top[0]["id"] in ids
+    assert top[0]["score"] >= top[1]["score"]
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/healthz") as r:
+        assert json.loads(r.read())["index_size"] == 3
+
+    # re-indexing replaces the bank atomically
+    code, out = _post(server_port, "/index",
+                      {"images_b64": [_png_b64(10)], "ids": ["only"]})
+    code, out = _post(server_port, "/retrieve", {"texts": ["x"], "top_k": 1})
+    assert out["results"][0][0]["id"] == "only"
+
+
+def test_retrieval_library_api():
+    params = clip_model.init(jax.random.key(9), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    engine.index_images(imgs, ids=["a", "b", "c", "d"])
+    res = engine.retrieve(["a photo of something"], top_k=4)
+    assert [r["id"] for r in res[0]] and len(res[0]) == 4
+    scores = [r["score"] for r in res[0]]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="does not match"):
+        engine.load_index(np.zeros((3, CFG.embed_dim), np.float32), ["x"])
