@@ -53,3 +53,9 @@ print("int8 image:", engine.encode_image_arrays(images).shape)
 #   engine = load_servable("release/")   # recorded jax.export programs
 #   engine.warmup()                      # pre-compile every bucket
 #   serve(engine, port=8000)
+
+# Semantic search (text -> image retrieval over an indexed bank):
+#   engine.index_images(image_batch_u8, ids=[...])   # or load_index(features, ids)
+#   engine.retrieve(["a dog on a beach"], top_k=5)   # [{"id": ..., "score": ...}]
+# over HTTP: POST /index {"images_b64": [...], "ids": [...]}, then
+#            POST /retrieve {"texts": [...], "top_k": 5}
