@@ -70,6 +70,17 @@ def encoder_fns(cfg: CLIPConfig, int8: bool = False):
     return image_fn, text_fn
 
 
+def _topk(row: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k largest entries, sorted descending. O(N) selection
+    (argpartition) + O(k log k) sort — the full argsort would pay
+    O(N log N) per query on a large retrieval bank. k must be >= 1."""
+    if k < 1:
+        raise ValueError(f"top_k must be >= 1, got {k}")
+    k = min(k, len(row))
+    idx = np.argpartition(-row, k - 1)[:k]
+    return idx[np.argsort(-row[idx])]
+
+
 class InferenceEngine:
     """Padded fixed-shape encoders; one compiled program per batch bucket.
 
@@ -268,11 +279,10 @@ class InferenceEngine:
         logits = 100.0 * feats @ np.asarray(self._classifier)
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
-        results = []
-        for row in probs:
-            idx = np.argsort(-row)[:top_k]
-            results.append([{"label": self._classnames[i], "prob": float(row[i])} for i in idx])
-        return results
+        return [
+            [{"label": self._classnames[i], "prob": float(row[i])} for i in _topk(row, top_k)]
+            for row in probs
+        ]
 
     # ---- retrieval index (semantic search — the canonical CLIP deployment)
 
@@ -285,6 +295,12 @@ class InferenceEngine:
             raise ValueError(
                 f"index shape {feats.shape} does not match {len(ids)} ids"
             )
+        if feats.shape[1] != self.cfg.embed_dim:
+            # fail at load, not as a misleading 400 on every later query
+            raise ValueError(
+                f"index feature dim {feats.shape[1]} does not match this "
+                f"model's embed_dim {self.cfg.embed_dim}"
+            )
         feats = feats / np.maximum(np.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
         self._index = (feats, list(ids))  # atomic
 
@@ -295,16 +311,15 @@ class InferenceEngine:
 
     def retrieve(self, texts: Sequence[str], top_k: int = 5) -> List[List[dict]]:
         """Top-k index entries per query text by cosine similarity."""
-        index = getattr(self, "_index", None)
+        index = self._index
         if index is None:
             raise RuntimeError("no index loaded; call load_index/index_images first")
         feats, ids = index  # one atomic read
         sims = self.encode_text(texts) @ feats.T
-        results = []
-        for row in sims:
-            idx = np.argsort(-row)[:top_k]
-            results.append([{"id": ids[i], "score": float(row[i])} for i in idx])
-        return results
+        return [
+            [{"id": ids[i], "score": float(row[i])} for i in _topk(row, top_k)]
+            for row in sims
+        ]
 
 
 class MicroBatcher:
@@ -413,7 +428,7 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
             # not leak one request's clock into the next.
             t0 = getattr(self, "_t0", None)
             self._t0 = None
-            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify", "/retrieve"):
+            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify", "/retrieve", "/index"):
                 stats.record(self.path, time.perf_counter() - t0, ok=code == 200)
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -446,7 +461,11 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
             self._t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length > MAX_BODY_BYTES:
+                if length < 0 or length > MAX_BODY_BYTES:
+                    # negative would make read() slurp to EOF — same OOM the
+                    # cap exists to stop. Close the connection: the unread
+                    # body would desync a keep-alive request stream.
+                    self.close_connection = True
                     self._reply(
                         413,
                         {"error": f"request body {length} bytes exceeds {MAX_BODY_BYTES}"},

@@ -344,3 +344,37 @@ def test_retrieval_library_api():
     assert scores == sorted(scores, reverse=True)
     with pytest.raises(ValueError, match="does not match"):
         engine.load_index(np.zeros((3, CFG.embed_dim), np.float32), ["x"])
+
+
+def test_negative_content_length_refused(server_port):
+    """Content-Length: -1 must not trigger a read-to-EOF (the OOM the 413
+    cap exists to stop)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=10)
+    conn.putrequest("POST", "/encode_text")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+
+def test_retrieve_bad_top_k_and_dim_mismatch():
+    params = clip_model.init(jax.random.key(11), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    with pytest.raises(ValueError, match="embed_dim"):
+        engine.load_index(np.zeros((2, CFG.embed_dim + 1), np.float32), ["a", "b"])
+    engine.load_index(np.eye(CFG.embed_dim, dtype=np.float32)[:3], ["a", "b", "c"])
+    with pytest.raises(ValueError, match="top_k"):
+        engine.retrieve(["x"], top_k=0)
+    res = engine.retrieve(["x"], top_k=99)  # clamped to bank size
+    assert len(res[0]) == 3
+
+
+def test_index_endpoint_in_metrics(server_port):
+    _post(server_port, "/index", {"images_b64": [_png_b64(20)], "ids": ["m"]})
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/metrics") as r:
+        m = json.loads(r.read())["endpoints"]
+    assert "/index" in m and m["/index"]["count"] >= 1
