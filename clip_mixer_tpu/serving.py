@@ -304,6 +304,14 @@ class InferenceEngine:
         feats = feats / np.maximum(np.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
         self._index = (feats, list(ids))  # atomic
 
+    def load_index_file(self, path: str) -> None:
+        """Install a bank written by scripts/embed_dataset.py: ``.npz``
+        with ``features`` [N, embed_dim] + ``ids`` [N]. gs://-safe."""
+        from clip_mixer_tpu.api import _as_path
+
+        with np.load(io.BytesIO(_as_path(path).read_bytes())) as z:
+            self.load_index(z["features"], [str(s) for s in z["ids"]])
+
     def index_images(self, images_u8: np.ndarray, ids: Sequence[str]) -> None:
         """Build the retrieval index by encoding ``images_u8`` with the
         engine's current image path (int8/frozen included)."""
@@ -539,6 +547,11 @@ def main():  # pragma: no cover - CLI
         help="compile every batch bucket on both towers before accepting "
         "traffic (no first-request compile tail)",
     )
+    p.add_argument(
+        "--index", default=None, metavar="BANK_NPZ",
+        help="serve text->image retrieval over a feature bank "
+        "(scripts/embed_dataset.py)",
+    )
     args = p.parse_args()
 
     params, cfg, _ = load(args.model)
@@ -553,6 +566,9 @@ def main():  # pragma: no cover - CLI
     if args.warmup:
         print("warming up all batch buckets...")
         engine.warmup()
+    if args.index:
+        engine.load_index_file(args.index)
+        print(f"retrieval index loaded: {len(engine._index[1])} entries")
     if args.classifier:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
 

@@ -378,3 +378,48 @@ def test_index_endpoint_in_metrics(server_port):
     with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/metrics") as r:
         m = json.loads(r.read())["endpoints"]
     assert "/index" in m and m["/index"]["count"] >= 1
+
+
+def test_embed_dataset_bank_roundtrip(tmp_path):
+    """scripts/embed_dataset.py -> .npz bank -> load_index_file -> retrieve,
+    ids mapping back to the source tar records."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import embed_dataset
+
+    import clip_mixer_tpu as clip
+    from clip_mixer_tpu.data.pipeline import write_tar_shards
+
+    rng = np.random.default_rng(0)
+    samples = [(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), f"caption {i}") for i in range(6)]
+    shard_dir = tmp_path / "shards"
+    write_tar_shards(iter(samples), str(shard_dir), samples_per_shard=4)
+
+    ckpt = str(tmp_path / "ckpt")
+    params = clip_model.init(jax.random.key(0), CFG)
+    clip.save_pretrained(params, CFG, ckpt)
+
+    bank = str(tmp_path / "bank.npz")
+    embed_dataset.main([
+        "--model", ckpt, "--data", str(shard_dir / "*.tar"),
+        "--out", bank, "--batch", "4",
+    ])
+
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    engine.load_index_file(bank)
+    assert len(engine._index[1]) == 6
+    assert engine._index[1][0] == "00000/000000000"  # shard-stem/member-key
+    res = engine.retrieve(["a caption"], top_k=3)
+    assert len(res[0]) == 3 and all("/" in r["id"] for r in res[0])
+
+    # bank features equal direct engine features for the same records (the
+    # decode path and encoder are shared)
+    import tarfile, io as _io
+    from clip_mixer_tpu.data.pipeline import _decode_one
+    with tarfile.open(shard_dir / "00000.tar") as tar:
+        first = _decode_one(tar.extractfile("000000000.jpg").read(), 32)
+    direct = engine.encode_image_arrays(first[None])[0]
+    with np.load(bank) as z:
+        np.testing.assert_array_equal(z["features"][0], direct)
