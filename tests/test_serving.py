@@ -423,3 +423,39 @@ def test_embed_dataset_bank_roundtrip(tmp_path):
     direct = engine.encode_image_arrays(first[None])[0]
     with np.load(bank) as z:
         np.testing.assert_array_equal(z["features"][0], direct)
+
+
+def test_serving_client_end_to_end(server_port, tmp_path):
+    """clip_mixer_tpu.client.ServingClient against the live server: every
+    endpoint, file + bytes image inputs, 4xx raising, and 5xx/connection
+    retry semantics."""
+    import base64 as _b64mod
+
+    from clip_mixer_tpu.client import ServingClient, ServingError
+
+    c = ServingClient(f"http://127.0.0.1:{server_port}", retries=1, backoff_s=0.01)
+    assert c.healthz()["status"] == "ok"
+
+    feats = c.encode_text(["a cat", "a dog"])
+    assert feats.shape == (2, CFG.embed_dim) and feats.dtype == np.float32
+
+    img_path = tmp_path / "img.png"
+    img_path.write_bytes(_b64mod.b64decode(_png_b64(31)))
+    by_path = c.encode_image_files([str(img_path)])
+    by_bytes = c.encode_image_files([img_path.read_bytes()])
+    np.testing.assert_array_equal(by_path, by_bytes)
+
+    assert c.classify([str(img_path)], top_k=2)[0][0]["label"] in ("cat", "dog", "bird")
+    assert c.index([str(img_path)], ids=["client-img"]) == 1
+    assert c.retrieve(["anything"], top_k=1)[0][0]["id"] == "client-img"
+    assert "/encode_text" in c.metrics()
+
+    # 4xx raises immediately (no retry burn)
+    with pytest.raises(ServingError) as ei:
+        c._request("/encode_text", {"wrong_key": []})
+    assert ei.value.status == 400
+
+    # unreachable host: retries then a clear error
+    dead = ServingClient("http://127.0.0.1:1", retries=1, backoff_s=0.01, timeout=2)
+    with pytest.raises(ServingError, match="unreachable"):
+        dead.healthz()
