@@ -70,6 +70,13 @@ def encoder_fns(cfg: CLIPConfig, int8: bool = False):
     return image_fn, text_fn
 
 
+@jax.jit
+def _bank_sims(q, bank):
+    """[Q, D] @ [N, D]^T on device. With a row-sharded bank, each chip
+    scans its shard; XLA gathers the [Q, N] sims (tiny next to the bank)."""
+    return q @ bank.T
+
+
 def _topk(row: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k largest entries, sorted descending. O(N) selection
     (argpartition) + O(k log k) sort — the full argsort would pay
@@ -286,10 +293,22 @@ class InferenceEngine:
 
     # ---- retrieval index (semantic search — the canonical CLIP deployment)
 
-    def load_index(self, features: np.ndarray, ids: Sequence[str]) -> None:
+    # Banks at or above this row count put the similarity matmul on device
+    # (the O(N*D) cost — host numpy saturates one core; the MXU doesn't
+    # notice). Below it, host numpy avoids a dispatch round-trip per query.
+    DEVICE_BANK_MIN_ROWS = 16384
+
+    def load_index(
+        self, features: np.ndarray, ids: Sequence[str], device: Optional[bool] = None
+    ) -> None:
         """Install a retrieval index: ``features`` [N, embed_dim] (will be
         L2-normalized) with one opaque id per row. Atomic swap — safe on a
-        live server."""
+        live server.
+
+        device: put the bank in device HBM and run the similarity matmul
+        there — sharded row-wise over the engine's mesh when one is
+        configured, so an N-chip host scans N bank shards in parallel.
+        None = automatic (device for banks >= DEVICE_BANK_MIN_ROWS rows)."""
         feats = np.asarray(features, np.float32)
         if feats.ndim != 2 or feats.shape[0] != len(ids):
             raise ValueError(
@@ -302,7 +321,26 @@ class InferenceEngine:
                 f"model's embed_dim {self.cfg.embed_dim}"
             )
         feats = feats / np.maximum(np.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
-        self._index = (feats, list(ids))  # atomic
+        n = feats.shape[0]
+        if device is None:
+            device = n >= self.DEVICE_BANK_MIN_ROWS
+        if device:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                # pad rows to a device multiple so the bank shards evenly;
+                # retrieve slices the sims back to the true N
+                n_dev = self.mesh.devices.size
+                pad = (-n) % n_dev
+                if pad:
+                    feats = np.concatenate([feats, np.zeros((pad, feats.shape[1]), np.float32)])
+                sharding = NamedSharding(self.mesh, PartitionSpec(tuple(self.mesh.axis_names)))
+                bank = jax.device_put(feats, sharding)
+            else:
+                bank = jax.device_put(feats)
+            self._index = (bank, list(ids))  # atomic
+        else:
+            self._index = (feats, list(ids))  # atomic
 
     def load_index_file(self, path: str) -> None:
         """Install a bank written by scripts/embed_dataset.py: ``.npz``
@@ -318,12 +356,19 @@ class InferenceEngine:
         self.load_index(self.encode_image_arrays(images_u8), ids)
 
     def retrieve(self, texts: Sequence[str], top_k: int = 5) -> List[List[dict]]:
-        """Top-k index entries per query text by cosine similarity."""
+        """Top-k index entries per query text by cosine similarity. The
+        similarity matmul runs wherever the bank lives (load_index): host
+        numpy for small banks, device HBM (mesh-sharded rows) for large —
+        only the [Q, N] sims row comes back to host for top-k."""
         index = self._index
         if index is None:
             raise RuntimeError("no index loaded; call load_index/index_images first")
         feats, ids = index  # one atomic read
-        sims = self.encode_text(texts) @ feats.T
+        q = self.encode_text(texts)
+        if isinstance(feats, jax.Array):
+            sims = np.asarray(_bank_sims(q, feats))[:, : len(ids)]
+        else:
+            sims = q @ feats.T
         return [
             [{"id": ids[i], "score": float(row[i])} for i in _topk(row, top_k)]
             for row in sims

@@ -459,3 +459,43 @@ def test_serving_client_end_to_end(server_port, tmp_path):
     dead = ServingClient("http://127.0.0.1:1", retries=1, backoff_s=0.01, timeout=2)
     with pytest.raises(ServingError, match="unreachable"):
         dead.healthz()
+
+
+def test_device_bank_retrieval_matches_host():
+    """Device-resident (and mesh-sharded, padded) banks return identical
+    retrieval results to the host-numpy path."""
+    from jax.sharding import Mesh
+
+    params = clip_model.init(jax.random.key(13), CFG)
+    rng = np.random.default_rng(13)
+    bank = rng.standard_normal((6, CFG.embed_dim)).astype(np.float32)
+    ids = [f"s{i}" for i in range(6)]
+    texts = ["a query", "another"]
+
+    host = InferenceEngine(params, CFG, batch_buckets=(4,))
+    host.load_index(bank, ids, device=False)
+    want = host.retrieve(texts, top_k=4)
+
+    def assert_same(got):
+        # XLA vs numpy matmul differ by ULPs; ids and near-equal scores
+        for g, w in zip(got, want):
+            assert [r["id"] for r in g] == [r["id"] for r in w]
+            np.testing.assert_allclose(
+                [r["score"] for r in g], [r["score"] for r in w], atol=1e-5
+            )
+
+    dev = InferenceEngine(params, CFG, batch_buckets=(4,))
+    dev.load_index(bank, ids, device=True)  # single-device HBM
+    assert isinstance(dev._index[0], jax.Array)
+    assert_same(dev.retrieve(texts, top_k=4))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    meshed = InferenceEngine(params, CFG, batch_buckets=(4,), mesh=mesh)
+    meshed.load_index(bank, ids, device=True)  # 6 rows pad to 8 over 4 chips
+    assert meshed._index[0].shape[0] == 8  # padded
+    assert_same(meshed.retrieve(texts, top_k=4))
+
+    # auto policy: tiny bank stays host-side
+    auto = InferenceEngine(params, CFG, batch_buckets=(4,))
+    auto.load_index(bank, ids)
+    assert isinstance(auto._index[0], np.ndarray)
