@@ -53,8 +53,19 @@ class ServingClient:
 
     # ---- transport ------------------------------------------------------
 
+    # mirrors serving.MAX_BODY_BYTES (not imported: the client must stay
+    # stdlib+numpy only — importing serving would pull in jax)
+    MAX_BODY_BYTES = 256 * 1024 * 1024
+
     def _request(self, path: str, payload: Optional[dict] = None) -> dict:
         data = None if payload is None else json.dumps(payload).encode()
+        if data is not None and len(data) > self.MAX_BODY_BYTES:
+            # the server refuses these with 413 and may reset the socket
+            # mid-upload, which would look retryable — fail fast instead of
+            # re-uploading a doomed payload
+            raise ServingError(
+                413, f"request body {len(data)} bytes exceeds {self.MAX_BODY_BYTES}"
+            )
         last: Exception = ServingError(0, "no attempt ran")
         for attempt in range(self.retries + 1):
             req = urllib.request.Request(
@@ -68,7 +79,14 @@ class ServingClient:
             except urllib.error.HTTPError as e:
                 body = e.read()
                 try:
-                    msg = json.loads(body).get("error", body.decode(errors="replace"))
+                    parsed = json.loads(body)
+                    # a proxy's error body may be valid JSON but not an
+                    # object (e.g. "Bad Gateway")
+                    msg = (
+                        parsed.get("error", body.decode(errors="replace"))
+                        if isinstance(parsed, dict)
+                        else body.decode(errors="replace")
+                    )
                 except json.JSONDecodeError:
                     msg = body.decode(errors="replace")
                 if e.code < 500:  # caller bug — retrying cannot help

@@ -77,6 +77,20 @@ def _bank_sims(q, bank):
     return q @ bank.T
 
 
+def local_mesh():
+    """The --all-devices serving layout: a 1-axis ("data",) mesh over every
+    local device, or None on a single-device host. The ONE constructor
+    shared by the serving CLI and scripts/embed_dataset.py — the bank/
+    serving feature bit-equality contract depends on both using the same
+    device layout."""
+    devs = jax.local_devices()
+    if len(devs) <= 1:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs), ("data",))
+
+
 def _topk(row: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k largest entries, sorted descending. O(N) selection
     (argpartition) + O(k log k) sort — the full argsort would pay
@@ -265,6 +279,11 @@ class InferenceEngine:
         for b in self.buckets:
             self._run_padded(self._image_path, np.zeros((b, R, R, 3), np.uint8))
             self._run_padded(self._text_path, np.zeros((b, ctx), np.int32))
+        index = self._index
+        if index is not None and isinstance(index[0], jax.Array):
+            # warm the device-bank sims program for every bucket too
+            for b in self.buckets:
+                _bank_sims(np.zeros((b, self.cfg.embed_dim), np.float32), index[0])
 
     def decode_and_preprocess(self, blobs: Sequence[bytes]) -> np.ndarray:
         from PIL import Image
@@ -342,12 +361,49 @@ class InferenceEngine:
         else:
             self._index = (feats, list(ids))  # atomic
 
+    def _device_sims(self, q: np.ndarray, bank) -> np.ndarray:
+        """Bank similarity on device with queries padded to the engine's
+        batch buckets — Q is client-controlled, so shipping raw shapes to
+        jit would compile per distinct query count (minutes each through a
+        remote-compile tunnel) and grow the cache without bound."""
+        out = []
+        i, n = 0, q.shape[0]
+        while i < n:
+            take = min(n - i, self.buckets[-1])
+            b = self._bucket(take)
+            chunk = np.zeros((b, q.shape[1]), np.float32)
+            chunk[:take] = q[i : i + take]
+            out.append(np.asarray(_bank_sims(chunk, bank))[:take])
+            i += take
+        return np.concatenate(out)
+
     def load_index_file(self, path: str) -> None:
         """Install a bank written by scripts/embed_dataset.py: ``.npz``
-        with ``features`` [N, embed_dim] + ``ids`` [N]. gs://-safe."""
+        with ``features`` [N, embed_dim] + ``ids`` [N] + a provenance
+        fingerprint (wrong-architecture banks are refused; a numeric-path
+        mismatch, e.g. a float bank on an int8 engine, warns). gs://-safe."""
+        import warnings
+
         from clip_mixer_tpu.api import _as_path
+        from clip_mixer_tpu.ops import quant_io
 
         with np.load(io.BytesIO(_as_path(path).read_bytes())) as z:
+            if "__meta__" in z:
+                meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+                quant_io.check_cfg(meta["cfg"], self.cfg)
+                if meta.get("path") != self.path_kinds["image"]:
+                    warnings.warn(
+                        f"retrieval bank was embedded on the {meta.get('path')!r} "
+                        f"image path but this engine serves {self.path_kinds['image']!r};"
+                        " scores will carry the cross-path numerics gap",
+                        stacklevel=2,
+                    )
+            else:
+                warnings.warn(
+                    f"retrieval bank {path} carries no provenance metadata; "
+                    "cannot verify it was embedded with this model",
+                    stacklevel=2,
+                )
             self.load_index(z["features"], [str(s) for s in z["ids"]])
 
     def index_images(self, images_u8: np.ndarray, ids: Sequence[str]) -> None:
@@ -366,7 +422,7 @@ class InferenceEngine:
         feats, ids = index  # one atomic read
         q = self.encode_text(texts)
         if isinstance(feats, jax.Array):
-            sims = np.asarray(_bank_sims(q, feats))[:, : len(ids)]
+            sims = self._device_sims(q, feats)[:, : len(ids)]
         else:
             sims = q @ feats.T
         return [
@@ -600,20 +656,16 @@ def main():  # pragma: no cover - CLI
     args = p.parse_args()
 
     params, cfg, _ = load(args.model)
-    mesh = None
-    if args.all_devices and len(jax.local_devices()) > 1:
-        from jax.sharding import Mesh
-
-        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+    mesh = local_mesh() if args.all_devices else None
     engine = InferenceEngine(params, cfg, mesh=mesh)
     if args.int8:
         engine.enable_int8(calibration=args.int8)
-    if args.warmup:
-        print("warming up all batch buckets...")
-        engine.warmup()
     if args.index:
         engine.load_index_file(args.index)
         print(f"retrieval index loaded: {len(engine._index[1])} entries")
+    if args.warmup:  # after --index so a device bank's sims program warms too
+        print("warming up all batch buckets...")
+        engine.warmup()
     if args.classifier:
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
 

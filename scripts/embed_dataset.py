@@ -31,8 +31,10 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def iter_tar_images(shard_paths, image_size, limit=None):
-    """Yield (id, preprocessed HWC uint8 image) from webdataset tars."""
+def iter_tar_images(shard_paths, image_size, limit=None, skipped=None):
+    """Yield (id, preprocessed HWC uint8 image) from webdataset tars.
+    Corrupt/undecodable members are skipped and counted in ``skipped``
+    (a multi-hour bank build must not die on one truncated JPEG)."""
     from clip_mixer_tpu.data.pipeline import _decode_one
 
     count = 0
@@ -40,10 +42,17 @@ def iter_tar_images(shard_paths, image_size, limit=None):
         stem = Path(shard).stem
         with tarfile.open(shard) as tar:
             for member in tar:
-                if not member.name.endswith(".jpg"):
+                if not (member.isfile() and member.name.endswith(".jpg")):
                     continue
-                data = tar.extractfile(member).read()
-                yield f"{stem}/{member.name[:-4]}", _decode_one(data, image_size)
+                try:
+                    data = tar.extractfile(member).read()
+                    img = _decode_one(data, image_size)
+                except Exception as e:
+                    print(f"skipping {stem}/{member.name}: {type(e).__name__}: {e}")
+                    if skipped is not None:
+                        skipped.append(f"{stem}/{member.name}")
+                    continue
+                yield f"{stem}/{member.name[:-4]}", img
                 count += 1
                 if limit is not None and count >= limit:
                     return
@@ -64,32 +73,29 @@ def main(argv=None):
                    help="force the JAX backend (jax.config; the env var is inert)")
     args = p.parse_args(argv)
 
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
-
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import os
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/root/.jax_cache"))
 
     import clip_mixer_tpu as clip
     from clip_mixer_tpu.api import _as_path
-    from clip_mixer_tpu.serving import InferenceEngine
+    from clip_mixer_tpu.serving import InferenceEngine, local_mesh
 
     shards = sorted(glob.glob(args.data))
     if not shards:
         p.error(f"--data matched no shards: {args.data}")
 
     params, cfg, _ = clip.load(args.model)
-    mesh = None
-    if args.all_devices and len(jax.local_devices()) > 1:
-        from jax.sharding import Mesh
-
-        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+    mesh = local_mesh() if args.all_devices else None
     engine = InferenceEngine(params, cfg, batch_buckets=(args.batch,), mesh=mesh)
     if args.int8:
         engine.enable_int8(calibration=args.int8)
 
-    ids, feats = [], []
+    ids, feats, skipped = [], [], []
     batch_imgs, batch_ids = [], []
 
     def flush():
@@ -99,7 +105,7 @@ def main(argv=None):
             batch_imgs.clear()
             batch_ids.clear()
 
-    for sid, img in iter_tar_images(shards, cfg.image_resolution, limit=args.limit):
+    for sid, img in iter_tar_images(shards, cfg.image_resolution, limit=args.limit, skipped=skipped):
         batch_ids.append(sid)
         batch_imgs.append(img)
         if len(batch_imgs) == args.batch:
@@ -109,11 +115,27 @@ def main(argv=None):
     if not ids:
         p.error("no .jpg members found in the shards")
 
+    import json
+
+    from clip_mixer_tpu.ops import quant_io
+
     bank = np.concatenate(feats).astype(np.float32)
+    # provenance: architecture fingerprint + numeric path, checked by
+    # load_index_file — a bank from a different checkpoint/path must not
+    # silently serve nonsense rankings
+    meta = json.dumps(
+        {"cfg": quant_io._cfg_dict(cfg), "path": engine.path_kinds["image"], "source": args.model}
+    )
     buf = io.BytesIO()
-    np.savez(buf, features=bank, ids=np.array(ids))
+    np.savez(
+        buf,
+        features=bank,
+        ids=np.array(ids),
+        __meta__=np.frombuffer(meta.encode(), dtype=np.uint8),
+    )
     _as_path(args.out).write_bytes(buf.getvalue())  # gs://-safe
-    print(f"wrote {len(ids)} x {bank.shape[1]} bank to {args.out}")
+    skip_note = f" ({len(skipped)} corrupt members skipped)" if skipped else ""
+    print(f"wrote {len(ids)} x {bank.shape[1]} bank to {args.out}{skip_note}")
 
 
 if __name__ == "__main__":
