@@ -499,3 +499,52 @@ def test_device_bank_retrieval_matches_host():
     auto = InferenceEngine(params, CFG, batch_buckets=(4,))
     auto.load_index(bank, ids)
     assert isinstance(auto._index[0], np.ndarray)
+
+
+def test_embed_dataset_provenance_and_corrupt_members(tmp_path):
+    """Corrupt tar members are skipped (not fatal); banks refuse a
+    wrong-architecture engine and warn on a numeric-path mismatch."""
+    import io as _io
+    import sys
+    import tarfile
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import embed_dataset
+
+    import clip_mixer_tpu as clip
+    from clip_mixer_tpu.data.pipeline import write_tar_shards
+
+    rng = np.random.default_rng(1)
+    samples = [(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), f"c {i}") for i in range(3)]
+    shard_dir = tmp_path / "shards"
+    write_tar_shards(iter(samples), str(shard_dir), samples_per_shard=10)
+    # append a corrupt member to the shard
+    with tarfile.open(shard_dir / "00000.tar", "a") as tar:
+        info = tarfile.TarInfo("zzz_corrupt.jpg")
+        info.size = 9
+        tar.addfile(info, _io.BytesIO(b"not a jpg"))
+
+    ckpt = str(tmp_path / "ckpt")
+    params = clip_model.init(jax.random.key(0), CFG)
+    clip.save_pretrained(params, CFG, ckpt)
+    bank = str(tmp_path / "bank.npz")
+    embed_dataset.main(["--model", ckpt, "--data", str(shard_dir / "*.tar"), "--out", bank, "--batch", "4"])
+
+    with np.load(bank) as z:
+        assert len(z["ids"]) == 3  # corrupt member skipped, run survived
+
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    engine.load_index_file(bank)  # float bank on float engine: silent
+
+    # wrong architecture refused
+    other_cfg = CFG.replace(vision_width=64)
+    other = InferenceEngine(clip_model.init(jax.random.key(1), other_cfg), other_cfg)
+    with pytest.raises(ValueError, match="different architecture"):
+        other.load_index_file(bank)
+
+    # numeric-path mismatch warns (float bank, int8 engine)
+    q8 = InferenceEngine(params, CFG, batch_buckets=(4,))
+    q8.enable_int8(np.zeros((4, 32, 32, 3), np.uint8))
+    with pytest.warns(UserWarning, match="image path"):
+        q8.load_index_file(bank)
