@@ -6,6 +6,7 @@ ok=false). Now it self-provisions; this test runs it exactly as the driver
 does — a plain function call, no env preconditions beyond what conftest sets.
 """
 
+import json
 import sys
 from pathlib import Path
 
@@ -82,7 +83,13 @@ def test_bench_supervisor_exhausts_attempts_on_tunnel_faults(monkeypatch, capsys
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._run_supervised(max_attempts=2, attempt_timeout_s=5) == 1
     assert len(calls) == 2  # tunnel-signature failures use the retry budget
-    assert capsys.readouterr().out == ""  # no JSON -> nothing on stdout
+    # terminal failure still emits ONE self-describing sentinel JSON line
+    # (value=0, detail.error) so the driver's record explains itself
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    sentinel = json.loads(out[0])
+    assert sentinel["value"] == 0 and "unreachable" in sentinel["detail"]["error"]
+    assert sentinel["metric"].endswith("(int8-calibrated, 256px uint8 in)")
 
 
 def test_bench_supervisor_fails_fast_on_deterministic_errors(monkeypatch, capsys):
@@ -104,4 +111,5 @@ def test_bench_supervisor_fails_fast_on_deterministic_errors(monkeypatch, capsys
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._run_supervised(max_attempts=3, attempt_timeout_s=5) == 1
     assert len(calls) == 1
-    assert capsys.readouterr().out == ""
+    sentinel = json.loads(capsys.readouterr().out.strip())
+    assert sentinel["value"] == 0 and "deterministic" in sentinel["detail"]["error"]
