@@ -292,10 +292,16 @@ class InferenceEngine:
         return np.stack(out)
 
     def load_classifier(self, classnames: Sequence[str], templates: Sequence[str]) -> None:
-        from clip_mixer_tpu.evals.zeroshot import build_zeroshot_classifier
-
-        w = build_zeroshot_classifier(self.params, self.cfg, classnames, templates)
-        self._classifier = jnp.asarray(w)
+        """Prompt-ensemble zero-shot head: norm(mean(norm(encode(prompts))))
+        per class (reference validation.py:129-133) — built through the
+        ENGINE's own text path, so the classifier matches the numerics the
+        images will be encoded with (int8, recorded programs, mesh) and a
+        frozen engine keeps its no-model-code-re-trace guarantee."""
+        prompts = [t.format(c) for c in classnames for t in templates]
+        feats = self.encode_text(prompts)  # [C*T, D], already L2-normalized
+        class_emb = feats.reshape(len(classnames), len(templates), -1).mean(axis=1)
+        class_emb /= np.maximum(np.linalg.norm(class_emb, axis=-1, keepdims=True), 1e-8)
+        self._classifier = jnp.asarray(class_emb.T.astype(np.float32))
         self._classnames = list(classnames)
 
     def classify(self, images_u8: np.ndarray, top_k: int = 5) -> List[List[dict]]:

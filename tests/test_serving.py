@@ -548,3 +548,27 @@ def test_embed_dataset_provenance_and_corrupt_members(tmp_path):
     q8.enable_int8(np.zeros((4, 32, 32, 3), np.uint8))
     with pytest.warns(UserWarning, match="image path"):
         q8.load_index_file(bank)
+
+
+def test_classifier_built_through_engine_path(tmp_path):
+    """load_classifier must encode prompts through the engine's own text
+    path: same math as evals.zeroshot on a float engine, and no live model
+    re-trace on a frozen one."""
+    from clip_mixer_tpu import aot
+    from clip_mixer_tpu.evals.zeroshot import build_zeroshot_classifier
+
+    params = clip_model.init(jax.random.key(17), CFG)
+    names, templates = ["cat", "dog"], ["a photo of a {}.", "art of a {}."]
+
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,))
+    engine.load_classifier(names, templates)
+    w_ref = build_zeroshot_classifier(params, CFG, names, templates)
+    np.testing.assert_allclose(np.asarray(engine._classifier), w_ref, atol=1e-5)
+
+    out = str(tmp_path / "srv")
+    aot.export_servable(params, CFG, out, batch_buckets=(4,))
+    frozen = aot.load_servable(out)
+    frozen.load_classifier(names, templates)  # runs on recorded programs
+    np.testing.assert_allclose(np.asarray(frozen._classifier), w_ref, atol=1e-5)
+    res = frozen.classify(np.zeros((2, 32, 32, 3), np.uint8), top_k=1)
+    assert res[0][0]["label"] in names
