@@ -143,3 +143,9 @@ class ServingClient:
     def retrieve(self, texts: Sequence[str], top_k: int = 5) -> List[List[dict]]:
         out = self._request("/retrieve", {"texts": list(texts), "top_k": int(top_k)})
         return out["results"]
+
+    def similarity(self, images: Sequence[Union[str, bytes]], texts: Sequence[str]) -> dict:
+        """{"logits_per_image", "probs"} — the reference README demo over HTTP."""
+        return self._request(
+            "/similarity", {"images_b64": self._b64(images), "texts": list(texts)}
+        )

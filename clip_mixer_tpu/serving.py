@@ -13,7 +13,9 @@ For production deployment this module provides:
   [...]} (PNG/JPEG), POST /classify {"images_b64": [...]} against a loaded
   classifier, POST /index {"images_b64": [...], "ids": [...]} + POST
   /retrieve {"texts": [...]} (text→image semantic search over an indexed
-  feature bank — the canonical CLIP deployment), GET /healthz (model dims,
+  feature bank — the canonical CLIP deployment), POST /similarity (the
+  reference README demo: logits_per_image + softmax probs), GET /healthz
+  (model dims,
   per-tower numeric path, program provenance, index size), and GET /metrics
   (per-endpoint counts/errors + p50/p99 latency over a bounded window).
 
@@ -316,6 +318,15 @@ class InferenceEngine:
             for row in probs
         ]
 
+    def similarity(self, images_u8: np.ndarray, texts: Sequence[str]) -> np.ndarray:
+        """logits_per_image [n_images, n_texts] = 100 * cosine — the
+        reference's README demo semantics (softmax over texts gives its
+        printed probs; logit_scale is fixed at the eval value 100, reference
+        tests/test.py:18-19)."""
+        img = self.encode_image_arrays(images_u8)
+        txt = self.encode_text(texts)
+        return 100.0 * img @ txt.T
+
     # ---- retrieval index (semantic search — the canonical CLIP deployment)
 
     # Banks at or above this row count put the similarity matmul on device
@@ -543,7 +554,7 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
             # not leak one request's clock into the next.
             t0 = getattr(self, "_t0", None)
             self._t0 = None
-            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify", "/retrieve", "/index"):
+            if t0 is not None and self.path in ("/encode_text", "/encode_image", "/classify", "/retrieve", "/index", "/similarity"):
                 stats.record(self.path, time.perf_counter() - t0, ok=code == 200)
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -602,6 +613,19 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
                         engine.decode_and_preprocess(blobs), top_k=int(req.get("top_k", 5))
                     )
                     self._reply(200, {"results": results})
+                elif self.path == "/similarity":
+                    blobs = [base64.b64decode(b) for b in req["images_b64"]]
+                    logits = engine.similarity(
+                        engine.decode_and_preprocess(blobs), req["texts"]
+                    )
+                    e = np.exp(logits - logits.max(-1, keepdims=True))
+                    self._reply(
+                        200,
+                        {
+                            "logits_per_image": logits.tolist(),
+                            "probs": (e / e.sum(-1, keepdims=True)).tolist(),
+                        },
+                    )
                 elif self.path == "/retrieve":
                     results = engine.retrieve(req["texts"], top_k=int(req.get("top_k", 5)))
                     self._reply(200, {"results": results})

@@ -572,3 +572,19 @@ def test_classifier_built_through_engine_path(tmp_path):
     np.testing.assert_allclose(np.asarray(frozen._classifier), w_ref, atol=1e-5)
     res = frozen.classify(np.zeros((2, 32, 32, 3), np.uint8), top_k=1)
     assert res[0][0]["label"] in names
+
+
+def test_similarity_endpoint(server_port):
+    """POST /similarity: the reference README demo semantics over HTTP —
+    logits_per_image = 100 * cosine, probs = softmax over texts."""
+    code, out = _post(
+        server_port, "/similarity",
+        {"images_b64": [_png_b64(0)], "texts": ["a cat", "a dog", "a car"]},
+    )
+    assert code == 200
+    logits = np.asarray(out["logits_per_image"])
+    probs = np.asarray(out["probs"])
+    assert logits.shape == probs.shape == (1, 3)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    np.testing.assert_allclose(probs, e / e.sum(-1, keepdims=True), rtol=1e-5)
