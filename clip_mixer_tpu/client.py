@@ -145,7 +145,9 @@ class ServingClient:
         return out["results"]
 
     def similarity(self, images: Sequence[Union[str, bytes]], texts: Sequence[str]) -> dict:
-        """{"logits_per_image", "probs"} — the reference README demo over HTTP."""
-        return self._request(
+        """{"logits_per_image", "probs"} as np.float32 arrays [n_img, n_txt]
+        — the reference README demo over HTTP."""
+        out = self._request(
             "/similarity", {"images_b64": self._b64(images), "texts": list(texts)}
         )
+        return {k: np.asarray(v, np.float32) for k, v in out.items()}

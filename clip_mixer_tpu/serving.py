@@ -93,6 +93,13 @@ def local_mesh():
     return Mesh(np.asarray(devs), ("data",))
 
 
+def softmax_probs(logits: np.ndarray) -> np.ndarray:
+    """Row-stable softmax — the ONE implementation shared by classify, the
+    /similarity handler, and examples."""
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
 def _topk(row: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k largest entries, sorted descending. O(N) selection
     (argpartition) + O(k log k) sort — the full argsort would pay
@@ -310,9 +317,7 @@ class InferenceEngine:
         if self._classifier is None:
             raise RuntimeError("no classifier loaded; call load_classifier first")
         feats = self.encode_image_arrays(images_u8)
-        logits = 100.0 * feats @ np.asarray(self._classifier)
-        probs = np.exp(logits - logits.max(-1, keepdims=True))
-        probs /= probs.sum(-1, keepdims=True)
+        probs = softmax_probs(100.0 * feats @ np.asarray(self._classifier))
         return [
             [{"label": self._classnames[i], "prob": float(row[i])} for i in _topk(row, top_k)]
             for row in probs
@@ -618,12 +623,11 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
                     logits = engine.similarity(
                         engine.decode_and_preprocess(blobs), req["texts"]
                     )
-                    e = np.exp(logits - logits.max(-1, keepdims=True))
                     self._reply(
                         200,
                         {
                             "logits_per_image": logits.tolist(),
-                            "probs": (e / e.sum(-1, keepdims=True)).tolist(),
+                            "probs": softmax_probs(logits).tolist(),
                         },
                     )
                 elif self.path == "/retrieve":
