@@ -34,10 +34,42 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parent))  # sibling script imports
 
 
+def verify(release_dir: str) -> None:
+    """CD gate: prove a release dir actually serves before rollout — load
+    the recorded programs on THIS host, pre-compile every bucket, run one
+    inference per tower, and re-check the recorded gate verdicts. Raises
+    SystemExit on any failure."""
+    import numpy as np
+
+    from clip_mixer_tpu import aot
+    from clip_mixer_tpu.api import _as_path
+
+    manifest = json.loads((_as_path(release_dir) / "RELEASE.json").read_text())
+    bad_gates = [k for k, g in manifest.get("gates", {}).items() if not g.get("passed")]
+    if bad_gates:
+        raise SystemExit(f"VERIFY FAILED: RELEASE.json records failed gates {bad_gates}")
+    engine = aot.load_servable(release_dir)  # platform + version checked here
+    engine.warmup()  # every bucket, both towers — links all recorded programs
+    R = engine.cfg.image_resolution
+    img = engine.encode_image_arrays(np.zeros((1, R, R, 3), np.uint8))
+    txt = engine.encode_text(["release verification probe"])
+    if not (np.all(np.isfinite(img)) and np.all(np.isfinite(txt))):
+        raise SystemExit("VERIFY FAILED: non-finite features from the recorded programs")
+    kind = "int8" if manifest["int8"] else "float"
+    print(
+        f"VERIFY OK: {kind} release, buckets {manifest['buckets']}, "
+        f"paths {engine.path_kinds}, frozen={engine.frozen}"
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", required=True, help="preset, OpenAI name, .pt, or checkpoint dir")
+    p.add_argument("--model", help="preset, OpenAI name, .pt, or checkpoint dir")
     p.add_argument("--out", required=True, help="release directory")
+    p.add_argument("--verify", action="store_true",
+                   help="verify an EXISTING release dir (--out) on this host instead of "
+                        "building one: load recorded programs, warm every bucket, probe "
+                        "both towers, re-check gate verdicts")
     p.add_argument("--data", default=None, help="tar-shard glob for calibration samples")
     p.add_argument("--texts", default=None, help="caption file for text calibration")
     p.add_argument("--n", type=int, default=512, help="calibration sample count")
@@ -58,6 +90,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.verify:
+        verify(args.out)
+        return
+    if not args.model:
+        p.error("--model is required (unless --verify)")
 
     import jax
     import jax.numpy as jnp

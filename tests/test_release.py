@@ -93,3 +93,21 @@ def test_release_aborts_on_failed_gate(tmp_path, ckpt, monkeypatch):
             "--gate-n", "64", "--buckets", "2",
         ])
     assert not (Path(out) / "servable").exists()
+
+
+def test_release_verify(tmp_path, ckpt):
+    """release.py --verify: passes on a good release, fails on a recorded
+    failed gate."""
+    import release
+
+    out = str(tmp_path / "vrelease")
+    release.main(["--model", ckpt, "--out", out, "--n", "16", "--gate-n", "64", "--buckets", "2"])
+    release.main(["--out", out, "--verify"])  # must not raise
+
+    # tamper: a recorded failed gate must fail verification
+    rj = Path(out) / "RELEASE.json"
+    manifest = json.loads(rj.read_text())
+    manifest["gates"]["image"]["passed"] = False
+    rj.write_text(json.dumps(manifest))
+    with pytest.raises(SystemExit, match="VERIFY FAILED"):
+        release.main(["--out", out, "--verify"])
