@@ -283,6 +283,15 @@ class TrainConfig:
     # artifact serves without re-tracing model code. Local lowering only —
     # no collectives; the Trainer rank-gates it on a pod.
     freeze_serving: bool = False
+    # Fault injection for recovery drills (train.py --crash-after-steps):
+    # raise RuntimeError (a restartable crash, unlike the non-finite abort's
+    # EXIT_NONFINITE) after THIS PROCESS has executed N steps — an MTBF
+    # simulation. Counted per process incarnation, not per global step, so a
+    # supervised run crashes, resumes past the fault point, and crashes again
+    # N steps later: each incarnation still makes checkpoint progress, which
+    # is exactly what launch.supervise's progress-aware budget rewards.
+    # None = off.
+    crash_after_steps: Optional[int] = None
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,

@@ -161,6 +161,131 @@ def rehearse_local(
     return outs
 
 
+# Exit code train.py uses for the deterministic non-finite-loss abort
+# (Trainer._flush_metrics raises FloatingPointError BEFORE the boundary
+# checkpoint). The supervisor must NOT restart it: resume is bitwise
+# deterministic, so a restarted run recomputes the exact same NaN — a
+# restart loop that can never progress.
+EXIT_NONFINITE = 13
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    """Newest finalized orbax checkpoint id under ``ckpt_dir``, or None.
+
+    Pure filesystem scan (orbax finalizes a step by renaming to a bare
+    integer directory; in-flight tmp dirs carry suffixes) — deliberately
+    imports no jax/orbax so the supervisor can never hang on a wedged
+    accelerator backend. Remote (gs://) run dirs return None: supervision
+    then falls back to the plain restart budget with no progress resets.
+    """
+    import os
+
+    try:
+        entries = os.listdir(ckpt_dir)
+    except OSError:
+        return None
+    steps = [int(e) for e in entries if e.isdigit() and os.path.isdir(os.path.join(ckpt_dir, e))]
+    return max(steps) if steps else None
+
+
+def supervise(
+    cmd: list,
+    ckpt_dir: str,
+    max_restarts: int = 3,
+    backoff: float = 5.0,
+    backoff_cap: float = 300.0,
+    sleep=None,
+    log=print,
+) -> int:
+    """Elastic recovery: run ``cmd`` (a train.py invocation), restarting it
+    after transient failures. Returns the final exit code.
+
+    The reference has no elasticity — a crashed job stays down until a human
+    relaunches it and Accelerate resumes from the checkpoint
+    (training/training.py:106-131). Here the relaunch is automatic, with a
+    **progress-aware budget**: ``max_restarts`` bounds *consecutive restarts
+    without progress*. Whenever a launch advances the newest checkpoint in
+    ``ckpt_dir`` the counter resets — a long run that keeps moving through
+    occasional crashes restarts indefinitely, while a crash-loop that cannot
+    reach its next checkpoint exhausts the budget and surfaces the failure.
+
+    Policy:
+    * exit 0 — run complete; return 0.
+    * exit EXIT_NONFINITE — permanent (deterministic divergence; see above);
+      returned without restart.
+    * SIGTERM/SIGINT received by the supervisor — forwarded to the child (the
+      Trainer's preemption save runs) and NOT restarted: an operator stop or
+      a host preemption must win over elasticity.
+    * any other nonzero — restart after exponential backoff
+      (``backoff * 2^k`` capped at ``backoff_cap``) while the budget holds.
+
+    Multi-host: run one supervisor per worker (same command everywhere). A
+    single worker's crash stalls the collectives until the jax.distributed
+    heartbeat tears the peers down; every supervisor then restarts its local
+    worker and the rendezvous re-forms from the last checkpoint.
+    """
+    import signal
+    import subprocess
+    import threading
+    import time
+
+    if sleep is None:
+        sleep = time.sleep
+    failures_without_progress = 0
+    attempt = 0
+    state = {"proc": None, "sig": None}
+
+    def _forward(signum, frame):
+        state["sig"] = signum
+        p = state["proc"]
+        if p is not None and p.poll() is None:
+            p.send_signal(signum)
+
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _forward)
+    try:
+        while True:
+            start_step = latest_checkpoint_step(ckpt_dir)
+            attempt += 1
+            proc = subprocess.Popen(cmd)
+            state["proc"] = proc
+            rc = proc.wait()
+            state["proc"] = None
+            if rc == 0:
+                log(f"supervise: run complete after {attempt} launch(es)")
+                return 0
+            if state["sig"] is not None:
+                log(f"supervise: stop signal received; not restarting (child rc={rc})")
+                return rc
+            if rc == EXIT_NONFINITE:
+                log("supervise: non-finite-loss abort is deterministic; not restarting")
+                return rc
+            end_step = latest_checkpoint_step(ckpt_dir)
+            progressed = end_step is not None and (start_step is None or end_step > start_step)
+            if progressed:
+                failures_without_progress = 0
+            else:
+                failures_without_progress += 1
+            if failures_without_progress > max_restarts:
+                log(
+                    f"supervise: {failures_without_progress} consecutive failures with no "
+                    f"checkpoint progress (budget {max_restarts}); giving up with rc={rc}"
+                )
+                return rc
+            delay = min(backoff * 2 ** max(0, failures_without_progress - 1), backoff_cap)
+            log(
+                f"supervise: child rc={rc} (checkpoint {start_step}->{end_step}, "
+                f"progressed={progressed}); restarting in {delay:.0f}s "
+                f"[{failures_without_progress}/{max_restarts} budget used]"
+            )
+            sleep(delay)
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+
+
 def main():
     import argparse
 

@@ -256,6 +256,7 @@ class Trainer:
         # state.step from the device every iteration would force a host-device
         # sync and defeat async dispatch.
         step = self.global_step
+        resume_step = step  # for crash_after_steps (steps THIS process ran)
         # Steady-state profile window: start after step+1 (which pays the
         # compile), and slide the window forward so it contains no checkpoint
         # or validation step — a traced _flush_metrics device_get / orbax
@@ -337,6 +338,25 @@ class Trainer:
                     self.save(epoch, batch_idx)
                     t0 = time.monotonic()
                     steps_since_t0 = 0
+                if self.tcfg.crash_after_steps is not None and (
+                    step - resume_step
+                ) == self.tcfg.crash_after_steps:
+                    # Fault injection (recovery drills): a hard crash AFTER
+                    # this process executed N steps (incl. cadence work above).
+                    # RuntimeError -> generic nonzero exit, which
+                    # launch.supervise treats as restartable (unlike the
+                    # non-finite FloatingPointError). Let any in-flight async
+                    # orbax save commit first: the drill rehearses
+                    # restart+resume, and an un-awaited save dies with the
+                    # interpreter — every relaunch would then restart from the
+                    # same (or no) checkpoint and the drill could never
+                    # progress past the injection point.
+                    self.checkpointer.wait()
+                    raise RuntimeError(
+                        f"fault injection: crashing at step {step} after "
+                        f"{self.tcfg.crash_after_steps} steps this process "
+                        "(crash_after_steps)"
+                    )
                 # Stop check BEFORE validation: a validation pass (host
                 # all-gather of params + every validator) can take minutes at
                 # scale and would eat the whole preemption grace window

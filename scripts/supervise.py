@@ -1,0 +1,78 @@
+"""Elastic-recovery supervisor: keep a training run alive across crashes.
+
+    python scripts/supervise.py [--max-restarts 3] [--backoff 5] -- \\
+        --preset mixer-b32 --data '/data/shards/*.tar' --run-name run1
+
+Everything after ``--`` is a train.py command line; the supervisor launches
+it and relaunches it after transient failures (host OOM-kill, tunnel blips,
+data hiccups — anything with a nonzero exit). Resume comes from the
+Trainer's own orbax checkpoints (kill-and-resume is bitwise deterministic,
+tests/test_trainer_resume.py), so a restart costs at most
+``--checkpoint-every`` steps of recomputation.
+
+The restart budget is progress-aware (see clip_mixer_tpu.launch.supervise):
+``--max-restarts`` bounds *consecutive restarts without a new checkpoint* —
+a run that keeps advancing restarts forever, a crash-loop does not. Two
+failures are never restarted: the deterministic non-finite-loss abort
+(train.py exits launch.EXIT_NONFINITE) and an operator SIGTERM/SIGINT
+(forwarded to the child so its preemption save runs).
+
+On a pod slice, run one supervisor per worker (same flags everywhere) —
+when any worker dies, the jax.distributed heartbeat tears down its peers
+and every supervisor relaunches its local worker together.
+
+Drill it without waiting for a real failure:
+
+    python scripts/supervise.py -- --preset mixer-debug --synthetic \\
+        --platform cpu --steps-per-epoch 8 --epochs 1 \\
+        --checkpoint-every 2 --crash-after-steps 5 --no-validators
+
+The reference has no supervisor — a crashed AzureML job stayed down until
+someone relaunched it and Accelerate resumed (training/training.py:106-131).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from clip_mixer_tpu.launch import supervise  # noqa: E402
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if "--" in argv:
+        split = argv.index("--")
+        sup_args, train_args = argv[:split], argv[split + 1:]
+    else:
+        sup_args, train_args = argv, []
+
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    p.add_argument("--max-restarts", type=int, default=3,
+                   help="consecutive restarts allowed WITHOUT checkpoint progress")
+    p.add_argument("--backoff", type=float, default=5.0,
+                   help="base restart delay, doubled per no-progress failure")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint dir watched for progress (default: derived "
+                        "from the train args' --run-name: outputs/<run>/checkpoints)")
+    args = p.parse_args(sup_args)
+    if not train_args:
+        p.error("pass the train.py arguments after '--'")
+
+    ckpt_dir = args.ckpt_dir
+    if ckpt_dir is None:
+        run_name = "run"  # train.py's --run-name default
+        if "--run-name" in train_args:
+            run_name = train_args[train_args.index("--run-name") + 1]
+        ckpt_dir = str(Path("outputs") / run_name / "checkpoints")
+
+    train_py = str(Path(__file__).resolve().parents[1] / "train.py")
+    cmd = [sys.executable, train_py, *train_args]
+    return supervise(cmd, ckpt_dir, max_restarts=args.max_restarts, backoff=args.backoff)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,6 +84,11 @@ def parse_args():
     p.add_argument("--profile-steps", type=int, default=0,
                    help="trace this many steady-state steps to outputs/<run>/profile "
                         "(TensorBoard profile plugin; lead process only)")
+    p.add_argument("--crash-after-steps", type=int, default=None,
+                   help="fault injection: crash (RuntimeError) after this process "
+                        "executes N steps (an MTBF simulation) — rehearses the "
+                        "supervisor/resume path (scripts/supervise.py) without "
+                        "waiting for a real failure")
     p.add_argument("--verbose", action="store_true")
     # Explicit rendezvous/platform — used by launch.rehearse_local (a pod
     # launch on real TPUs needs none of these: jax.distributed.initialize()
@@ -123,6 +128,7 @@ def main():
         fsdp=args.fsdp,
         pipeline_microbatches=args.pipeline_microbatches,
         freeze_serving=args.freeze_serving,
+        crash_after_steps=args.crash_after_steps,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
@@ -201,7 +207,19 @@ def main():
         verbose=args.verbose,
         profile_steps=args.profile_steps,
     )
-    trainer.train()
+    try:
+        trainer.train()
+    except FloatingPointError:
+        # The Trainer's non-finite-loss abort (last good checkpoint kept).
+        # Distinct exit code: this failure is DETERMINISTIC under bitwise
+        # resume, so a supervisor (launch.supervise) must not restart it.
+        import sys
+        import traceback
+
+        from clip_mixer_tpu.launch import EXIT_NONFINITE
+
+        traceback.print_exc()
+        sys.exit(EXIT_NONFINITE)
 
 
 if __name__ == "__main__":
