@@ -326,6 +326,81 @@ class TarShardSource(DataSource):
             pool.shutdown(wait=False)
 
 
+class MixtureSource(TarShardSource):
+    """Weighted mixture of tar-shard corpora, blended at the SAMPLE level.
+
+    Production CLIP training blends datasets (e.g. LAION + curated sets);
+    the reference trains on a single LAION-COCO subset (dataset.py:95-150)
+    with no mixing story. Each batch draws every sample slot from component
+    ``i`` with probability ``weights[i]`` via a seeded schedule, so batches
+    interleave corpora at the configured ratio in expectation.
+
+    Semantics:
+    * Each component is a full TarShardSource stream (own per-epoch shard
+      permutation, own shuffle reservoir, own per-host shard selection), so
+      everything documented there applies per component.
+    * A component that exhausts mid-epoch RESTARTS with a reshuffled shard
+      order (sampling with replacement at the corpus level — the standard
+      mixture semantic: small corpora repeat, ratios hold). The stream is
+      therefore INFINITE: set ``TrainConfig.steps_per_epoch`` (train.py
+      --steps-per-epoch) to define the epoch.
+    * Determinism/resume contract unchanged: the whole stream is a pure
+      function of (seed, epoch), so skip-by-count fast-forward works and
+      kill-and-resume stays bitwise deterministic.
+    """
+
+    def __init__(
+        self,
+        components: Sequence[Sequence[str]],
+        batch_size: int,
+        weights: Optional[Sequence[float]] = None,
+        **kwargs,
+    ):
+        """components: one shard-path list per corpus. weights: relative
+        sampling weights (normalized; default uniform). Remaining kwargs are
+        TarShardSource's (image_size, seed, n_hosts, shuffle_buffer, ...)."""
+        if not components or any(not c for c in components):
+            raise ValueError("every mixture component needs at least one shard")
+        if weights is None:
+            weights = [1.0] * len(components)
+        if len(weights) != len(components) or any(w <= 0 for w in weights):
+            raise ValueError(f"need {len(components)} positive weights, got {weights}")
+        # Children own per-host shard selection + shuffle; the parent's
+        # decode/batch/skip machinery runs on the blended sample stream
+        # (n_hosts=1 here so the combined list isn't host-split twice).
+        self.children = [TarShardSource(paths, batch_size, **kwargs) for paths in components]
+        self.weights = np.asarray(weights, np.float64) / np.sum(weights)
+        parent_kwargs = dict(kwargs, n_hosts=1, host_index=0)
+        super().__init__([p for paths in components for p in paths], batch_size, **parent_kwargs)
+
+    def _iter_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
+        rng = np.random.default_rng((self.seed, epoch, 3))
+        n = len(self.children)
+        repeats = [0] * n
+        iters = [c._iter_samples(epoch) for c in self.children]
+
+        def _next(i):
+            try:
+                return next(iters[i])
+            except StopIteration:
+                # restart with a reshuffled shard order (distinct epoch key;
+                # 1_000_003 just keeps repeat keys clear of real epoch ids)
+                repeats[i] += 1
+                iters[i] = self.children[i]._iter_samples(epoch + 1_000_003 * repeats[i])
+                try:
+                    return next(iters[i])
+                except StopIteration:
+                    raise RuntimeError(
+                        f"mixture component {i} yielded no samples "
+                        f"({len(self.children[i].shards)} shards)"
+                    ) from None
+
+        while True:
+            # block draws amortise the rng over the 32k-sample batches
+            for i in rng.choice(n, size=4096, p=self.weights):
+                yield _next(int(i))
+
+
 def prefetch(
     iterator: Iterator[Batch], depth: int = 2, stop: "threading.Event | None" = None
 ) -> Iterator[Batch]:

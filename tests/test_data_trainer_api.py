@@ -653,3 +653,100 @@ def test_metrics_writer_remote_log_dir(tmp_path, monkeypatch):
         assert not os.path.exists("gs:")  # no mangled local path
     finally:
         os.chdir(cwd)
+
+
+# ---------------------------------------------------------------------------
+# MixtureSource: weighted multi-corpus blending (the reference trains on a
+# single LAION-COCO subset, dataset.py:95-150 — no mixing story).
+# ---------------------------------------------------------------------------
+
+def _mk_corpus(tmp_path, name, n, word, samples_per_shard=10):
+    rng = np.random.default_rng(abs(hash(name)) % 2**31)
+    samples = [
+        (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), f"{word} number {i}")
+        for i in range(n)
+    ]
+    return write_tar_shards(iter(samples), str(tmp_path / name), samples_per_shard=samples_per_shard)
+
+
+def _marker_token(word):
+    from clip_mixer_tpu.text import tokenize
+
+    return int(np.asarray(tokenize([f"{word} number 0"]))[0, 1])
+
+
+def test_mixture_ratio_determinism_and_resume(tmp_path):
+    from itertools import islice
+
+    from clip_mixer_tpu.data.pipeline import MixtureSource
+
+    a = _mk_corpus(tmp_path, "alpha_corpus", 40, "alpha")
+    b = _mk_corpus(tmp_path, "beta_corpus", 40, "beta")
+    src = MixtureSource(
+        [a, b], batch_size=8, weights=[3.0, 1.0], image_size=16, context_length=16
+    )
+    batches = list(islice(src.iter_batches(epoch=0), 20))  # stream is infinite
+    tok_a = _marker_token("alpha")
+    n_alpha = sum(int(np.sum(batch["texts"][:, 1] == tok_a)) for batch in batches)
+    frac = n_alpha / (20 * 8)
+    assert 0.65 < frac < 0.85, frac  # 3:1 weights -> ~0.75 of 160 draws
+
+    # pure function of (seed, epoch): identical on re-iteration...
+    again = list(islice(src.iter_batches(epoch=0), 20))
+    np.testing.assert_array_equal(batches[7]["images"], again[7]["images"])
+    np.testing.assert_array_equal(batches[19]["texts"], again[19]["texts"])
+    # ...skip-by-count resume lands on the same batch boundary...
+    resumed = next(iter(src.iter_batches(epoch=0, start_batch=5)))
+    np.testing.assert_array_equal(batches[5]["images"], resumed["images"])
+    np.testing.assert_array_equal(batches[5]["texts"], resumed["texts"])
+    # ...and a different epoch reshuffles
+    other = next(iter(src.iter_batches(epoch=1)))
+    assert not np.array_equal(batches[0]["images"], other["images"])
+
+
+def test_mixture_small_component_repeats(tmp_path):
+    """A component smaller than the epoch restarts (reshuffled) so the
+    configured ratio holds — small curated sets repeat, they don't run dry."""
+    from itertools import islice
+
+    from clip_mixer_tpu.data.pipeline import MixtureSource
+
+    a = _mk_corpus(tmp_path, "big", 60, "alpha")
+    b = _mk_corpus(tmp_path, "tiny", 6, "beta", samples_per_shard=3)
+    src = MixtureSource([a, b], batch_size=8, image_size=16, context_length=16)
+    batches = list(islice(src.iter_batches(epoch=0), 12))  # 96 draws, ~48 beta >> 6
+    tok_b = _marker_token("beta")
+    n_beta = sum(int(np.sum(batch["texts"][:, 1] == tok_b)) for batch in batches)
+    assert n_beta > 20  # the 6-sample corpus contributed far past its size
+
+
+def test_mixture_validation(tmp_path):
+    from clip_mixer_tpu.data.pipeline import MixtureSource
+
+    a = _mk_corpus(tmp_path, "val_corpus", 10, "alpha")
+    with pytest.raises(ValueError, match="at least one shard"):
+        MixtureSource([a, []], batch_size=4, image_size=16)
+    with pytest.raises(ValueError, match="positive weights"):
+        MixtureSource([a, a], batch_size=4, weights=[1.0], image_size=16)
+    with pytest.raises(ValueError, match="positive weights"):
+        MixtureSource([a, a], batch_size=4, weights=[1.0, -1.0], image_size=16)
+
+
+def test_mixture_component_with_no_samples(tmp_path):
+    """A shard list whose tars contain no usable pairs must fail loudly,
+    not spin the restart loop forever."""
+    import tarfile
+
+    from clip_mixer_tpu.data.pipeline import MixtureSource
+
+    a = _mk_corpus(tmp_path, "ok_corpus", 10, "alpha")
+    junk = tmp_path / "junk.tar"
+    with tarfile.open(junk, "w") as tar:
+        info = tarfile.TarInfo("not_a_pair.bin")
+        info.size = 3
+        import io as _io
+
+        tar.addfile(info, _io.BytesIO(b"xyz"))
+    src = MixtureSource([a, [str(junk)]], batch_size=4, image_size=16, context_length=16)
+    with pytest.raises(RuntimeError, match="yielded no samples"):
+        next(iter(src.iter_batches(epoch=0)))

@@ -14,7 +14,7 @@ import argparse
 import glob
 
 from clip_mixer_tpu.config import PRESETS, TrainConfig
-from clip_mixer_tpu.data.pipeline import SyntheticSource, TarShardSource
+from clip_mixer_tpu.data.pipeline import MixtureSource, SyntheticSource, TarShardSource
 from clip_mixer_tpu.evals.validators import (
     CosineSimValidator,
     ImageNetValidator,
@@ -27,7 +27,11 @@ from clip_mixer_tpu.train.trainer import Trainer
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="mixer-b32", choices=sorted(PRESETS.keys()))
-    p.add_argument("--data", default=None, help="glob of webdataset tar shards")
+    p.add_argument("--data", action="append", default=None,
+                   help="glob of webdataset tar shards; repeat for a weighted "
+                        "mixture with an optional '::WEIGHT' suffix per glob "
+                        "(e.g. --data 'laion/*.tar::3' --data 'curated/*.tar::1'; "
+                        "mixtures stream indefinitely — set --steps-per-epoch)")
     p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke runs)")
     p.add_argument("--run-name", default="run", help="output directory name")
     p.add_argument("--epochs", type=int, default=32)  # training.py:255
@@ -147,11 +151,19 @@ def main():
             context_length=cfg.context_length,
         )
     else:
-        shards = sorted(glob.glob(args.data))
-        if not shards:
-            raise SystemExit(f"no shards match {args.data}")
-        data = TarShardSource(
-            shards,
+        components, weights = [], []
+        for spec in args.data:
+            pattern, _, w = spec.rpartition("::")
+            if pattern and _:
+                weights.append(float(w))
+            else:
+                pattern, w = spec, None
+                weights.append(1.0)
+            shards = sorted(glob.glob(pattern))
+            if not shards:
+                raise SystemExit(f"no shards match {pattern}")
+            components.append(shards)
+        source_kwargs = dict(
             batch_size=per_host_batch,
             image_size=cfg.image_resolution,
             context_length=cfg.context_length,
@@ -160,6 +172,15 @@ def main():
             shuffle_buffer=args.shuffle_buffer,
             on_decode_error=args.on_decode_error,
         )
+        if len(components) == 1:
+            data = TarShardSource(components[0], **source_kwargs)
+        else:
+            if args.steps_per_epoch is None:
+                raise SystemExit(
+                    "a --data mixture streams indefinitely (small components "
+                    "repeat to hold the ratio): set --steps-per-epoch"
+                )
+            data = MixtureSource(components, weights=weights, **source_kwargs)
 
     validators = []
     if not args.no_validators:
