@@ -365,11 +365,22 @@ class MixtureSource(TarShardSource):
             weights = [1.0] * len(components)
         if len(weights) != len(components) or any(w <= 0 for w in weights):
             raise ValueError(f"need {len(components)} positive weights, got {weights}")
+        self.weights = np.asarray(weights, np.float64) / np.sum(weights)
         # Children own per-host shard selection + shuffle; the parent's
         # decode/batch/skip machinery runs on the blended sample stream
         # (n_hosts=1 here so the combined list isn't host-split twice).
-        self.children = [TarShardSource(paths, batch_size, **kwargs) for paths in components]
-        self.weights = np.asarray(weights, np.float64) / np.sum(weights)
+        # The caller's shuffle_buffer is a HOST-RAM BUDGET: split it across
+        # children proportional to sampling weight (it would otherwise
+        # multiply by the component count — ~60KB/sample of raw JPEG adds up).
+        total_buf = int(kwargs.get("shuffle_buffer", 0) or 0)
+        self.children = []
+        for paths, w in zip(components, self.weights):
+            child_kwargs = dict(kwargs)
+            if total_buf > 1:
+                # floor 2: a 0/1 buffer silently disables shuffling for a
+                # low-weight component the caller asked to shuffle
+                child_kwargs["shuffle_buffer"] = max(2, int(round(total_buf * w)))
+            self.children.append(TarShardSource(paths, batch_size, **child_kwargs))
         parent_kwargs = dict(kwargs, n_hosts=1, host_index=0)
         super().__init__([p for paths in components for p in paths], batch_size, **parent_kwargs)
 

@@ -215,7 +215,14 @@ def supervise(
       returned without restart.
     * SIGTERM/SIGINT received by the supervisor — forwarded to the child (the
       Trainer's preemption save runs) and NOT restarted: an operator stop or
-      a host preemption must win over elasticity.
+      a host preemption must win over elasticity. This holds at ANY moment:
+      a signal that lands between children (during the backoff sleep, or in
+      the Popen window before the child handle is published) stops the loop
+      before/right after the next launch instead of being swallowed. The
+      child runs in its own session (``start_new_session=True``) so an
+      interactive Ctrl-C reaches it exactly once — via the forward — rather
+      than twice (kernel process-group delivery + forward), which would trip
+      the Trainer's second-SIGINT hard-abort and skip the preemption save.
     * any other nonzero — restart after exponential backoff
       (``backoff * 2^k`` capped at ``backoff_cap``) while the budget holds.
 
@@ -247,10 +254,22 @@ def supervise(
             prev_handlers[sig] = signal.signal(sig, _forward)
     try:
         while True:
+            if state["sig"] is not None:
+                # Signal landed between children (backoff sleep / pre-launch):
+                # there is no child to forward to — stop instead of silently
+                # launching a run the operator just tried to kill.
+                log("supervise: stop signal received between launches; not restarting")
+                return 128 + int(state["sig"])
             start_step = latest_checkpoint_step(ckpt_dir)
             attempt += 1
-            proc = subprocess.Popen(cmd)
+            # New session: the kernel must not deliver a terminal Ctrl-C to
+            # the child directly — _forward is the single delivery path.
+            proc = subprocess.Popen(cmd, start_new_session=True)
             state["proc"] = proc
+            if state["sig"] is not None and proc.poll() is None:
+                # Close the Popen->publish race: a signal that arrived before
+                # state["proc"] was visible found proc=None in _forward.
+                proc.send_signal(state["sig"])
             rc = proc.wait()
             state["proc"] = None
             if rc == 0:

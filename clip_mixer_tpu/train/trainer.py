@@ -304,8 +304,13 @@ class Trainer:
                 batch_idx += 1
                 step += 1
                 steps_since_t0 += 1
-                if self.is_lead:
-                    pending.append((step, metrics))  # device arrays; no sync
+                # EVERY process buffers (device arrays; no sync): the
+                # non-finite check in _flush_metrics must fire on all hosts
+                # so they exit EXIT_NONFINITE together — if only the lead
+                # raised, the other workers would die in the collective save
+                # with a generic rc and their supervisors would restart them
+                # into a dead rendezvous while the lead's supervisor stopped.
+                pending.append((step, metrics))
                 if self.profile_steps and self.is_lead:
                     # Trace covers exactly N whole steps after
                     # _trace_start_after (chosen above to dodge checkpoint /
@@ -385,19 +390,19 @@ class Trainer:
     def _flush_metrics(self, pending) -> None:
         """device_get buffered per-step metrics in one sync (same scalar set
         as training.py:188-190)."""
-        if not pending or not self.is_lead:
+        if not pending:
             return
         values = jax.device_get([m for _, m in pending])
         if self.tcfg.abort_on_nonfinite_loss:
             # Check BEFORE the caller's checkpoint save: aborting here keeps
             # the last good checkpoint alive (a NaN'd AdamW update poisons
             # every param; saving it would evict good history). Multi-host:
-            # only the lead buffers metrics, so only it raises; the other
-            # workers proceed INTO the collective orbax save and block there
-            # until the coordinator (process 0 == the lead) dies and the
-            # distributed runtime tears them down. The save never commits —
-            # orbax finalizes a step only after every participant arrives —
-            # so the last good checkpoint still survives on all hosts.
+            # the loss is replicated and training is bitwise deterministic,
+            # so EVERY process (all of them buffer pending) sees the same
+            # value at the same step and raises here — before anyone enters
+            # the collective save — and train.py turns it into the same
+            # EXIT_NONFINITE on every worker, stopping every per-worker
+            # supervisor instead of only the lead's.
             for (s, _), m in zip(pending, values):
                 if not np.isfinite(m["loss"]):
                     raise FloatingPointError(
@@ -406,6 +411,8 @@ class Trainer:
                         "Resume from it with a lower lr / longer warmup "
                         "(set abort_on_nonfinite_loss=False to train through)."
                     )
+        if not self.is_lead:
+            return
         for (s, _), m in zip(pending, values):
             self.writer.add_scalar("Loss", float(m["loss"]), s)
             self.writer.add_scalar("Learning rate", float(self._schedule(s - 1)), s)

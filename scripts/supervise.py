@@ -40,6 +40,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from clip_mixer_tpu.launch import supervise  # noqa: E402
 
 
+def derive_run_name(train_args):
+    """The --run-name the train args will resolve to, mirroring argparse's
+    accepted spellings ('--run-name NAME' and '--run-name=NAME', last
+    occurrence wins). Returns None for a missing value (caller errors out) —
+    a silent mis-parse here would watch the wrong checkpoint dir and defeat
+    the progress-aware restart budget."""
+    run_name = "run"  # train.py's --run-name default
+    for i, a in enumerate(train_args):
+        if a == "--run-name":
+            if i + 1 >= len(train_args):
+                return None
+            run_name = train_args[i + 1]
+        elif a.startswith("--run-name="):
+            run_name = a.split("=", 1)[1]
+    return run_name
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else list(argv)
     if "--" in argv:
@@ -64,9 +81,9 @@ def main(argv=None):
 
     ckpt_dir = args.ckpt_dir
     if ckpt_dir is None:
-        run_name = "run"  # train.py's --run-name default
-        if "--run-name" in train_args:
-            run_name = train_args[train_args.index("--run-name") + 1]
+        run_name = derive_run_name(train_args)
+        if run_name is None:
+            p.error("--run-name in the train args is missing its value")
         ckpt_dir = str(Path("outputs") / run_name / "checkpoints")
 
     train_py = str(Path(__file__).resolve().parents[1] / "train.py")

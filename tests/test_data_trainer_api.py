@@ -750,3 +750,67 @@ def test_mixture_component_with_no_samples(tmp_path):
     src = MixtureSource([a, [str(junk)]], batch_size=4, image_size=16, context_length=16)
     with pytest.raises(RuntimeError, match="yielded no samples"):
         next(iter(src.iter_batches(epoch=0)))
+
+
+def test_parse_data_spec():
+    """'::WEIGHT' only binds when the tail is a positive finite float — paths
+    may legitimately contain '::' (review finding: float('v2/*.tar') used to
+    traceback)."""
+    import train as train_cli
+
+    assert train_cli.parse_data_spec("shards/*.tar") == ("shards/*.tar", 1.0)
+    assert train_cli.parse_data_spec("shards/*.tar::3") == ("shards/*.tar", 3.0)
+    assert train_cli.parse_data_spec("shards/*.tar::0.25") == ("shards/*.tar", 0.25)
+    # '::' inside the path, non-numeric tail: the whole spec is the path
+    assert train_cli.parse_data_spec("/mnt/ds::v2/*.tar") == ("/mnt/ds::v2/*.tar", 1.0)
+    # trailing '::' (empty weight): path, not a crash
+    assert train_cli.parse_data_spec("shards/*.tar::") == ("shards/*.tar::", 1.0)
+    # explicit-but-invalid weights fail loudly
+    for bad in ["shards/*.tar::0", "shards/*.tar::-2", "shards/*.tar::nan",
+                "shards/*.tar::inf"]:
+        with pytest.raises(SystemExit, match="positive number"):
+            train_cli.parse_data_spec(bad)
+
+
+def test_mixture_shuffle_buffer_is_a_total_budget(tmp_path):
+    """The caller's shuffle_buffer is host-RAM budget for the WHOLE mixture:
+    children split it by weight instead of each taking the full size (which
+    silently multiplied reservoir memory by the component count)."""
+    from clip_mixer_tpu.data.pipeline import MixtureSource
+
+    a = _mk_corpus(tmp_path, "budget_a", 10, "alpha")
+    b = _mk_corpus(tmp_path, "budget_b", 10, "beta")
+    src = MixtureSource(
+        [a, b, b], batch_size=4, weights=[2.0, 1.0, 1.0],
+        image_size=16, context_length=16, shuffle_buffer=1000,
+    )
+    bufs = [c.shuffle_buffer for c in src.children]
+    assert bufs == [500, 250, 250]
+    assert sum(bufs) == 1000
+    # a tiny-weight component still shuffles (floor 2), and buffer 0 stays off
+    src2 = MixtureSource(
+        [a, b], batch_size=4, weights=[999.0, 1.0],
+        image_size=16, context_length=16, shuffle_buffer=100,
+    )
+    assert src2.children[0].shuffle_buffer == 100
+    assert src2.children[1].shuffle_buffer == 2
+    src3 = MixtureSource([a, b], batch_size=4, image_size=16, context_length=16)
+    assert [c.shuffle_buffer for c in src3.children] == [0, 0]
+
+
+def test_nonfinite_loss_raises_on_non_lead_hosts():
+    """Every process must raise the non-finite abort (not just the lead), so
+    a multi-host pod exits EXIT_NONFINITE on all workers instead of the
+    non-leads dying in the collective save with a restartable rc."""
+    import types
+
+    from clip_mixer_tpu.config import TrainConfig
+    from clip_mixer_tpu.train.trainer import Trainer
+
+    fake = types.SimpleNamespace(
+        tcfg=TrainConfig(global_batch_size=8, epochs=1),
+        is_lead=False,  # non-lead: must still check before any writer work
+    )
+    pending = [(3, {"loss": np.float32("nan"), "grad_norm": np.float32(1.0)})]
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        Trainer._flush_metrics(fake, pending)

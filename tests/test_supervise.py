@@ -155,3 +155,55 @@ def test_supervised_training_drill(tmp_path, monkeypatch):
     # each one past a NEW checkpoint, on a budget of one no-progress restart.
     assert latest_checkpoint_step("outputs/drill/checkpoints") == 6
     assert (tmp_path / "outputs" / "drill" / "export").is_dir()
+
+
+def test_stop_signal_between_children_not_restarted(tmp_path):
+    """A stop that lands during the backoff sleep (no live child) must stop
+    the loop, not be swallowed while a fresh child is launched that never
+    receives the forwarded signal."""
+    child = tmp_path / "child.py"
+    child.write_text(
+        "from pathlib import Path\n"
+        f"starts = Path({str(tmp_path)!r}) / 'starts.txt'\n"
+        "starts.open('a').write('x\\n')\n"
+        "import sys; sys.exit(1)\n"  # fast crash -> supervisor enters backoff
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "from clip_mixer_tpu.launch import supervise\n"
+        f"rc = supervise([sys.executable, {str(child)!r}], {str(tmp_path / 'ck')!r}, "
+        "max_restarts=5, backoff=30)\n"  # 30s sleep: the signal lands inside it
+        "print('SUPERVISE_RC', rc, flush=True)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(driver)], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while _n_starts(tmp_path) < 1:
+            assert time.monotonic() < deadline, "child never started"
+            assert proc.poll() is None, "driver died early"
+            time.sleep(0.1)
+        time.sleep(1.0)  # let the child exit and the supervisor reach sleep()
+        os.kill(proc.pid, signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert f"SUPERVISE_RC {128 + signal.SIGTERM}" in out
+    assert _n_starts(tmp_path) == 1  # no relaunch after the stop
+
+
+def test_derive_run_name():
+    """Both argparse spellings resolve (last occurrence wins); a dangling
+    '--run-name' is a clean error, not an IndexError."""
+    import supervise as supervise_cli
+
+    d = supervise_cli.derive_run_name
+    assert d([]) == "run"
+    assert d(["--run-name", "prod1"]) == "prod1"
+    assert d(["--run-name=prod1"]) == "prod1"
+    assert d(["--run-name", "a", "--run-name=b"]) == "b"
+    assert d(["--preset", "mixer-b32", "--run-name"]) is None

@@ -12,6 +12,7 @@ Examples:
 
 import argparse
 import glob
+import math
 
 from clip_mixer_tpu.config import PRESETS, TrainConfig
 from clip_mixer_tpu.data.pipeline import MixtureSource, SyntheticSource, TarShardSource
@@ -104,6 +105,27 @@ def parse_args():
     return p.parse_args()
 
 
+def parse_data_spec(spec):
+    """Split a --data value into (glob pattern, weight).
+
+    '::WEIGHT' is only a weight if the tail actually parses as a positive
+    finite float — paths may legitimately contain '::'. Raises SystemExit on
+    an explicit-but-invalid weight (e.g. '::0', '::-1', '::nan')."""
+    pattern, sep, w = spec.rpartition("::")
+    if sep and pattern:
+        try:
+            weight = float(w)
+        except ValueError:
+            return spec, 1.0  # not a weight; the whole spec is the path
+        if not (weight > 0 and math.isfinite(weight)):
+            raise SystemExit(
+                f"--data {spec!r}: weight after '::' must be a "
+                f"positive number, got {w!r}"
+            )
+        return pattern, weight
+    return spec, 1.0
+
+
 def main():
     args = parse_args()
     import jax
@@ -153,12 +175,8 @@ def main():
     else:
         components, weights = [], []
         for spec in args.data:
-            pattern, _, w = spec.rpartition("::")
-            if pattern and _:
-                weights.append(float(w))
-            else:
-                pattern, w = spec, None
-                weights.append(1.0)
+            pattern, weight = parse_data_spec(spec)
+            weights.append(weight)
             shards = sorted(glob.glob(pattern))
             if not shards:
                 raise SystemExit(f"no shards match {pattern}")
