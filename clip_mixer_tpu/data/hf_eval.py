@@ -21,12 +21,49 @@ class DatasetUnavailable(RuntimeError):
     pass
 
 
+_HUB_REACHABLE = None  # one probe per process
+
+
+def _hub_reachable(timeout: float = 5.0) -> bool:
+    """One-shot DNS probe of the HF hub. A zero-egress host fails resolution
+    in milliseconds; without this the hub client retries 5x with backoff
+    (~30s) PER DATASET, per validation pass — on a pod with periodic
+    validation that compounds. getaddrinfo ignores socket timeouts, so the
+    probe runs in a daemon thread with a hard join deadline (an unresolvable
+    slow resolver counts as unreachable rather than hanging the trainer)."""
+    global _HUB_REACHABLE
+    if _HUB_REACHABLE is None:
+        import socket
+        import threading
+
+        result = []
+
+        def probe():
+            try:
+                socket.getaddrinfo("huggingface.co", 443)
+                result.append(True)
+            except OSError:
+                result.append(False)
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout)
+        _HUB_REACHABLE = bool(result and result[0])
+    return _HUB_REACHABLE
+
+
 def _load(name: str, split: str):
     import os
 
-    # Fast-path for known-offline environments: without this, the HF hub
-    # client retries 5x with backoff (~30s) per dataset before failing.
-    if os.environ.get("CLIP_MIXER_OFFLINE") == "1" or os.environ.get("HF_HUB_OFFLINE") == "1":
+    # Fast-path for offline environments — explicit (env) or auto-detected
+    # (DNS probe): without this, the HF hub client retries 5x with backoff
+    # (~30s) per dataset before failing. Offline mode still serves the local
+    # arrow cache, so a previously-downloaded dataset keeps working.
+    if (
+        os.environ.get("CLIP_MIXER_OFFLINE") == "1"
+        or os.environ.get("HF_HUB_OFFLINE") == "1"
+        or not _hub_reachable()
+    ):
         os.environ["HF_HUB_OFFLINE"] = "1"
         os.environ["HF_DATASETS_OFFLINE"] = "1"
         try:

@@ -7,6 +7,8 @@ linearly separable synthetic embeddings. The STS validator is checked against
 hand-computed spearman on injected pairs.
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -186,3 +188,28 @@ def test_plot_results_both_modes(tmp_path):
     finally:
         sys.argv = argv
     assert (out / "imagenet.png").exists() and (out / "sts.png").exists()
+
+
+def test_hf_eval_offline_autodetect(monkeypatch):
+    """A zero-egress host must fail a non-cached dataset load in one DNS
+    probe, not 5 hub retries with backoff (~30s per dataset, per validation
+    pass). The probe is once-per-process and cached."""
+    import socket
+
+    from clip_mixer_tpu.data import hf_eval
+
+    calls = {"n": 0}
+
+    def no_dns(*a, **k):
+        calls["n"] += 1
+        raise socket.gaierror("Name or service not known")
+
+    monkeypatch.setattr(socket, "getaddrinfo", no_dns)
+    monkeypatch.setattr(hf_eval, "_HUB_REACHABLE", None)
+    t0 = time.monotonic()
+    with pytest.raises(hf_eval.DatasetUnavailable):
+        hf_eval._load("this-dataset-does-not-exist-xyz", "test")
+    with pytest.raises(hf_eval.DatasetUnavailable):
+        hf_eval._load("this-dataset-does-not-exist-xyz", "test")
+    assert time.monotonic() - t0 < 20  # no retry/backoff ladder
+    assert calls["n"] == 1  # probe result is cached across loads
