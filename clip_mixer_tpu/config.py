@@ -79,6 +79,15 @@ class CLIPConfig:
     pipeline_axis: Optional[str] = None
     pipeline_stages: int = 0
     pipeline_microbatches: int = 1
+    # ln(1/0.07) — reference model.py:347. SigLIP training uses log(10)
+    # (arXiv:2303.15343 §4; train.py --loss siglip sets it).
+    logit_scale_init: float = math.log(1.0 / 0.07)
+    # When set, params carry a learnable scalar "logit_bias" (the pairwise
+    # sigmoid loss's additive bias; the paper inits it to -10.0). None = no
+    # bias param — the reference/InfoNCE param tree, and what every
+    # reference-format checkpoint expects. Inference paths never read it
+    # (a per-logit additive constant is softmax/ranking-invariant).
+    logit_bias_init: Optional[float] = None
 
     def __post_init__(self):
         # "resnet" is NOT a tower value: RN configs use tower="transformer"
@@ -117,10 +126,6 @@ class CLIPConfig:
     def vision_tokens(self) -> int:
         """Patch tokens + CLS (reference model.py:266)."""
         return self.grid_size**2 + 1
-
-    @property
-    def logit_scale_init(self) -> float:
-        return math.log(1.0 / 0.07)
 
     def replace(self, **kw) -> "CLIPConfig":
         return dataclasses.replace(self, **kw)
@@ -292,6 +297,18 @@ class TrainConfig:
     # is exactly what launch.supervise's progress-aware budget rewards.
     # None = off.
     crash_after_steps: Optional[int] = None
+    # Contrastive objective: "info_nce" (the reference's softmax loss,
+    # training.py:156-168) or "siglip" (pairwise sigmoid, ops/losses.py
+    # siglip_loss — needs a model with logit_bias_init set). Applies to the
+    # DP/TP, FSDP and PP steps, incl. the two-pass accumulation path.
+    loss: str = "info_nce"
+    # Exponential-moving-average of the post-step params (decay per STEP,
+    # e.g. 0.9999; None = off). Carried inside opt_state (an ema_slot at the
+    # end of the optax chain) so checkpoints, FSDP/PP shardings and resume
+    # pick it up automatically; the Trainer validates and exports with the
+    # averaged weights when enabled. No reference counterpart — standard
+    # large-scale CLIP/SigLIP practice.
+    ema_decay: Optional[float] = None
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,

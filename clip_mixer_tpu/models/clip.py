@@ -27,12 +27,17 @@ def init(key: jax.Array, cfg: CLIPConfig) -> Dict:
         visual = resnet_mod.init_resnet(kv, cfg)
     else:
         visual = towers.init_vision_encoder(kv, cfg)
-    return {
+    params = {
         "visual": visual,
         "text": towers.init_text_encoder(kt, cfg),
         # ln(1/0.07), reference model.py:347; kept f32 always.
         "logit_scale": jnp.asarray(cfg.logit_scale_init, jnp.float32),
     }
+    if cfg.logit_bias_init is not None:
+        # Learnable pairwise-sigmoid bias (SigLIP loss; no reference
+        # counterpart). Scalar — every sharding/decay rule replicates it.
+        params["logit_bias"] = jnp.asarray(cfg.logit_bias_init, jnp.float32)
+    return params
 
 
 def encode_image(params: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:

@@ -347,6 +347,11 @@ def params_to_state_dict(params: Dict, cfg: CLIPConfig) -> Dict[str, np.ndarray]
     put_ln("ln_final", t["ln_final"])
     sd["text_projection"] = np.asarray(t["projection"], np.float32)
     sd["logit_scale"] = np.asarray(params["logit_scale"], np.float32)
+    # A "logit_bias" leaf (siglip-trained models, CLIPConfig.logit_bias_init)
+    # is deliberately DROPPED: the reference format has no slot for it and it
+    # only parameterises the sigmoid training objective — inference is
+    # unaffected (an additive per-logit constant is softmax/ranking
+    # invariant), so the exported checkpoint encodes identically.
     return sd
 
 

@@ -1,4 +1,16 @@
-"""Global-batch contrastive InfoNCE — the one bespoke collective pattern.
+"""Global-batch contrastive losses — the bespoke collective patterns.
+
+Two objectives:
+
+* :func:`info_nce` — the reference's softmax contrastive loss
+  (training/training.py:156-168), local-vs-global with an all_gather.
+* :func:`siglip_loss` — the pairwise sigmoid loss (SigLIP,
+  arXiv:2303.15343), absent from the reference but the natural TPU-native
+  objective: no global softmax coupling, so the sharded form needs only a
+  neighbour ``ppermute`` ring (the paper's §3.3 "chunked" implementation,
+  itself designed for TPUs) and no rank ever materialises more than a
+  [local_B, local_B] logits block.
+
 
 Reference semantics (training/training.py:156-168): every rank all-gathers
 the *detached* image and text features, builds local-vs-global logits in both
@@ -117,3 +129,105 @@ def info_nce(
 
     # Symmetric mean (training.py:168).
     return 0.5 * (loss_t.mean() + loss_i.mean())
+
+
+def siglip_loss(
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    logit_bias: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Pairwise sigmoid contrastive loss (SigLIP, arXiv:2303.15343 eq. 1):
+
+        -1/B · Σ_i Σ_j log σ( z_ij · (t · x_i·y_j + b) ),   z_ij = +1 iff i==j
+
+    with learnable temperature ``t`` (pass ``exp(params["logit_scale"])``,
+    like info_nce) and learnable bias ``b`` (``params["logit_bias"]``, a raw
+    additive scalar — init -10.0 per the paper so training starts near the
+    heavily-imbalanced prior of B-1 negatives per positive).
+
+    Sharded form (``axis_name`` set, inside shard_map): the paper's §3.3
+    chunked ring, the pattern it introduced FOR TPUs — each of the
+    ``n = axis_size`` ticks computes the [local_B, local_B] block of local
+    images against the currently-held text chunk, then ``ppermute``s the
+    chunk one rank around the ring. Positives exist only at tick 0 (the
+    rank's own texts). No device ever holds more than one block, vs
+    info_nce's [local_B, global_B] (or its streamed chunks). Gradients are
+    exact: ppermute's transpose routes each text chunk's cotangents back
+    around the ring to its owner, so the train steps' ``pmean`` of
+    per-rank parameter grads equals the global-loss gradient — there is no
+    detached-keys variant (the sigmoid loss has no softmax normaliser to
+    make that a meaningful economy).
+
+    Returns the per-rank loss (local rows x global columns, normalised by
+    local_B); its pmean over ranks == the global mean loss, matching the
+    info_nce convention so the two objectives are drop-in interchangeable
+    in the train steps.
+    """
+    local_b = image_features.shape[0]
+    scale = logit_scale.astype(jnp.float32)
+    bias = logit_bias.astype(jnp.float32)
+    img = image_features.astype(jnp.float32)
+    eye = jnp.eye(local_b, dtype=bool)
+
+    def block_loss(txt_chunk, positives):
+        logits = scale * (img @ txt_chunk.astype(jnp.float32).T) + bias
+        z = jnp.where(positives, 1.0, -1.0)
+        return -jax.nn.log_sigmoid(z * logits).sum()
+
+    if axis_name is None:
+        return block_loss(text_features, eye) / local_b
+
+    n = jax.lax.axis_size(axis_name)
+    ring = [(i, (i + 1) % n) for i in range(n)]
+
+    def tick(carry, k):
+        txt, acc = carry
+        acc = acc + block_loss(txt, eye & (k == 0))
+        # The final hop returns the chunk to its owner — one redundant
+        # permute, kept so the scan body is uniform (a lax.cond around a
+        # collective would force both branches into the schedule anyway).
+        txt = jax.lax.ppermute(txt, axis_name, ring)
+        return (txt, acc), None
+
+    (_, total), _ = jax.lax.scan(
+        tick, (text_features, jnp.zeros((), jnp.float32)), jnp.arange(n)
+    )
+    return total / local_b
+
+
+def contrastive_loss(
+    kind: str,
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    scale: jnp.ndarray,
+    logit_bias: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+    grad_through_gather: bool = False,
+    chunk_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """The ONE objective dispatch shared by the DP/TP, FSDP and PP train
+    steps (``TrainConfig.loss``). ``grad_through_gather``/``chunk_size`` are
+    info_nce-specific (siglip's ring is already exact-gradient and already
+    chunked); ``logit_bias`` is siglip-specific."""
+    if kind == "info_nce":
+        return info_nce(
+            image_features,
+            text_features,
+            scale,
+            axis_name=axis_name,
+            grad_through_gather=grad_through_gather,
+            chunk_size=chunk_size,
+        )
+    if kind == "siglip":
+        if logit_bias is None:
+            raise ValueError(
+                "siglip loss needs a learnable 'logit_bias' param: init the "
+                "model with CLIPConfig(logit_bias_init=-10.0) (train.py "
+                "--loss siglip does this)"
+            )
+        return siglip_loss(
+            image_features, text_features, scale, logit_bias, axis_name=axis_name
+        )
+    raise ValueError(f"unknown contrastive loss {kind!r} (info_nce|siglip)")

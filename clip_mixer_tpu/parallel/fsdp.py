@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.losses import info_nce
+from clip_mixer_tpu.ops.losses import contrastive_loss
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from clip_mixer_tpu.parallel.train_step import TrainState, two_pass_accum_grads
@@ -158,6 +158,10 @@ def make_fsdp_train_step(
         )
     dtype = jnp.dtype(cfg.compute_dtype)
 
+    loss_param_keys = (
+        ("logit_scale", "logit_bias") if tcfg.loss == "siglip" else ("logit_scale",)
+    )
+
     def local_loss(params, images_u8, texts):
         images = normalize_images(images_u8, dtype=dtype)
         # axis_name=None: under GSPMD the batch is one logical array, so BN
@@ -166,8 +170,15 @@ def make_fsdp_train_step(
         # grad_through_gather=True: info_nce stop-grads the key side by
         # default even with axis_name=None (the reference's detach
         # semantics); FSDP trains with the exact globally-coupled gradient.
-        loss = info_nce(
-            img, txt, scale, axis_name=None, grad_through_gather=True, chunk_size=chunk_size
+        loss = contrastive_loss(
+            tcfg.loss,
+            img,
+            txt,
+            scale,
+            logit_bias=params.get("logit_bias"),
+            axis_name=None,
+            grad_through_gather=True,
+            chunk_size=chunk_size,
         )
         return loss, bn_stats
 
@@ -195,17 +206,21 @@ def make_fsdp_train_step(
             img, txt, _scale, _bn = clip_model.forward_train(p, cfg, im, tx)
             return img, txt
 
-        def feat_loss(fi, ft, logit_scale):
-            return info_nce(
+        def feat_loss(fi, ft, loss_params):
+            return contrastive_loss(
+                tcfg.loss,
                 fi.reshape(b, -1),
                 ft.reshape(b, -1),
-                jnp.exp(logit_scale),
+                jnp.exp(loss_params["logit_scale"]),
+                logit_bias=loss_params.get("logit_bias"),
                 axis_name=None,
                 grad_through_gather=True,
                 chunk_size=chunk_size,
             )
 
-        loss, grads = two_pass_accum_grads(params, imgs, txts, micro_feats, feat_loss)
+        loss, grads = two_pass_accum_grads(
+            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=loss_param_keys
+        )
         return loss, grads, {}
 
     run = loss_and_grad_accum if accum_steps > 1 else loss_and_grad
@@ -221,6 +236,10 @@ def make_fsdp_train_step(
             from clip_mixer_tpu.models.resnet import apply_bn_updates
 
             params["visual"] = apply_bn_updates(params["visual"], bn_stats)
+        if tcfg.ema_decay:
+            from clip_mixer_tpu.parallel.train_step import update_ema
+
+            opt_state = update_ema(opt_state, params, tcfg.ema_decay)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.losses import info_nce
+from clip_mixer_tpu.ops.losses import contrastive_loss
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS
 from clip_mixer_tpu.parallel.tp import f_psum, g_psum
@@ -198,14 +198,19 @@ def make_pp_train_step(
     loss_cfg = cfg.replace(pipeline_axis=STAGE_AXIS, pipeline_stages=n_stages,
                            pipeline_microbatches=n_micro)
     dtype = jnp.dtype(cfg.compute_dtype)
+    loss_param_keys = (
+        ("logit_scale", "logit_bias") if tcfg.loss == "siglip" else ("logit_scale",)
+    )
 
     def local_loss(params, images_u8, texts):
         images = normalize_images(images_u8, dtype=dtype)
         img, txt, scale, _bn = clip_model.forward_train(
             params, loss_cfg, images, texts, axis_name=DATA_AXIS
         )
-        loss = info_nce(
+        loss = contrastive_loss(
+            tcfg.loss,
             img, txt, scale,
+            logit_bias=params.get("logit_bias"),
             axis_name=DATA_AXIS,
             grad_through_gather=grad_through_gather,
             chunk_size=chunk_size,
@@ -234,17 +239,21 @@ def make_pp_train_step(
             img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
             return img, txt
 
-        def feat_loss(fi, ft, logit_scale):
-            return info_nce(
+        def feat_loss(fi, ft, loss_params):
+            return contrastive_loss(
+                tcfg.loss,
                 fi.reshape(local_b, -1),
                 ft.reshape(local_b, -1),
-                jnp.exp(logit_scale),
+                jnp.exp(loss_params["logit_scale"]),
+                logit_bias=loss_params.get("logit_bias"),
                 axis_name=DATA_AXIS,
                 grad_through_gather=grad_through_gather,
                 chunk_size=chunk_size,
             )
 
-        loss, grads = two_pass_accum_grads(params, imgs, txts, micro_feats, feat_loss)
+        loss, grads = two_pass_accum_grads(
+            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=loss_param_keys
+        )
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
 
     if accum_steps > 1:
@@ -264,6 +273,10 @@ def make_pp_train_step(
         params = optax.apply_updates(state.params, updates)
         params = dict(params)
         params["logit_scale"] = jnp.minimum(params["logit_scale"], tcfg.logit_scale_max)
+        if tcfg.ema_decay:
+            from clip_mixer_tpu.parallel.train_step import update_ema
+
+            opt_state = update_ema(opt_state, params, tcfg.ema_decay)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.losses import info_nce
+from clip_mixer_tpu.ops.losses import contrastive_loss
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -40,28 +40,88 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def two_pass_accum_grads(params, stacked_imgs, stacked_txts, micro_feats, feat_loss):
+class EmaState(NamedTuple):
+    """Exponential moving average of the POST-step parameters, carried as the
+    last element of the optax chain state (train/optimizer.py appends the
+    passthrough slot when TrainConfig.ema_decay is set). Living inside
+    opt_state means checkpointing, FSDP/PP sharding rules and resume
+    templates all pick it up through the generic tree walks — the EMA leaves
+    mirror the param paths, so they store sharded exactly like their params.
+
+    The slot's optax update is a passthrough; the REAL update happens in the
+    train steps after every param fixup (logit_scale clamp, ResNet BN
+    running-stat merge), so the average tracks exactly what a checkpoint of
+    the raw params would contain. No reference counterpart (torch-world EMA
+    would be a separate module copy); standard practice for CLIP/SigLIP
+    production training — the serving/eval weights are the average."""
+
+    ema: Any
+
+
+def ema_slot() -> optax.GradientTransformation:
+    """Passthrough transform whose state holds the EMA tree (init = a copy of
+    the initial params, so a constant decay needs no zero-init bias
+    correction). Append LAST in the chain: the steps update it in place.
+    The init COPY is load-bearing: jnp.asarray would alias the live param
+    buffers and the donated train step would see the same buffer twice."""
+    return optax.GradientTransformation(
+        lambda params: EmaState(ema=jax.tree.map(lambda p: jnp.array(p, copy=True), params)),
+        lambda updates, state, params=None: (updates, state),
+    )
+
+
+def update_ema(opt_state, params, decay: float):
+    """The ONE EMA update shared by the DP/TP, FSDP and PP steps: fold the
+    post-fixup params into the EmaState at the end of the chain tuple."""
+    slot = opt_state[-1]
+    assert isinstance(slot, EmaState), (
+        "ema_decay set but the optimizer chain has no ema_slot() — build the "
+        "optimizer with the same TrainConfig as the step"
+    )
+    new_ema = jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype), slot.ema, params
+    )
+    return opt_state[:-1] + (EmaState(new_ema),)
+
+
+def ema_params(state: TrainState):
+    """Extract the EMA param tree from a TrainState, or None when EMA is off
+    (the Trainer validates/exports with these when present)."""
+    if isinstance(state.opt_state, tuple):
+        for s in state.opt_state:
+            if isinstance(s, EmaState):
+                return s.ema
+    return None
+
+
+def two_pass_accum_grads(
+    params, stacked_imgs, stacked_txts, micro_feats, feat_loss,
+    loss_param_keys=("logit_scale",),
+):
     """The shared core of exact (GradCache-style) gradient accumulation,
     used by the DP (below), FSDP and PP steps — ONE implementation so the
     scheme cannot drift between them.
 
     stacked_imgs/txts: ``[A, mb, ...]`` accumulation chunks.
     micro_feats(params, im, tx) -> (img_feats, txt_feats) for one chunk.
-    feat_loss(f_img, f_txt, logit_scale) -> scalar loss over the step's
-    whole batch (caller closes over its info_nce axis/flags).
+    feat_loss(f_img, f_txt, loss_params) -> scalar loss over the step's
+    whole batch, where ``loss_params`` is the dict of the top-level scalar
+    params named by ``loss_param_keys`` (logit_scale; + logit_bias for the
+    siglip loss). The caller closes over its loss kind / axis / flags.
 
     Pass 1 runs each chunk forward undifferentiated keeping only features;
     the loss + feature cotangents are computed once; pass 2 replays each
     chunk under jax.vjp with its cotangent slice (lax.scan keeps one
     chunk's activations live). micro_feats discards the scale output, so
-    the logit_scale gradient arrives solely through the loss's direct
-    cotangent and is added back here."""
+    the loss-param gradients arrive solely through the loss's direct
+    cotangents and are added back here."""
     f_img, f_txt = jax.lax.map(
         lambda a: micro_feats(params, a[0], a[1]), (stacked_imgs, stacked_txts)
     )  # [A, mb, D] each
 
-    loss, (ct_img, ct_txt, g_scale) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
-        f_img, f_txt, params["logit_scale"]
+    loss_params = {k: params[k] for k in loss_param_keys}
+    loss, (ct_img, ct_txt, g_loss) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
+        f_img, f_txt, loss_params
     )
 
     def body(acc, xs):
@@ -73,7 +133,8 @@ def two_pass_accum_grads(params, stacked_imgs, stacked_txts, micro_feats, feat_l
     zero = jax.tree.map(jnp.zeros_like, params)
     grads, _ = jax.lax.scan(body, zero, (stacked_imgs, stacked_txts, ct_img, ct_txt))
     grads = dict(grads)
-    grads["logit_scale"] = grads["logit_scale"] + g_scale
+    for k, g in g_loss.items():
+        grads[k] = grads[k] + g
     return loss, grads
 
 
@@ -122,6 +183,9 @@ def make_train_step(
             "grad accumulation with BN batch stats (ResNet tower) is not supported: "
             "per-microbatch moments are not the full-batch moments"
         )
+    loss_param_keys = (
+        ("logit_scale", "logit_bias") if tcfg.loss == "siglip" else ("logit_scale",)
+    )
 
     # Tensor parallelism: with a >1 "model" axis, MLP hidden dims are
     # hidden-sharded and attention is head-sharded over it (parallel/tp.py);
@@ -140,10 +204,12 @@ def make_train_step(
         img, txt, scale, bn_stats = clip_model.forward_train(
             params, loss_cfg, images, texts, axis_name=DATA_AXIS
         )
-        loss = info_nce(
+        loss = contrastive_loss(
+            tcfg.loss,
             img,
             txt,
             scale,
+            logit_bias=params.get("logit_bias"),
             axis_name=DATA_AXIS,
             grad_through_gather=grad_through_gather,
             chunk_size=chunk_size,
@@ -172,17 +238,21 @@ def make_train_step(
             img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
             return img, txt
 
-        def feat_loss(fi, ft, logit_scale):
-            return info_nce(
+        def feat_loss(fi, ft, loss_params):
+            return contrastive_loss(
+                tcfg.loss,
                 fi.reshape(local_b, -1),
                 ft.reshape(local_b, -1),
-                jnp.exp(logit_scale),
+                jnp.exp(loss_params["logit_scale"]),
+                logit_bias=loss_params.get("logit_bias"),
                 axis_name=DATA_AXIS,
                 grad_through_gather=grad_through_gather,
                 chunk_size=chunk_size,
             )
 
-        loss, grads = two_pass_accum_grads(params, imgs, txts, micro_feats, feat_loss)
+        loss, grads = two_pass_accum_grads(
+            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=loss_param_keys
+        )
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), {}
 
     if accum_steps > 1:
@@ -228,6 +298,8 @@ def make_train_step(
             from clip_mixer_tpu.models.resnet import apply_bn_updates
 
             params["visual"] = apply_bn_updates(params["visual"], bn_stats)
+        if tcfg.ema_decay:
+            opt_state = update_ema(opt_state, params, tcfg.ema_decay)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,

@@ -40,7 +40,7 @@ def make_optimizer(tcfg: TrainConfig, total_steps: int) -> optax.GradientTransfo
         tcfg.warmup_steps,
         total_steps,
     )
-    return optax.chain(
+    parts = [
         optax.clip_by_global_norm(tcfg.grad_clip_norm),
         optax.adamw(
             learning_rate=schedule,
@@ -50,4 +50,11 @@ def make_optimizer(tcfg: TrainConfig, total_steps: int) -> optax.GradientTransfo
             weight_decay=tcfg.weight_decay,
             mask=decay_mask,
         ),
-    )
+    ]
+    if tcfg.ema_decay:
+        # Passthrough slot holding the param EMA — must be LAST: the train
+        # steps update it after their param fixups (train_step.update_ema).
+        from clip_mixer_tpu.parallel.train_step import ema_slot
+
+        parts.append(ema_slot())
+    return optax.chain(*parts)

@@ -448,12 +448,22 @@ class Trainer:
         return path
 
     def _host_params(self):
-        """Fetch live params to host memory. Under FSDP/PP the state is
-        sharded across devices (possibly across hosts, where device_get on
-        non-addressable shards raises) — an identity jit with replicated
-        out_shardings all-gathers on device first, making every shard
-        host-addressable."""
+        """Fetch the EVAL params to host memory: the EMA average when
+        tcfg.ema_decay is set (that is what the average exists for —
+        validation and the serving export both see it; the raw params keep
+        training and stay in the checkpoints), else the live params. Under
+        FSDP/PP the state is sharded across devices (possibly across hosts,
+        where device_get on non-addressable shards raises) — an identity jit
+        with replicated out_shardings all-gathers on device first, making
+        every shard host-addressable (the EMA tree mirrors the param
+        structure and shardings, so the same path covers it)."""
         params = self.state.params
+        if self.tcfg.ema_decay:
+            from clip_mixer_tpu.parallel.train_step import ema_params
+
+            ema = ema_params(self.state)
+            if ema is not None:
+                params = ema
         if self._use_pp or self.tcfg.fsdp:
             if not hasattr(self, "_replicate_fn"):
                 from jax.sharding import NamedSharding, PartitionSpec

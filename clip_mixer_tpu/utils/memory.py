@@ -207,12 +207,15 @@ def plan(
     accum_steps: int = 1,
     n_model: int = 1,
     shapes=None,
+    ema: bool = False,
 ) -> MemoryPlan:
     """Per-chip memory plan. mode: dp | fsdp | tp | pp (tp/pp divisor = the
     model/stage axis size = n_devices for a pure mesh). ``n_model > 1`` with
     mode="fsdp" plans the FSDP x TP composition on a
     (n_devices/n_model) x n_model grid. ``shapes``: pre-computed
-    param_shapes(cfg), for callers pricing many plans of one config."""
+    param_shapes(cfg), for callers pricing many plans of one config.
+    ``ema``: TrainConfig.ema_decay is set — the averaged param copy lives in
+    opt_state and shards exactly like the params, one extra params-size."""
     if shapes is None:
         shapes = param_shapes(cfg)
     full = _full_bytes(shapes)
@@ -246,6 +249,8 @@ def plan(
     else:
         raise ValueError(mode)
 
+    if ema:
+        opt_bytes += p_bytes  # EMA tree mirrors the params' storage sharding
     act = _activation_bytes(cfg, per_chip_batch, accum_steps, n_stages)
     total = p_bytes + opt_bytes + grad_bytes + act
     label = f"{mode}x{n_devices}"

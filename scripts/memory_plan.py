@@ -33,6 +33,9 @@ def main():
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--remat-policy", default="none", choices=["none", "mlp_hidden", "all_hidden"],
                    help="include the saved hidden pre-activations in the working set")
+    p.add_argument("--ema", action="store_true",
+                   help="price a param-EMA copy (TrainConfig.ema_decay): one extra "
+                        "params-size in opt_state, sharded like the params")
     p.add_argument("--suggest", action="store_true",
                    help="pick the cheapest parallelism plan that fits --hbm-gib "
                         "(preference order: dp, fsdp, fsdp+accum, fsdp x tp2, pp2)")
@@ -70,7 +73,7 @@ def main():
           f"remat_policy {args.remat_policy}")
     for mode, kw in (("dp", {}), ("fsdp", {}), ("fsdp", {"n_model": 2}), ("tp", {}), ("pp", {})):
         try:
-            print(plan(cfg, mode, args.devices, args.batch, accum_steps=args.accum, **kw).row())
+            print(plan(cfg, mode, args.devices, args.batch, accum_steps=args.accum, ema=args.ema, **kw).row())
         except ValueError as e:  # pp/tp divisibility / resnet
             label = mode if not kw else f"{mode} x tp{kw['n_model']}"
             print(f"{label}: n/a ({e})")

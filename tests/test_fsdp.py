@@ -292,3 +292,82 @@ def test_fsdp_transformer_tower_learns():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
     assert np.isfinite(losses).all()
+
+
+def test_fsdp_siglip_matches_dp():
+    """The sigmoid objective under FSDP (GSPMD, axis_name=None pairwise loss)
+    == the shard_map DP siglip step (ppermute ring) — two entirely different
+    collective structures, one objective."""
+    scfg = CFG.replace(logit_bias_init=-10.0, logit_scale_init=float(np.log(10.0)))
+    stcfg = TrainConfig(global_batch_size=16, learning_rate=1e-3, warmup_steps=2, loss="siglip")
+    batch = _batch(seed=19)
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+
+    opt = make_optimizer(stcfg, total_steps=10)
+    params = clip_model.init(jax.random.key(29), scfg)
+    state_dp = replicate(mesh, init_train_state(params, opt))
+    step_dp = make_train_step(scfg, stcfg, mesh, opt, grad_through_gather=True)
+
+    opt2 = make_optimizer(stcfg, total_steps=10)
+    params2 = clip_model.init(jax.random.key(29), scfg)
+    state_f = shard_state(mesh, init_train_state(params2, opt2))
+    step_f = make_fsdp_train_step(scfg, stcfg, mesh, opt2, state_f, accum_steps=2)
+
+    b = shard_batch(mesh, batch)
+    for _ in range(2):
+        state_dp, m_dp = step_dp(state_dp, b)
+        state_f, m_f = step_f(state_f, b)
+
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_dp["loss"]), rtol=2e-5)
+    for a, b_ in zip(jax.tree.leaves(state_f.params), jax.tree.leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+    assert float(jax.device_get(state_f.params["logit_bias"])) != -10.0
+
+
+def test_fsdp_ema_stored_sharded_and_trainer_exports_it(tmp_path):
+    """EMA under FSDP: the averaged copy lives in opt_state and stores
+    SHARDED like its params (one extra params-size per the memory planner's
+    pricing, not a replicated copy), survives Trainer save/resume, and the
+    completion export writes the AVERAGE, not the raw params."""
+    from clip_mixer_tpu.data.pipeline import SyntheticSource
+    from clip_mixer_tpu.parallel.train_step import ema_params
+    from clip_mixer_tpu.train.trainer import Trainer
+
+    cfg = CFG.replace(vocab_size=49408, context_length=16)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    data = SyntheticSource(batch_size=8, image_size=32, n_batches=4, n_classes=4, context_length=16)
+    tcfg = TrainConfig(
+        global_batch_size=8, epochs=1, learning_rate=1e-3, warmup_steps=2,
+        checkpoint_every_steps=3, fsdp=True, ema_decay=0.5,
+    )
+    run = str(tmp_path / "fsdp_ema")
+    tr = Trainer(cfg, tcfg, data, run, mesh=mesh)
+    ema0 = ema_params(tr.state)
+    w = ema0["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]
+    assert w.sharding.spec == jax.sharding.PartitionSpec(None, None, DATA_AXIS)
+    tr.train()
+
+    ema = jax.tree.map(np.asarray, jax.device_get(jax.jit(
+        lambda x: x, out_shardings=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )(ema_params(tr.state))))
+    raw_w = np.asarray(jax.device_get(
+        jax.jit(lambda x: x, out_shardings=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))(
+            tr.state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"])))
+    assert not np.allclose(ema["visual"]["tower"]["blocks"]["channel_mix"]["w_in"], raw_w)
+
+    # resume restores the EMA bitwise (it rides the generic opt_state tree)
+    tr2 = Trainer(cfg, tcfg, data, run, mesh=mesh)
+    ema_b = jax.tree.map(np.asarray, jax.device_get(jax.jit(
+        lambda x: x, out_shardings=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )(ema_params(tr2.state))))
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(ema_b)):
+        np.testing.assert_array_equal(a, b)
+
+    # the export bridge wrote the averaged weights
+    from clip_mixer_tpu.api import load_pretrained
+
+    exported, _cfg = load_pretrained(f"{run}/export")
+    np.testing.assert_allclose(
+        np.asarray(exported["visual"]["tower"]["blocks"]["channel_mix"]["w_in"]),
+        ema["visual"]["tower"]["blocks"]["channel_mix"]["w_in"], atol=1e-7,
+    )

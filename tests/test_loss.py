@@ -133,3 +133,111 @@ def test_perfect_alignment_low_loss():
     f = jnp.asarray(f)
     loss = info_nce(f, f, jnp.asarray(100.0))
     assert float(loss) < 0.05
+
+
+# ---------------- SigLIP (pairwise sigmoid) loss gates ----------------
+
+from clip_mixer_tpu.ops.losses import contrastive_loss, siglip_loss  # noqa: E402
+
+
+def _siglip_oracle(img, txt, scale, bias):
+    """Naive global pairwise sigmoid loss (arXiv:2303.15343 eq. 1), written
+    independently of the implementation: -log sigmoid(x) == logaddexp(0, -x)."""
+    logits = scale * img @ txt.T + bias
+    z = 2.0 * jnp.eye(img.shape[0]) - 1.0
+    return jnp.logaddexp(0.0, -z * logits).sum() / img.shape[0]
+
+
+def test_siglip_matches_naive_oracle():
+    img, txt = _feats(6)
+    scale, bias = jnp.asarray(10.0), jnp.asarray(-10.0)
+    ours = siglip_loss(img, txt, scale, bias)
+    ref = _siglip_oracle(img, txt, scale, bias)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-6)
+
+
+def test_siglip_alignment_is_preferred():
+    """Correctly-paired features score lower than a shuffled pairing."""
+    img, txt = _feats(7)
+    scale, bias = jnp.asarray(10.0), jnp.asarray(-10.0)
+    aligned = float(siglip_loss(img, 0.5 * img + 0.5 * txt, scale, bias))
+    shuffled = float(siglip_loss(img, jnp.roll(0.5 * img + 0.5 * txt, 3, axis=0), scale, bias))
+    assert aligned < shuffled
+
+
+def _sharded_siglip_loss_and_grad(img, txt, scale, bias):
+    mesh = make_mesh()
+
+    def fn(img_s, txt_s):
+        loss, grads = jax.value_and_grad(
+            lambda a, b: siglip_loss(a, b, scale, bias, axis_name="data"),
+            argnums=(0, 1),
+        )(img_s, txt_s)
+        # Same normalisation story as _sharded_loss_and_grad above: the 1/n
+        # lands in the train step's pmean over param grads.
+        n = jax.lax.axis_size("data")
+        grads = jax.tree.map(lambda g: g / n, grads)
+        return jax.lax.pmean(loss, "data"), grads
+
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P(), P("data")),
+            check_vma=False,
+        )
+    )(img, txt)
+
+
+def test_siglip_ring_matches_global():
+    """The 8-rank ppermute ring (paper §3.3 chunking) computes the global
+    loss AND the exact global gradient: the ring's transpose routes each
+    text chunk's cotangents back to its owner."""
+    img, txt = _feats(8)
+    scale, bias = jnp.asarray(10.0), jnp.asarray(-10.0)
+    loss, (gi, gt) = _sharded_siglip_loss_and_grad(img, txt, scale, bias)
+    ref = _siglip_oracle(img, txt, scale, bias)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+    ogi, ogt = jax.grad(lambda a, b: _siglip_oracle(a, b, scale, bias), argnums=(0, 1))(img, txt)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ogi), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(ogt), atol=1e-6)
+
+
+def test_siglip_scale_and_bias_grads():
+    """Temperature/bias gradients through the ring match the global oracle
+    (they arrive only via the loss in the two-pass accumulation scheme)."""
+    img, txt = _feats(9)
+    mesh = make_mesh()
+
+    def global_fn(scale, bias):
+        return _siglip_oracle(img, txt, scale, bias)
+
+    def sharded_fn(scale, bias):
+        def fn(img_s, txt_s):
+            loss = siglip_loss(img_s, txt_s, scale, bias, axis_name="data")
+            return jax.lax.pmean(loss, "data")
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+            check_vma=False,
+        )(img, txt)
+
+    s, b = jnp.asarray(10.0), jnp.asarray(-10.0)
+    gs_ref, gb_ref = jax.grad(global_fn, argnums=(0, 1))(s, b)
+    gs, gb = jax.jit(jax.grad(sharded_fn, argnums=(0, 1)))(s, b)
+    np.testing.assert_allclose(float(gs), float(gs_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(gb), float(gb_ref), rtol=1e-5)
+
+
+def test_contrastive_loss_dispatch():
+    img, txt = _feats(10)
+    scale = jnp.asarray(25.0)
+    np.testing.assert_allclose(
+        float(contrastive_loss("info_nce", img, txt, scale)),
+        float(info_nce(img, txt, scale)),
+    )
+    with pytest.raises(ValueError, match="logit_bias"):
+        contrastive_loss("siglip", img, txt, scale)  # bias param missing
+    with pytest.raises(ValueError, match="unknown"):
+        contrastive_loss("nope", img, txt, scale)

@@ -271,3 +271,27 @@ def test_pp_rejects_resnet_and_indivisible_depth():
         make_pp_train_step(rn, TCFG, mesh, opt, n_micro=2)
     with pytest.raises(AssertionError):
         make_pp_train_step(CFG.replace(vision_layers=3), TCFG, mesh, opt, n_micro=2)
+
+
+def test_pp_siglip_matches_dp():
+    """The sigmoid objective through the pipeline: (data=2, stage=2) PP ==
+    2-device DP — the ppermute ring over the data axis runs identically in
+    every stage column, and the logit_bias grad stays stage-consistent."""
+    scfg = CFG.replace(logit_bias_init=-10.0, logit_scale_init=float(np.log(10.0)))
+    stcfg = TrainConfig(global_batch_size=16, learning_rate=1e-3, warmup_steps=2, loss="siglip")
+    batch = _batch(seed=23)
+
+    mesh_dp = make_mesh(n_data=2, devices=jax.devices()[:2])
+    opt = make_optimizer(stcfg, total_steps=10)
+    state = replicate(mesh_dp, init_train_state(clip_model.init(jax.random.key(31), scfg), opt))
+    p_dp, m_dp = _run_steps(make_train_step(scfg, stcfg, mesh_dp, opt), state, batch, mesh_dp, n=2)
+
+    mesh_pp = make_pp_mesh(n_data=2, n_stage=2, devices=jax.devices()[:4])
+    opt2 = make_optimizer(stcfg, total_steps=10)
+    state2 = place_pp_state(mesh_pp, init_train_state(clip_model.init(jax.random.key(31), scfg), opt2))
+    p_pp, m_pp = _run_steps(make_pp_train_step(scfg, stcfg, mesh_pp, opt2, n_micro=2), state2, batch, mesh_pp, n=2)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_dp["loss"]), rtol=2e-5)
+    for a, b_ in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+    assert float(p_pp["logit_bias"]) != -10.0

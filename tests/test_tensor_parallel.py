@@ -131,3 +131,31 @@ def test_tp_remat_policy_matches_plain_tp(tower):
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
     for a, b_ in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_tp_siglip_matches_dp():
+    """Sigmoid objective under tensor parallelism: (data=2, model=2) == pure
+    DP(4) — the ring runs over the data axis within each model column, and
+    the scalar logit_bias rides the replicated spec through the head-major
+    reorder untouched."""
+    cfg = CFG.replace(logit_bias_init=-10.0, logit_scale_init=float(np.log(10.0)))
+    stcfg = TrainConfig(global_batch_size=16, learning_rate=1e-3, warmup_steps=2, loss="siglip")
+    batch = _batch()
+    results = []
+    for n_data, n_model in ((4, 1), (2, 2)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model, devices=jax.devices()[: n_data * n_model])
+        opt = make_optimizer(stcfg, total_steps=5)
+        params = clip_model.init(jax.random.key(37), cfg)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(cfg, stcfg, mesh, opt)
+        b = shard_batch(mesh, batch)
+        m = None
+        for _ in range(2):
+            state, m = step(state, b)
+        results.append((float(m["loss"]), jax.tree.map(np.asarray, jax.device_get(state.params))))
+
+    (loss_dp, params_dp), (loss_tp, params_tp) = results
+    np.testing.assert_allclose(loss_dp, loss_tp, rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(params_dp), jax.tree.leaves(params_tp)):
+        np.testing.assert_allclose(a, b_, atol=5e-4)
+    assert float(params_tp["logit_bias"]) != -10.0

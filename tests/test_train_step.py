@@ -260,3 +260,128 @@ def test_resnet_bn_stats_match_torch_semantics():
     want_var = 0.9 * np.asarray(params["visual"]["bn1"]["var"]) + 0.1 * (var * n / (n - 1))
     np.testing.assert_allclose(np.asarray(updated["bn1"]["mean"]), want_mean, atol=1e-5)
     np.testing.assert_allclose(np.asarray(updated["bn1"]["var"]), want_var, atol=1e-5)
+
+
+# ---------------- SigLIP objective through the train steps ----------------
+
+SIGLIP_CFG = CFG.replace(logit_bias_init=-10.0, logit_scale_init=float(np.log(10.0)))
+SIGLIP_TCFG = TrainConfig(
+    global_batch_size=16, learning_rate=1e-3, warmup_steps=2, loss="siglip"
+)
+
+
+def test_siglip_step_dp_invariance():
+    """--loss siglip: 4-way sharded (ppermute ring) step == 1-device step,
+    and the learnable logit_bias exists and moves."""
+    batch = _batch(seed=13)
+    results = []
+    for mesh in (make_mesh(n_data=4, devices=jax.devices()[:4]),
+                 make_mesh(n_data=1, devices=jax.devices()[:1])):
+        opt = make_optimizer(SIGLIP_TCFG, total_steps=10)
+        params = clip_model.init(jax.random.key(21), SIGLIP_CFG)
+        assert "logit_bias" in params
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(SIGLIP_CFG, SIGLIP_TCFG, mesh, opt)
+        b = shard_batch(mesh, batch)
+        metrics = None
+        for _ in range(3):
+            state, metrics = step(state, b)
+        results.append((jax.device_get(state.params), jax.device_get(metrics)))
+
+    (p4, m4), (p1, m1) = results
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(float(m4["grad_norm"]), float(m1["grad_norm"]), rtol=2e-4)
+    for a, b_ in zip(jax.tree.leaves(p4), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+    assert float(p1["logit_bias"]) != -10.0  # the bias trains
+
+
+def test_siglip_accum_matches_full_batch():
+    """Two-pass accumulation with the sigmoid objective: accum 4 == accum 1
+    (incl. the logit_bias gradient, which arrives only via the loss
+    cotangents in the two-pass scheme)."""
+    batch = _batch(seed=17)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    results = []
+    for accum in (1, 4):
+        opt = make_optimizer(SIGLIP_TCFG, total_steps=10)
+        params = clip_model.init(jax.random.key(23), SIGLIP_CFG)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(SIGLIP_CFG, SIGLIP_TCFG, mesh, opt, accum_steps=accum)
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+
+    (p1, m1), (p4, m4) = results
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m4["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(p4), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+    assert float(p4["logit_bias"]) != -10.0
+
+
+def test_siglip_overfits():
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    opt = make_optimizer(SIGLIP_TCFG, total_steps=60)
+    params = clip_model.init(jax.random.key(0), SIGLIP_CFG)
+    state = replicate(mesh, init_train_state(params, opt))
+    step = make_train_step(SIGLIP_CFG, SIGLIP_TCFG, mesh, opt)
+    batch = shard_batch(mesh, _batch())
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
+
+
+def test_siglip_without_bias_param_errors():
+    """loss='siglip' on a model initialised without logit_bias_init fails
+    loudly at the first step, not silently."""
+    import pytest
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(SIGLIP_TCFG, total_steps=10)
+    params = clip_model.init(jax.random.key(0), CFG)  # no logit_bias
+    state = replicate(mesh, init_train_state(params, opt))
+    step = make_train_step(CFG, SIGLIP_TCFG, mesh, opt)
+    with pytest.raises(ValueError, match="logit_bias"):
+        step(state, shard_batch(mesh, _batch()))
+
+
+# ---------------- Parameter EMA (opt_state slot) ----------------
+
+from clip_mixer_tpu.parallel.train_step import ema_params  # noqa: E402
+
+
+def test_ema_matches_manual_recurrence():
+    """The EMA slot tracks exactly decay*ema + (1-decay)*post_fixup_params,
+    starting from a copy of the init params."""
+    tcfg = TrainConfig(
+        global_batch_size=16, learning_rate=1e-3, warmup_steps=2, ema_decay=0.5
+    )
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(tcfg, total_steps=10)
+    params = clip_model.init(jax.random.key(41), CFG)
+    expected_ema = jax.tree.map(np.asarray, params)
+    state = replicate(mesh, init_train_state(params, opt))
+    step = make_train_step(CFG, tcfg, mesh, opt)
+    batch = shard_batch(mesh, _batch(seed=41))
+    for _ in range(3):
+        state, _ = step(state, batch)
+        p = jax.tree.map(np.asarray, jax.device_get(state.params))
+        expected_ema = jax.tree.map(lambda e, q: 0.5 * e + 0.5 * q, expected_ema, p)
+
+    got = jax.tree.map(np.asarray, jax.device_get(ema_params(state)))
+    for a, b_ in zip(jax.tree.leaves(got), jax.tree.leaves(expected_ema)):
+        np.testing.assert_allclose(a, b_, atol=1e-6)
+    # and the EMA genuinely lags the live params
+    assert not np.allclose(
+        got["visual"]["tower"]["blocks"]["channel_mix"]["w_in"],
+        np.asarray(jax.device_get(state.params["visual"]["tower"]["blocks"]["channel_mix"]["w_in"])),
+    )
+
+
+def test_ema_off_means_no_slot():
+    opt = make_optimizer(TCFG, total_steps=10)
+    state = init_train_state(clip_model.init(jax.random.key(0), CFG), opt)
+    assert ema_params(state) is None

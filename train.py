@@ -76,6 +76,15 @@ def parse_args():
     p.add_argument("--freeze-serving", action="store_true",
                    help="also record frozen serving programs (jax.export, "
                         "clip_mixer_tpu.aot) into the completion export")
+    p.add_argument("--loss", default="info_nce", choices=["info_nce", "siglip"],
+                   help="contrastive objective: info_nce (the reference's softmax "
+                        "loss) or siglip (pairwise sigmoid, ops/losses.siglip_loss "
+                        "— adds a learnable logit_bias param, init -10, and sets "
+                        "logit_scale init to log(10) per arXiv:2303.15343)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="per-step EMA decay for an averaged copy of the params "
+                        "(e.g. 0.9999); validation + the completion export use "
+                        "the average, checkpoints carry it, raw params train on")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -143,6 +152,10 @@ def main():
     )
 
     cfg = PRESETS[args.preset].replace(remat=not args.no_remat, remat_policy=args.remat_policy)
+    if args.loss == "siglip":
+        # SigLIP init (arXiv:2303.15343 §4): t' = log(10), b = -10 — the
+        # sigmoid loss starts near the B-1-negatives-per-positive prior.
+        cfg = cfg.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
     tcfg = TrainConfig(
         global_batch_size=args.global_batch_size,
         epochs=args.epochs,
@@ -155,6 +168,8 @@ def main():
         pipeline_microbatches=args.pipeline_microbatches,
         freeze_serving=args.freeze_serving,
         crash_after_steps=args.crash_after_steps,
+        loss=args.loss,
+        ema_decay=args.ema_decay,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
