@@ -315,3 +315,14 @@ class TrainConfig:
     # clip.py:85-86 / training.py:115,149)
     image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
     image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+
+    def __post_init__(self):
+        if self.loss not in ("info_nce", "siglip"):
+            raise ValueError(f"loss must be 'info_nce' or 'siglip' (got {self.loss!r})")
+        if self.ema_decay is not None and not (0.0 < self.ema_decay < 1.0):
+            # decay=1.0 would freeze the EMA at the random init forever and
+            # validation/export would silently ship untrained weights.
+            raise ValueError(
+                f"ema_decay must be in (0, 1) (got {self.ema_decay}); "
+                "typical values 0.999-0.9999"
+            )

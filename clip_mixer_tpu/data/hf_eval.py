@@ -33,8 +33,19 @@ def _hub_reachable(timeout: float = 5.0) -> bool:
     slow resolver counts as unreachable rather than hanging the trainer)."""
     global _HUB_REACHABLE
     if _HUB_REACHABLE is None:
+        import os
         import socket
         import threading
+
+        if any(
+            os.environ.get(k)
+            for k in ("HTTPS_PROXY", "https_proxy", "HTTP_PROXY", "http_proxy",
+                      "ALL_PROXY", "all_proxy")
+        ):
+            # Proxied hosts resolve hub names AT the proxy — a local
+            # getaddrinfo failure says nothing. Let the hub client try.
+            _HUB_REACHABLE = True
+            return True
 
         result = []
 
@@ -59,13 +70,18 @@ def _load(name: str, split: str):
     # (DNS probe): without this, the HF hub client retries 5x with backoff
     # (~30s) per dataset before failing. Offline mode still serves the local
     # arrow cache, so a previously-downloaded dataset keeps working.
-    if (
+    explicit = (
         os.environ.get("CLIP_MIXER_OFFLINE") == "1"
         or os.environ.get("HF_HUB_OFFLINE") == "1"
-        or not _hub_reachable()
-    ):
-        os.environ["HF_HUB_OFFLINE"] = "1"
-        os.environ["HF_DATASETS_OFFLINE"] = "1"
+    )
+    if explicit or not _hub_reachable():
+        if explicit:
+            # Only an explicit opt-in propagates to child processes; the
+            # auto-detected case stays process-local (a transient resolver
+            # failure must not poison every later subprocess via inherited
+            # env).
+            os.environ["HF_HUB_OFFLINE"] = "1"
+            os.environ["HF_DATASETS_OFFLINE"] = "1"
         try:
             # The env vars are read at import time; if `datasets` is already
             # imported elsewhere in the process they are a no-op — flip the

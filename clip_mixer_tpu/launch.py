@@ -223,6 +223,9 @@ def supervise(
       interactive Ctrl-C reaches it exactly once — via the forward — rather
       than twice (kernel process-group delivery + forward), which would trip
       the Trainer's second-SIGINT hard-abort and skip the preemption save.
+      Tradeoff: a SIGKILLed supervisor (OOM killer) leaves the detached
+      child running — kill the child's process group or rely on the next
+      supervisor's startup if that matters operationally.
     * any other nonzero — restart after exponential backoff
       (``backoff * 2^k`` capped at ``backoff_cap``) while the budget holds.
 
@@ -234,24 +237,34 @@ def supervise(
     import signal
     import subprocess
     import threading
-    import time
 
-    if sleep is None:
-        sleep = time.sleep
     failures_without_progress = 0
     attempt = 0
-    state = {"proc": None, "sig": None}
+    stop_event = threading.Event()
+    # "handoff": the handler already forwarded the signal to the CURRENT
+    # child — the loop-side catch-up send must then stay quiet, or the child
+    # receives the stop twice (tripping the Trainer's second-SIGINT
+    # hard-abort). Signal handlers run on the main thread between the loop's
+    # own bytecodes, so plain flags are race-free here.
+    state = {"proc": None, "sig": None, "handoff": False}
 
     def _forward(signum, frame):
         state["sig"] = signum
+        stop_event.set()  # wake the backoff wait immediately (PEP 475 would
+        # otherwise resume a plain time.sleep for its remaining duration)
         p = state["proc"]
         if p is not None and p.poll() is None:
+            state["handoff"] = True
             p.send_signal(signum)
 
     prev_handlers = {}
-    if threading.current_thread() is threading.main_thread():
+    installed = threading.current_thread() is threading.main_thread()
+    if installed:
         for sig in (signal.SIGTERM, signal.SIGINT):
             prev_handlers[sig] = signal.signal(sig, _forward)
+    if sleep is None:
+        # Interruptible: returns early when _forward fires mid-backoff.
+        sleep = stop_event.wait
     try:
         while True:
             if state["sig"] is not None:
@@ -262,13 +275,18 @@ def supervise(
                 return 128 + int(state["sig"])
             start_step = latest_checkpoint_step(ckpt_dir)
             attempt += 1
-            # New session: the kernel must not deliver a terminal Ctrl-C to
-            # the child directly — _forward is the single delivery path.
-            proc = subprocess.Popen(cmd, start_new_session=True)
+            # New session (only when we own signal delivery): the kernel must
+            # not ALSO deliver a terminal Ctrl-C to the child directly —
+            # _forward is then the single delivery path. Without handlers
+            # (non-main-thread caller) the child stays in our process group
+            # so kernel group-delivery keeps working.
+            state["handoff"] = False
+            proc = subprocess.Popen(cmd, start_new_session=installed)
             state["proc"] = proc
-            if state["sig"] is not None and proc.poll() is None:
+            if state["sig"] is not None and not state["handoff"] and proc.poll() is None:
                 # Close the Popen->publish race: a signal that arrived before
-                # state["proc"] was visible found proc=None in _forward.
+                # state["proc"] was visible found proc=None in _forward (a
+                # later signal that DID find it set handoff — don't re-send).
                 proc.send_signal(state["sig"])
             rc = proc.wait()
             state["proc"] = None

@@ -197,6 +197,13 @@ def siglip_loss(
     return total / local_b
 
 
+def loss_param_keys(kind: str) -> tuple:
+    """Top-level scalar params the objective differentiates directly — the
+    keys of the two-pass accumulation's loss_params dict. ONE definition so
+    the DP/TP, FSDP and PP steps cannot drift when a loss kind changes."""
+    return ("logit_scale", "logit_bias") if kind == "siglip" else ("logit_scale",)
+
+
 def contrastive_loss(
     kind: str,
     image_features: jnp.ndarray,

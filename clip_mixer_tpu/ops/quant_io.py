@@ -45,6 +45,12 @@ _TRAIN_ONLY_FIELDS = frozenset(
         "pipeline_axis",
         "pipeline_stages",
         "pipeline_microbatches",
+        # Loss-init scalars: irrelevant to inference numerics (the trained
+        # values live in the params), and absent from artifacts saved before
+        # these config fields existed — hard-matching them would reject every
+        # previously shipped calibration/bank/release on upgrade.
+        "logit_scale_init",
+        "logit_bias_init",
     }
 )
 # Soft-checked: scales measured under one compute dtype remain valid under

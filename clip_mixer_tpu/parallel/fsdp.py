@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.losses import contrastive_loss
+from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losses_loss_param_keys
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from clip_mixer_tpu.parallel.train_step import TrainState, two_pass_accum_grads
@@ -158,9 +158,7 @@ def make_fsdp_train_step(
         )
     dtype = jnp.dtype(cfg.compute_dtype)
 
-    loss_param_keys = (
-        ("logit_scale", "logit_bias") if tcfg.loss == "siglip" else ("logit_scale",)
-    )
+    keys = losses_loss_param_keys(tcfg.loss)
 
     def local_loss(params, images_u8, texts):
         images = normalize_images(images_u8, dtype=dtype)
@@ -219,7 +217,7 @@ def make_fsdp_train_step(
             )
 
         loss, grads = two_pass_accum_grads(
-            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=loss_param_keys
+            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=keys
         )
         return loss, grads, {}
 

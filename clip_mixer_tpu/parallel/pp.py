@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.losses import contrastive_loss
+from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losses_loss_param_keys
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS
 from clip_mixer_tpu.parallel.tp import f_psum, g_psum
@@ -198,9 +198,7 @@ def make_pp_train_step(
     loss_cfg = cfg.replace(pipeline_axis=STAGE_AXIS, pipeline_stages=n_stages,
                            pipeline_microbatches=n_micro)
     dtype = jnp.dtype(cfg.compute_dtype)
-    loss_param_keys = (
-        ("logit_scale", "logit_bias") if tcfg.loss == "siglip" else ("logit_scale",)
-    )
+    keys = losses_loss_param_keys(tcfg.loss)
 
     def local_loss(params, images_u8, texts):
         images = normalize_images(images_u8, dtype=dtype)
@@ -252,7 +250,7 @@ def make_pp_train_step(
             )
 
         loss, grads = two_pass_accum_grads(
-            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=loss_param_keys
+            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=keys
         )
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
 

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
-from clip_mixer_tpu.ops.losses import contrastive_loss
+from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losses_loss_param_keys
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
@@ -119,7 +119,10 @@ def two_pass_accum_grads(
         lambda a: micro_feats(params, a[0], a[1]), (stacked_imgs, stacked_txts)
     )  # [A, mb, D] each
 
-    loss_params = {k: params[k] for k in loss_param_keys}
+    # Tolerate a missing key (e.g. siglip on a model without logit_bias):
+    # feat_loss's .get() then hands contrastive_loss a None, which raises
+    # the explanatory ValueError instead of a bare KeyError here.
+    loss_params = {k: params[k] for k in loss_param_keys if k in params}
     loss, (ct_img, ct_txt, g_loss) = jax.value_and_grad(feat_loss, argnums=(0, 1, 2))(
         f_img, f_txt, loss_params
     )
@@ -183,9 +186,7 @@ def make_train_step(
             "grad accumulation with BN batch stats (ResNet tower) is not supported: "
             "per-microbatch moments are not the full-batch moments"
         )
-    loss_param_keys = (
-        ("logit_scale", "logit_bias") if tcfg.loss == "siglip" else ("logit_scale",)
-    )
+    keys = losses_loss_param_keys(tcfg.loss)
 
     # Tensor parallelism: with a >1 "model" axis, MLP hidden dims are
     # hidden-sharded and attention is head-sharded over it (parallel/tp.py);
@@ -251,7 +252,7 @@ def make_train_step(
             )
 
         loss, grads = two_pass_accum_grads(
-            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=loss_param_keys
+            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=keys
         )
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS), {}
 

@@ -142,6 +142,7 @@ def suggest(
     global_batch: int,
     hbm_bytes: int = 16 << 30,
     headroom: float = 0.9,
+    ema: bool = False,
 ):
     """Pick the cheapest parallelism plan that fits per-chip HBM.
 
@@ -188,7 +189,7 @@ def suggest(
             tried.append((label, None, f"per-chip batch {per_chip} not divisible by accum {accum}"))
             continue
         try:
-            p = plan(cfg, per_chip_batch=per_chip, accum_steps=accum, shapes=shapes, **kw)
+            p = plan(cfg, per_chip_batch=per_chip, accum_steps=accum, shapes=shapes, ema=ema, **kw)
         except ValueError as e:
             tried.append((label, None, str(e)))
             continue

@@ -53,7 +53,8 @@ def main():
     if args.suggest:
         global_batch = args.global_batch or args.batch * args.devices
         best, tried = suggest(
-            cfg, args.devices, global_batch, hbm_bytes=int(args.hbm_gib * (1 << 30))
+            cfg, args.devices, global_batch, hbm_bytes=int(args.hbm_gib * (1 << 30)),
+            ema=args.ema,
         )
         print(f"{args.preset} @ {args.devices} devices, global batch {global_batch}, "
               f"{args.hbm_gib:g} GiB/chip (10% headroom), remat_policy {args.remat_policy}")

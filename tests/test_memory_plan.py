@@ -101,3 +101,18 @@ def test_suggest_none_when_nothing_fits_and_divisibility_reasons():
     _, tried = suggest(PRESETS["mixer-b32"], 8, global_batch=12)
     reasons = [fits for _, pl, fits in tried if pl is None]
     assert any("not divisible" in r for r in reasons)
+
+
+def test_suggest_prices_ema():
+    """--suggest with ema=True must include the extra params-size (a plan
+    the tool blesses without it can OOM once --ema-decay is enabled)."""
+    from clip_mixer_tpu.config import PRESETS
+    from clip_mixer_tpu.utils.memory import suggest
+
+    cfg = PRESETS["mixer-b32"]
+    _, tried = suggest(cfg, 8, 8192, hbm_bytes=16 << 30)
+    _, tried_e = suggest(cfg, 8, 8192, hbm_bytes=16 << 30, ema=True)
+    by_label = {lbl: p for lbl, p, _ in tried if p is not None}
+    for lbl, p, _ in tried_e:
+        if p is not None and lbl in by_label:
+            assert p.opt_bytes == by_label[lbl].opt_bytes + by_label[lbl].params_bytes

@@ -218,3 +218,18 @@ def test_flatten_fuzz_random_trees():
         tree = {"root": random_tree(3)}  # top level must be a dict
         back = quant_io._unflatten(list(quant_io._flatten(tree)))
         _tree_equal(tree, back)
+
+
+def test_pre_existing_artifacts_without_loss_init_fields_still_pass(tmp_path):
+    """Artifacts saved before logit_scale_init/logit_bias_init became config
+    FIELDS have no such keys — they must keep validating (the init scalars
+    are train-only; the trained values live in the params), or every shipped
+    calibration/bank/release dir breaks on upgrade."""
+    path = str(tmp_path / "scales.npz")
+    quant_io.save_calibration(path, CFG, image_scales={"patch": np.float32(0.01)})
+    art = quant_io.load_calibration(path)
+    legacy = {k: v for k, v in art["cfg"].items()
+              if k not in ("logit_scale_init", "logit_bias_init")}
+    quant_io.check_cfg(legacy, CFG)  # no raise
+    # and a siglip-trained model serves against a float-era artifact
+    quant_io.check_cfg(legacy, CFG.replace(logit_bias_init=-10.0))

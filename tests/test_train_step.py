@@ -385,3 +385,29 @@ def test_ema_off_means_no_slot():
     opt = make_optimizer(TCFG, total_steps=10)
     state = init_train_state(clip_model.init(jax.random.key(0), CFG), opt)
     assert ema_params(state) is None
+
+
+def test_train_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="ema_decay"):
+        TrainConfig(ema_decay=1.0)
+    with pytest.raises(ValueError, match="ema_decay"):
+        TrainConfig(ema_decay=-0.1)
+    with pytest.raises(ValueError, match="loss"):
+        TrainConfig(loss="nope")
+    TrainConfig(ema_decay=0.9999, loss="siglip")  # valid
+
+
+def test_siglip_accum_without_bias_param_raises_friendly_error():
+    """siglip + accumulation on a model without logit_bias: the explanatory
+    ValueError, not a bare KeyError from the loss-params dict build."""
+    import pytest
+
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    opt = make_optimizer(SIGLIP_TCFG, total_steps=10)
+    params = clip_model.init(jax.random.key(0), CFG)  # no logit_bias
+    state = replicate(mesh, init_train_state(params, opt))
+    step = make_train_step(CFG, SIGLIP_TCFG, mesh, opt, accum_steps=2)
+    with pytest.raises(ValueError, match="logit_bias"):
+        step(state, shard_batch(mesh, _batch()))

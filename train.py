@@ -156,7 +156,12 @@ def main():
         # SigLIP init (arXiv:2303.15343 §4): t' = log(10), b = -10 — the
         # sigmoid loss starts near the B-1-negatives-per-positive prior.
         cfg = cfg.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
+    # The reference's CLIP clamp at ln(100) would BIND under the sigmoid
+    # objective (SigLIP's released models converge near t~118, i.e. above
+    # e^4.61) — the paper applies no clamp, so give siglip runs headroom.
+    logit_scale_max = math.log(1000.0) if args.loss == "siglip" else TrainConfig.logit_scale_max
     tcfg = TrainConfig(
+        logit_scale_max=logit_scale_max,
         global_batch_size=args.global_batch_size,
         epochs=args.epochs,
         steps_per_epoch=args.steps_per_epoch,
