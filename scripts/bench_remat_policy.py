@@ -80,8 +80,9 @@ def main():
                 def micro_feats(pp, im_u8, tx):
                     img, txt, _s, _bn = clip_model.forward_train(pp, rcfg, pre(im_u8), tx)
                     return img, txt
-                def feat_loss(fi, ft, logit_scale):
-                    return info_nce(fi.reshape(b, -1), ft.reshape(b, -1), jnp.exp(logit_scale))
+                def feat_loss(fi, ft, loss_params):
+                    return info_nce(fi.reshape(b, -1), ft.reshape(b, -1),
+                                    jnp.exp(loss_params["logit_scale"]))
                 si = imgs_u8.reshape(args.accum, mb, *imgs_u8.shape[1:])
                 st = tk.reshape(args.accum, mb, *tk.shape[1:])
                 return two_pass_accum_grads(p, si, st, micro_feats, feat_loss)
