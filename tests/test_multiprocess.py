@@ -377,3 +377,103 @@ def test_two_process_pipeline_stage_hops(tmp_path):
     _, metrics = make_train_step(cfg, tcfg, mesh, opt)(state, shard_batch(mesh, batch))
     oracle = float(jax.device_get(metrics["loss"]))
     assert r0["loss"] == pytest.approx(oracle, abs=1e-5)
+
+
+WORKER_SIGLIP = r"""
+import json, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+sys.path.insert(0, REPO)
+
+import numpy as np
+from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from clip_mixer_tpu.parallel.train_step import init_train_state, make_train_step
+from clip_mixer_tpu.train.optimizer import make_optimizer
+
+assert jax.process_count() == 2 and jax.device_count() == 2
+
+cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+                 vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                 text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32",
+                 logit_bias_init=-10.0)
+tcfg = TrainConfig(global_batch_size=8, learning_rate=1e-3, warmup_steps=2, loss="siglip")
+# data axis spans the two processes: every tick of the siglip ppermute ring
+# hops the text chunk across the process boundary.
+mesh = make_mesh()
+opt = make_optimizer(tcfg, total_steps=10)
+state = replicate(mesh, init_train_state(clip_model.init(jax.random.key(0), cfg), opt))
+step = make_train_step(cfg, tcfg, mesh, opt)
+
+rng = np.random.default_rng(31 + pid)
+local = {
+    "images": rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8),
+    "texts": np.zeros((4, 16), np.int32),
+}
+local["texts"][:, 0] = 49406
+local["texts"][:, 1] = 700 + pid * 4 + np.arange(4)
+local["texts"][:, 2] = 49407
+state, metrics = step(state, shard_batch(mesh, local))
+
+out = {
+    "pid": pid,
+    "loss": float(jax.device_get(metrics["loss"])),
+    "logit_bias": float(jax.device_get(state.params["logit_bias"])),
+}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+
+def test_two_process_siglip_ring(tmp_path):
+    """SigLIP's chunked ppermute ring across REAL process boundaries: with
+    the data axis spanning two processes, every ring tick moves the text
+    chunk over the inter-process link (and its transpose routes the
+    cotangents back). Both processes must agree on the global loss, the
+    logit_bias must train, and the loss must equal a single-process
+    2-virtual-device run on the concatenated global batch."""
+    r0, r1 = _run_two_workers(tmp_path, WORKER_SIGLIP)
+    assert r0["loss"] == pytest.approx(r1["loss"], abs=1e-6)
+    assert np.isfinite(r0["loss"])
+    assert r0["logit_bias"] != -10.0  # the bias got a gradient through the ring
+    assert r0["logit_bias"] == pytest.approx(r1["logit_bias"], abs=1e-7)
+
+    import jax
+
+    from clip_mixer_tpu.config import CLIPConfig, TrainConfig
+    from clip_mixer_tpu.models import clip as clip_model
+    from clip_mixer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from clip_mixer_tpu.parallel.train_step import init_train_state, make_train_step
+    from clip_mixer_tpu.train.optimizer import make_optimizer
+
+    # Rebuild the global batch exactly as the two processes generated it.
+    halves = []
+    for pid in (0, 1):
+        rng = np.random.default_rng(31 + pid)
+        imgs = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        texts = np.zeros((4, 16), np.int32)
+        texts[:, 0] = 49406
+        texts[:, 1] = 700 + pid * 4 + np.arange(4)
+        texts[:, 2] = 49407
+        halves.append({"images": imgs, "texts": texts})
+    global_batch = {k: np.concatenate([h[k] for h in halves]) for k in halves[0]}
+
+    cfg = CLIPConfig(embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+                     vision_patch_size=8, context_length=16, vocab_size=49408, text_width=32,
+                     text_heads=1, text_layers=1, tower="mixer", compute_dtype="float32",
+                     logit_bias_init=-10.0)
+    tcfg = TrainConfig(global_batch_size=8, learning_rate=1e-3, warmup_steps=2, loss="siglip")
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    opt = make_optimizer(tcfg, total_steps=10)
+    state = replicate(mesh, init_train_state(clip_model.init(jax.random.key(0), cfg), opt))
+    step = make_train_step(cfg, tcfg, mesh, opt)
+    _, metrics = step(state, shard_batch(mesh, global_batch))
+    oracle = float(jax.device_get(metrics["loss"]))
+    assert r0["loss"] == pytest.approx(oracle, abs=5e-6)
