@@ -32,6 +32,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=150)
     p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--loss", default="info_nce", choices=["info_nce", "siglip"])
     args = p.parse_args()
 
     from clip_mixer_tpu.config import PRESETS, TrainConfig
@@ -41,7 +42,11 @@ def main():
     from clip_mixer_tpu.models import clip as clip_model
     from clip_mixer_tpu.train.trainer import Trainer
 
+    import math
+
     cfg = PRESETS["mixer-b32"].replace(remat=True)
+    if args.loss == "siglip":
+        cfg = cfg.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
     tcfg = TrainConfig(
         global_batch_size=args.batch,
         epochs=1,
@@ -49,6 +54,8 @@ def main():
         learning_rate=5e-4,
         warmup_steps=2,
         checkpoint_every_steps=args.steps,  # one final checkpoint
+        loss=args.loss,
+        logit_scale_max=math.log(1000.0) if args.loss == "siglip" else TrainConfig.logit_scale_max,
     )
     data = SyntheticSource(
         batch_size=args.batch,
@@ -88,7 +95,8 @@ def main():
         json.dumps(
             {
                 "model": "mixer-b32 (111M, remat)",
-                "steps": args.steps,
+                "loss_kind": args.loss,
+                "steps": len(losses),  # actual (a preemption may stop early)
                 "global_batch": args.batch,
                 "loss_first": round(losses[0], 4),
                 "loss_min": round(min(losses), 4),
