@@ -309,6 +309,12 @@ class TrainConfig:
     # averaged weights when enabled. No reference counterpart — standard
     # large-scale CLIP/SigLIP practice.
     ema_decay: Optional[float] = None
+    # Locked-tower training (LiT, arXiv:2111.07991): freeze "visual" or
+    # "text" — the frozen tower runs under stop_gradient (no backward
+    # compute) and is masked OUT of AdamW (no moments allocated, no weight
+    # decay drift); logit_scale/logit_bias stay trainable. Pair with
+    # train.py --init-from to fine-tune one tower of a pretrained model.
+    freeze: Optional[str] = None
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,
@@ -319,6 +325,8 @@ class TrainConfig:
     def __post_init__(self):
         if self.loss not in ("info_nce", "siglip"):
             raise ValueError(f"loss must be 'info_nce' or 'siglip' (got {self.loss!r})")
+        if self.freeze not in (None, "visual", "text"):
+            raise ValueError(f"freeze must be 'visual' or 'text' (got {self.freeze!r})")
         if self.ema_decay is not None and not (0.0 < self.ema_decay < 1.0):
             # decay=1.0 would freeze the EMA at the random init forever and
             # validation/export would silently ship untrained weights.

@@ -51,7 +51,7 @@ from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losses_loss_param_keys
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
-from clip_mixer_tpu.parallel.train_step import TrainState, two_pass_accum_grads
+from clip_mixer_tpu.parallel.train_step import TrainState, freeze_subtree, two_pass_accum_grads
 
 # Leaves smaller than this stay replicated: sharding a [12, 64] bias saves
 # nothing and costs a collective.
@@ -161,6 +161,7 @@ def make_fsdp_train_step(
     keys = losses_loss_param_keys(tcfg.loss)
 
     def local_loss(params, images_u8, texts):
+        params = freeze_subtree(params, tcfg.freeze)
         images = normalize_images(images_u8, dtype=dtype)
         # axis_name=None: under GSPMD the batch is one logical array, so BN
         # moments (ResNet) and the contrastive loss are global automatically.
@@ -200,6 +201,7 @@ def make_fsdp_train_step(
         )
 
         def micro_feats(p, im_u8, tx):
+            p = freeze_subtree(p, tcfg.freeze)
             im = normalize_images(im_u8, dtype=dtype)
             img, txt, _scale, _bn = clip_model.forward_train(p, cfg, im, tx)
             return img, txt

@@ -48,7 +48,7 @@ from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losse
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS
 from clip_mixer_tpu.parallel.tp import f_psum, g_psum
-from clip_mixer_tpu.parallel.train_step import TrainState, two_pass_accum_grads
+from clip_mixer_tpu.parallel.train_step import TrainState, freeze_subtree, two_pass_accum_grads
 
 STAGE_AXIS = "stage"
 
@@ -201,6 +201,7 @@ def make_pp_train_step(
     keys = losses_loss_param_keys(tcfg.loss)
 
     def local_loss(params, images_u8, texts):
+        params = freeze_subtree(params, tcfg.freeze)
         images = normalize_images(images_u8, dtype=dtype)
         img, txt, scale, _bn = clip_model.forward_train(
             params, loss_cfg, images, texts, axis_name=DATA_AXIS
@@ -233,6 +234,7 @@ def make_pp_train_step(
         txts = texts.reshape(accum_steps, mb, *texts.shape[1:])
 
         def micro_feats(p, im_u8, tx):
+            p = freeze_subtree(p, tcfg.freeze)
             im = normalize_images(im_u8, dtype=dtype)
             img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
             return img, txt

@@ -40,6 +40,18 @@ def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainSt
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def freeze_subtree(params, freeze):
+    """Locked-tower training (TrainConfig.freeze, LiT-style): stop_gradient
+    the frozen tower at the root of the loss, so its gradients are exact
+    zeros AND XLA prunes its entire backward. The ONE helper shared by the
+    DP/TP, FSDP and PP steps' loss/micro-feature functions."""
+    if not freeze:
+        return params
+    p = dict(params)
+    p[freeze] = jax.lax.stop_gradient(p[freeze])
+    return p
+
+
 class EmaState(NamedTuple):
     """Exponential moving average of the POST-step parameters, carried as the
     last element of the optax chain state (train/optimizer.py appends the
@@ -199,6 +211,7 @@ def make_train_step(
     loss_cfg = cfg.replace(model_axis=MODEL_AXIS) if use_tp else cfg
 
     def local_loss(params, images_u8, texts):
+        params = freeze_subtree(params, tcfg.freeze)
         images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
         # BN towers (ResNet) train on batch stats (SyncBN over the data axis)
         # and surface the moments for the running-stat EMA merge below.
@@ -235,6 +248,7 @@ def make_train_step(
         dtype = jnp.dtype(cfg.compute_dtype)
 
         def micro_feats(p, im_u8, tx):
+            p = freeze_subtree(p, tcfg.freeze)
             im = normalize_images(im_u8, dtype=dtype)
             img, txt, _scale, _bn = clip_model.forward_train(p, loss_cfg, im, tx)
             return img, txt

@@ -28,7 +28,9 @@ def decay_mask(params):
 
     def rule(path, p):
         stacked = any(getattr(k, "key", None) == "blocks" for k in path)
-        return (p.ndim - (1 if stacked else 0)) >= 2
+        # getattr: under optax.masked (freeze), masked-out leaves arrive as
+        # MaskedNode placeholders with no ndim — treat as no-decay.
+        return (getattr(p, "ndim", 0) - (1 if stacked else 0)) >= 2
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
@@ -40,16 +42,30 @@ def make_optimizer(tcfg: TrainConfig, total_steps: int) -> optax.GradientTransfo
         tcfg.warmup_steps,
         total_steps,
     )
+    adamw = optax.adamw(
+        learning_rate=schedule,
+        b1=tcfg.beta1,
+        b2=tcfg.beta2,
+        eps=tcfg.eps,
+        weight_decay=tcfg.weight_decay,
+        mask=decay_mask,
+    )
+    if tcfg.freeze:
+        # Locked-tower (LiT): AdamW runs only on the trainable subtree — no
+        # moments are even allocated for the frozen tower (the memory point
+        # of locking), and weight decay cannot drift it. The frozen leaves'
+        # grads are exact zeros (the train steps stop_gradient the subtree),
+        # and optax.masked passes their (zero) updates through unchanged.
+        def trainable(params):
+            def rule(path, _):
+                return getattr(path[0], "key", None) != tcfg.freeze
+
+            return jax.tree_util.tree_map_with_path(rule, params)
+
+        adamw = optax.masked(adamw, trainable)
     parts = [
         optax.clip_by_global_norm(tcfg.grad_clip_norm),
-        optax.adamw(
-            learning_rate=schedule,
-            b1=tcfg.beta1,
-            b2=tcfg.beta2,
-            eps=tcfg.eps,
-            weight_decay=tcfg.weight_decay,
-            mask=decay_mask,
-        ),
+        adamw,
     ]
     if tcfg.ema_decay:
         # Passthrough slot holding the param EMA — must be LAST: the train

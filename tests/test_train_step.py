@@ -411,3 +411,79 @@ def test_siglip_accum_without_bias_param_raises_friendly_error():
     step = make_train_step(CFG, SIGLIP_TCFG, mesh, opt, accum_steps=2)
     with pytest.raises(ValueError, match="logit_bias"):
         step(state, shard_batch(mesh, _batch()))
+
+
+# ---------------- Locked-tower (LiT) training ----------------
+
+
+def _leaf_floats(tree):
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(tree)
+               if hasattr(x, "dtype"))
+
+
+def test_freeze_tower_locks_params_and_allocates_no_moments():
+    """freeze='visual': the frozen tower is bitwise untouched after steps
+    (stop_gradient + masked AdamW: no weight-decay drift), the other tower
+    and logit_scale train, and the optimizer allocates NO moments for the
+    frozen subtree (the memory point of locking)."""
+    tcfg = TrainConfig(global_batch_size=16, learning_rate=1e-3, warmup_steps=2,
+                       freeze="visual")
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    opt = make_optimizer(tcfg, total_steps=30)
+    params = clip_model.init(jax.random.key(51), CFG)
+    v0 = jax.tree.map(np.asarray, params["visual"])
+    t0 = jax.tree.map(np.asarray, params["text"])
+    ls0 = float(np.asarray(params["logit_scale"]))  # before donation
+    state = replicate(mesh, init_train_state(params, opt))
+
+    # moments exist only for the trainable subtree
+    opt_plain = make_optimizer(TCFG, total_steps=30)
+    full = _leaf_floats(init_train_state(clip_model.init(jax.random.key(51), CFG),
+                                         opt_plain).opt_state)
+    frozen = _leaf_floats(state.opt_state)
+    visual_n = _leaf_floats(params["visual"])
+    assert frozen <= full - 2 * visual_n + 8  # mu+nu for visual gone
+
+    step = make_train_step(CFG, tcfg, mesh, opt)
+    batch = shard_batch(mesh, _batch(seed=51))
+    losses = []
+    for _ in range(10):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # still learns through the text tower
+
+    p = jax.device_get(state.params)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, p["visual"])),
+                    jax.tree.leaves(v0)):
+        np.testing.assert_array_equal(a, b)
+    changed = [not np.allclose(a, b) for a, b in
+               zip(jax.tree.leaves(jax.tree.map(np.asarray, p["text"])),
+                   jax.tree.leaves(t0))]
+    assert any(changed)
+    assert float(p["logit_scale"]) != ls0
+
+
+def test_freeze_composes_with_accum():
+    """Two-pass accumulation under a locked tower: accum 2 == accum 1."""
+    tcfg = TrainConfig(global_batch_size=16, learning_rate=1e-3, warmup_steps=2,
+                       freeze="text")
+    batch = _batch(seed=53)
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    results = []
+    for accum in (1, 2):
+        opt = make_optimizer(tcfg, total_steps=10)
+        params = clip_model.init(jax.random.key(53), CFG)
+        state = replicate(mesh, init_train_state(params, opt))
+        step = make_train_step(CFG, tcfg, mesh, opt, accum_steps=accum)
+        state, m = step(state, shard_batch(mesh, batch))
+        results.append((jax.device_get(state.params), jax.device_get(m)))
+    (p1, m1), (p2, m2) = results
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    # the frozen text tower is untouched in both
+    t_init = jax.tree.map(np.asarray, clip_model.init(jax.random.key(53), CFG)["text"])
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, p1["text"])),
+                    jax.tree.leaves(t_init)):
+        np.testing.assert_array_equal(a, b)

@@ -81,6 +81,15 @@ def parse_args():
                         "loss) or siglip (pairwise sigmoid, ops/losses.siglip_loss "
                         "— adds a learnable logit_bias param, init -10, and sets "
                         "logit_scale init to log(10) per arXiv:2303.15343)")
+    p.add_argument("--init-from", default=None, metavar="PATH",
+                   help="initialize params from a loadable checkpoint (native "
+                        "export dir, torch .pt, preset name) instead of random "
+                        "init — the fine-tuning entry; optimizer state starts "
+                        "fresh; resume of THIS run still wins if its checkpoint "
+                        "dir is non-empty")
+    p.add_argument("--freeze-tower", default=None, choices=["visual", "text"],
+                   help="LiT-style locked tower: stop_gradient + no AdamW "
+                        "moments for the frozen tower (pair with --init-from)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="per-step EMA decay for an averaged copy of the params "
                         "(e.g. 0.9999); validation + the completion export use "
@@ -156,6 +165,36 @@ def main():
         # SigLIP init (arXiv:2303.15343 §4): t' = log(10), b = -10 — the
         # sigmoid loss starts near the B-1-negatives-per-positive prior.
         cfg = cfg.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
+
+    init_params = None
+    if args.init_from:
+        # Fine-tuning entry: start from a pretrained model (native export
+        # dir, torch .pt/.safetensors, or registry/preset name — whatever
+        # api.load accepts). The LOADED architecture wins — it must replace
+        # cfg BEFORE the data source / validators / capacity math below are
+        # built from it; the CLI keeps only the runtime knobs. A non-empty
+        # checkpoint dir for THIS run still takes precedence inside the
+        # Trainer (resume beats re-init).
+        from clip_mixer_tpu.api import load as _api_load
+
+        init_params, loaded_cfg, _pre = _api_load(args.init_from)
+        cfg = loaded_cfg.replace(
+            remat=cfg.remat, remat_policy=cfg.remat_policy,
+            logit_bias_init=cfg.logit_bias_init,
+        )
+        if args.loss == "siglip" and "logit_bias" not in init_params:
+            # Pretrained InfoNCE checkpoints have no sigmoid bias — add the
+            # paper-init scalar so siglip fine-tuning can proceed.
+            import jax.numpy as jnp
+
+            init_params = dict(init_params)
+            init_params["logit_bias"] = jnp.asarray(-10.0, jnp.float32)
+        if args.verbose:
+            import numpy as np
+
+            n = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(init_params))
+            print(f"--init-from {args.init_from}: {n/1e6:.1f}M params "
+                  f"(logit_scale={float(np.asarray(init_params['logit_scale'])):.3f})")
     # The reference's CLIP clamp at ln(100) would BIND under the sigmoid
     # objective (SigLIP's released models converge near t~118, i.e. above
     # e^4.61) — the paper applies no clamp, so give siglip runs headroom.
@@ -175,6 +214,7 @@ def main():
         crash_after_steps=args.crash_after_steps,
         loss=args.loss,
         ema_decay=args.ema_decay,
+        freeze=args.freeze_tower,
     )
 
     n_hosts, host = jax.process_count(), jax.process_index()
@@ -265,6 +305,7 @@ def main():
         chunk_size=args.chunk_size,
         verbose=args.verbose,
         profile_steps=args.profile_steps,
+        params=init_params,
     )
     try:
         trainer.train()
