@@ -315,6 +315,15 @@ class TrainConfig:
     # decay drift); logit_scale/logit_bias stay trainable. Pair with
     # train.py --init-from to fine-tune one tower of a pretrained model.
     freeze: Optional[str] = None
+    # In-graph training augmentation (ops/augment.py): per-sample random
+    # crop to cfg.image_resolution + 50% horizontal flip, executed INSIDE
+    # the jitted step keyed on (seed, step) — stateless, so kill-and-resume
+    # replays the identical stream and DP-invariance holds. Requires the
+    # data source to deliver images LARGER than the model resolution
+    # (train.py --augment widens the pipeline decode size). The reference
+    # trains without augmentation (training.py:115 uses the inference
+    # preprocess) — this is an addition, off by default.
+    augment: bool = False
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,

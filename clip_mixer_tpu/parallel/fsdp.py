@@ -49,6 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losses_loss_param_keys
+from clip_mixer_tpu.ops.augment import maybe_augment
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from clip_mixer_tpu.parallel.train_step import TrainState, freeze_subtree, two_pass_accum_grads
@@ -226,7 +227,8 @@ def make_fsdp_train_step(
     run = loss_and_grad_accum if accum_steps > 1 else loss_and_grad
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        loss, grads, bn_stats = run(state.params, batch["images"], batch["texts"])
+        images = maybe_augment(tcfg, cfg, state.step, batch["images"])
+        loss, grads, bn_stats = run(state.params, images, batch["texts"])
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -45,6 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
 from clip_mixer_tpu.ops.losses import contrastive_loss, loss_param_keys as losses_loss_param_keys
+from clip_mixer_tpu.ops.augment import maybe_augment
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS
 from clip_mixer_tpu.parallel.tp import f_psum, g_psum
@@ -260,6 +261,7 @@ def make_pp_train_step(
         sharded_loss_and_grad = sharded_loss_and_grad_accum
 
     def step_fn(state: TrainState, batch):
+        images = maybe_augment(tcfg, cfg, state.step, batch["images"])
         pspecs = pp_param_specs(state.params, n_stages)
         loss, grads = jax.shard_map(
             sharded_loss_and_grad,
@@ -267,7 +269,7 @@ def make_pp_train_step(
             in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), pspecs),
             check_vma=False,
-        )(state.params, batch["images"], batch["texts"])
+        )(state.params, images, batch["texts"])
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

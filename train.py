@@ -90,6 +90,12 @@ def parse_args():
     p.add_argument("--freeze-tower", default=None, choices=["visual", "text"],
                    help="LiT-style locked tower: stop_gradient + no AdamW "
                         "moments for the frozen tower (pair with --init-from)")
+    p.add_argument("--augment", action="store_true",
+                   help="in-graph training augmentation (ops/augment.py): the "
+                        "pipeline decodes ~14%% larger squares and the jitted "
+                        "step random-crops to the model resolution + flips, "
+                        "keyed on the step counter (bitwise-resumable; zero "
+                        "extra host work)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="per-step EMA decay for an averaged copy of the params "
                         "(e.g. 0.9999); validation + the completion export use "
@@ -215,7 +221,15 @@ def main():
         loss=args.loss,
         ema_decay=args.ema_decay,
         freeze=args.freeze_tower,
+        augment=args.augment,
     )
+
+    # With in-graph augmentation the pipeline decodes ~14% larger squares
+    # (224 -> 256-style headroom, multiple of 8) and the jitted step crops
+    # back to cfg.image_resolution.
+    source_res = cfg.image_resolution
+    if args.augment:
+        source_res = cfg.image_resolution + max(8, (cfg.image_resolution // 7 + 7) // 8 * 8)
 
     n_hosts, host = jax.process_count(), jax.process_index()
     if args.global_batch_size % n_hosts != 0:
@@ -228,7 +242,7 @@ def main():
     if args.synthetic or args.data is None:
         data = SyntheticSource(
             batch_size=per_host_batch,
-            image_size=cfg.image_resolution,
+            image_size=source_res,
             n_batches=args.steps_per_epoch or 100,
             context_length=cfg.context_length,
         )
@@ -243,7 +257,7 @@ def main():
             components.append(shards)
         source_kwargs = dict(
             batch_size=per_host_batch,
-            image_size=cfg.image_resolution,
+            image_size=source_res,
             context_length=cfg.context_length,
             n_hosts=n_hosts,
             host_index=host,
