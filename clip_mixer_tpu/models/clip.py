@@ -71,12 +71,19 @@ def forward_train(
     images: jnp.ndarray,
     text: jnp.ndarray,
     axis_name: str | None = None,
+    bn_eval: bool = False,
 ):
     """Training forward. Returns (img, txt, scale, bn_stats): bn_stats is {}
     for BN-free towers (mixer/transformer) and the per-site batch moments for
     the ResNet tower (batch-stat / SyncBN normalisation, to be merged into
-    the running stats after the optimizer step — resnet.apply_bn_updates)."""
-    if cfg.is_resnet:
+    the running stats after the optimizer step — resnet.apply_bn_updates).
+
+    ``bn_eval``: run a ResNet vision tower in INFERENCE mode (pretrained
+    running stats, no new moments) — the train steps set it when the visual
+    tower is frozen (TrainConfig.freeze='visual'): a locked tower must both
+    keep its BN buffers bitwise and normalise with them, torch
+    ``module.eval()`` semantics (LiT's locked image tower)."""
+    if cfg.is_resnet and not bn_eval:
         feats, bn_stats = resnet_mod.resnet_encoder_train(
             params["visual"], cfg, images, axis_name=axis_name
         )

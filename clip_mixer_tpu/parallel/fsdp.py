@@ -166,7 +166,9 @@ def make_fsdp_train_step(
         images = normalize_images(images_u8, dtype=dtype)
         # axis_name=None: under GSPMD the batch is one logical array, so BN
         # moments (ResNet) and the contrastive loss are global automatically.
-        img, txt, scale, bn_stats = clip_model.forward_train(params, cfg, images, texts)
+        img, txt, scale, bn_stats = clip_model.forward_train(
+            params, cfg, images, texts, bn_eval=tcfg.freeze == "visual"
+        )
         # grad_through_gather=True: info_nce stop-grads the key side by
         # default even with axis_name=None (the reference's detach
         # semantics); FSDP trains with the exact globally-coupled gradient.

@@ -217,7 +217,8 @@ def make_train_step(
         # BN towers (ResNet) train on batch stats (SyncBN over the data axis)
         # and surface the moments for the running-stat EMA merge below.
         img, txt, scale, bn_stats = clip_model.forward_train(
-            params, loss_cfg, images, texts, axis_name=DATA_AXIS
+            params, loss_cfg, images, texts, axis_name=DATA_AXIS,
+            bn_eval=tcfg.freeze == "visual",
         )
         loss = contrastive_loss(
             tcfg.loss,

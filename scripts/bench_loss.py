@@ -34,12 +34,33 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/root/.jax_cache"))
 
 
+def _arm_watchdog(seconds: float):
+    """Hard deadline: the remote-compile tunnel can stall such that even
+    jax.devices() hangs forever (CLAUDE.md; bench.py carries a full child
+    supervisor for this). A daemon timer + os._exit is enough for a perf
+    script — no partial JSON is worth waiting hours for."""
+    import threading
+
+    def die():
+        print(f'{{"error": "watchdog: no result within {seconds:.0f}s (tunnel stall?)"}}',
+              flush=True)
+        os._exit(124)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="mixer-b32")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--losses", nargs="*", default=["info_nce", "siglip"])
+    p.add_argument("--deadline", type=float, default=1800.0,
+                   help="hard exit(124) after this many seconds (tunnel-stall guard)")
     args = p.parse_args()
+    watchdog = _arm_watchdog(args.deadline)
 
     from clip_mixer_tpu.config import PRESETS, TrainConfig
     from clip_mixer_tpu.models import clip as clip_model
@@ -91,6 +112,7 @@ def main():
 
     print(json.dumps({"preset": args.preset, "batch": b,
                       "device": str(jax.devices()[0]), "results": results}))
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

@@ -487,3 +487,45 @@ def test_freeze_composes_with_accum():
     for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, p1["text"])),
                     jax.tree.leaves(t_init)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_freeze_visual_resnet_locks_bn_buffers_and_uses_eval_stats():
+    """LiT with a ResNet image tower: the frozen tower must keep its BN
+    running stats bitwise (no EMA merge) AND normalise with them (eval-mode
+    semantics, torch module.eval()) — review catch: train-mode SyncBN +
+    stats merge silently violated both."""
+    cfg = CFG.replace(vision_layers=(1, 1, 1, 1), vision_width=8, vision_patch_size=None)
+    tcfg = TrainConfig(global_batch_size=8, learning_rate=1e-3, warmup_steps=2,
+                       freeze="visual")
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    opt = make_optimizer(tcfg, total_steps=30)
+    params = clip_model.init(jax.random.key(61), cfg)
+    # seed non-trivial running stats so "uses running stats" is observable
+    params["visual"]["bn1"]["mean"] = jnp.full_like(params["visual"]["bn1"]["mean"], 0.3)
+    params["visual"]["bn1"]["var"] = jnp.full_like(params["visual"]["bn1"]["var"], 2.0)
+    v0 = jax.tree.map(np.asarray, params["visual"])
+    # oracle features: INFERENCE path on the same images
+    b = _batch(seed=61, B=8)
+    from clip_mixer_tpu.ops.preprocess import normalize_images
+
+    imgs_f = normalize_images(jnp.asarray(b["images"]), dtype=jnp.float32)
+    feats_eval = np.asarray(clip_model.encode_image(params, cfg, imgs_f))
+
+    state = replicate(mesh, init_train_state(params, opt))
+    step = make_train_step(cfg, tcfg, mesh, opt)
+    for _ in range(3):
+        state, m = step(state, shard_batch(mesh, b))
+    assert np.isfinite(float(m["loss"]))
+    p = jax.device_get(state.params)
+    # visual tower — weights AND BN buffers — bitwise untouched
+    for a, b_ in zip(jax.tree.leaves(jax.tree.map(np.asarray, p["visual"])),
+                     jax.tree.leaves(v0)):
+        np.testing.assert_array_equal(a, b_)
+    # and the frozen tower's features in-step equal the inference path
+    # (eval-mode BN): recompute through forward_train with bn_eval
+    img, _txt, _s, bn = clip_model.forward_train(
+        p, cfg, imgs_f, jnp.asarray(b["texts"]), bn_eval=True
+    )
+    assert bn == {}
+    ref = feats_eval / np.linalg.norm(feats_eval, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)

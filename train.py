@@ -184,8 +184,12 @@ def main():
         from clip_mixer_tpu.api import load as _api_load
 
         init_params, loaded_cfg, _pre = _api_load(args.init_from)
+        # Architecture comes from the checkpoint; RUNTIME knobs stay with
+        # this run — notably compute_dtype: an export from a CPU/parity run
+        # records float32, which would silently halve TPU throughput here.
         cfg = loaded_cfg.replace(
             remat=cfg.remat, remat_policy=cfg.remat_policy,
+            fused_mlp=cfg.fused_mlp, compute_dtype=cfg.compute_dtype,
             logit_bias_init=cfg.logit_bias_init,
         )
         if args.loss == "siglip" and "logit_bias" not in init_params:
@@ -196,11 +200,10 @@ def main():
             init_params = dict(init_params)
             init_params["logit_bias"] = jnp.asarray(-10.0, jnp.float32)
         if args.verbose:
-            import numpy as np
+            from clip_mixer_tpu.models.clip import param_count
 
-            n = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(init_params))
-            print(f"--init-from {args.init_from}: {n/1e6:.1f}M params "
-                  f"(logit_scale={float(np.asarray(init_params['logit_scale'])):.3f})")
+            print(f"--init-from {args.init_from}: {param_count(init_params)/1e6:.1f}M "
+                  f"params (logit_scale={float(init_params['logit_scale']):.3f})")
     # The reference's CLIP clamp at ln(100) would BIND under the sigmoid
     # objective (SigLIP's released models converge near t~118, i.e. above
     # e^4.61) — the paper applies no clamp, so give siglip runs headroom.
