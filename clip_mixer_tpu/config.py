@@ -130,6 +130,20 @@ class CLIPConfig:
     def replace(self, **kw) -> "CLIPConfig":
         return dataclasses.replace(self, **kw)
 
+    def for_siglip(self) -> "CLIPConfig":
+        """SigLIP init (arXiv:2303.15343 §4): learnable bias b = -10 and
+        temperature t' = log(10) — the sigmoid loss starts near the
+        B-1-negatives-per-positive prior. The ONE place the paper's init
+        constants live (train.py --loss siglip and the demo both use it)."""
+        return self.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
+
+
+# The reference's CLIP clamp at ln(100) (training.py:173-178) would BIND
+# under the sigmoid objective — SigLIP's released models converge near
+# t~118 > e^4.61 and the paper applies no clamp — so siglip runs use this
+# roomier bound (TrainConfig.logit_scale_max).
+SIGLIP_LOGIT_SCALE_MAX = math.log(1000.0)
+
 
 # Named presets. "mixer-b32" is the model the reference trained
 # (training/training.py:275-287, 111M params); "transformer-b32" is its

@@ -26,6 +26,13 @@ import jax
 import jax.numpy as jnp
 
 
+def source_size(resolution: int) -> int:
+    """Decode size the data pipeline should deliver for random cropping:
+    ~14% larger than the model resolution, rounded up to a multiple of 8
+    (224 -> 256, 336 -> 384, 32 -> 40)."""
+    return (resolution * 8 // 7 + 7) // 8 * 8
+
+
 def random_crop_flip(key: jax.Array, images_u8: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """Per-sample random ``out_size``² crop + 50% horizontal flip.
 

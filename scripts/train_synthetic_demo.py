@@ -42,11 +42,11 @@ def main():
     from clip_mixer_tpu.models import clip as clip_model
     from clip_mixer_tpu.train.trainer import Trainer
 
-    import math
+    from clip_mixer_tpu.config import SIGLIP_LOGIT_SCALE_MAX
 
     cfg = PRESETS["mixer-b32"].replace(remat=True)
     if args.loss == "siglip":
-        cfg = cfg.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
+        cfg = cfg.for_siglip()
     tcfg = TrainConfig(
         global_batch_size=args.batch,
         epochs=1,
@@ -55,7 +55,7 @@ def main():
         warmup_steps=2,
         checkpoint_every_steps=args.steps,  # one final checkpoint
         loss=args.loss,
-        logit_scale_max=math.log(1000.0) if args.loss == "siglip" else TrainConfig.logit_scale_max,
+        logit_scale_max=SIGLIP_LOGIT_SCALE_MAX if args.loss == "siglip" else TrainConfig.logit_scale_max,
     )
     data = SyntheticSource(
         batch_size=args.batch,

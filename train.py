@@ -14,7 +14,7 @@ import argparse
 import glob
 import math
 
-from clip_mixer_tpu.config import PRESETS, TrainConfig
+from clip_mixer_tpu.config import PRESETS, SIGLIP_LOGIT_SCALE_MAX, TrainConfig
 from clip_mixer_tpu.data.pipeline import MixtureSource, SyntheticSource, TarShardSource
 from clip_mixer_tpu.evals.validators import (
     CosineSimValidator,
@@ -168,9 +168,7 @@ def main():
 
     cfg = PRESETS[args.preset].replace(remat=not args.no_remat, remat_policy=args.remat_policy)
     if args.loss == "siglip":
-        # SigLIP init (arXiv:2303.15343 §4): t' = log(10), b = -10 — the
-        # sigmoid loss starts near the B-1-negatives-per-positive prior.
-        cfg = cfg.replace(logit_bias_init=-10.0, logit_scale_init=math.log(10.0))
+        cfg = cfg.for_siglip()
 
     init_params = None
     if args.init_from:
@@ -204,10 +202,9 @@ def main():
 
             print(f"--init-from {args.init_from}: {param_count(init_params)/1e6:.1f}M "
                   f"params (logit_scale={float(init_params['logit_scale']):.3f})")
-    # The reference's CLIP clamp at ln(100) would BIND under the sigmoid
-    # objective (SigLIP's released models converge near t~118, i.e. above
-    # e^4.61) — the paper applies no clamp, so give siglip runs headroom.
-    logit_scale_max = math.log(1000.0) if args.loss == "siglip" else TrainConfig.logit_scale_max
+    logit_scale_max = (
+        SIGLIP_LOGIT_SCALE_MAX if args.loss == "siglip" else TrainConfig.logit_scale_max
+    )
     tcfg = TrainConfig(
         logit_scale_max=logit_scale_max,
         global_batch_size=args.global_batch_size,
@@ -227,12 +224,13 @@ def main():
         augment=args.augment,
     )
 
-    # With in-graph augmentation the pipeline decodes ~14% larger squares
-    # (224 -> 256-style headroom, multiple of 8) and the jitted step crops
-    # back to cfg.image_resolution.
+    # With in-graph augmentation the pipeline decodes larger squares and
+    # the jitted step crops back to cfg.image_resolution.
     source_res = cfg.image_resolution
     if args.augment:
-        source_res = cfg.image_resolution + max(8, (cfg.image_resolution // 7 + 7) // 8 * 8)
+        from clip_mixer_tpu.ops.augment import source_size
+
+        source_res = source_size(cfg.image_resolution)
 
     n_hosts, host = jax.process_count(), jax.process_index()
     if args.global_batch_size % n_hosts != 0:
