@@ -249,6 +249,8 @@ def make_fsdp_train_step(
             "grad_norm": grad_norm,
             "logit_scale": jnp.exp(params["logit_scale"]),
         }
+        if "logit_bias" in params:  # siglip: the bias drives the saddle
+            metrics["logit_bias"] = params["logit_bias"]
         return TrainState(params, opt_state, state.step + 1), metrics
 
     shardings = fsdp_state_shardings(mesh, state)

@@ -284,6 +284,8 @@ def make_pp_train_step(
             "grad_norm": grad_norm,
             "logit_scale": jnp.exp(params["logit_scale"]),
         }
+        if "logit_bias" in params:  # siglip: the bias drives the saddle
+            metrics["logit_bias"] = params["logit_bias"]
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -417,6 +417,11 @@ class Trainer:
             self.writer.add_scalar("Loss", float(m["loss"]), s)
             self.writer.add_scalar("Learning rate", float(self._schedule(s - 1)), s)
             self.writer.add_scalar("Gradient norm", float(m["grad_norm"]), s)
+            self.writer.add_scalar("Logit scale", float(m["logit_scale"]), s)
+            if "logit_bias" in m:
+                # siglip: the bias is the saddle diagnostic (OPERATIONS.md —
+                # feature learning starts once loss < ln(B-1)+1)
+                self.writer.add_scalar("Logit bias", float(m["logit_bias"]), s)
 
     def save(self, epoch: int, batch_idx: int) -> None:
         self.checkpointer.save(self.state, epoch=epoch, step=batch_idx)
