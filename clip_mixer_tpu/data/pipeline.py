@@ -326,6 +326,166 @@ class TarShardSource(DataSource):
             pool.shutdown(wait=False)
 
 
+class FileListSource(TarShardSource):
+    """(image file, caption) pairs from an explicit list, a CSV/TSV manifest
+    (``from_csv``), or an image directory (``from_folder``) — the fine-tuning
+    on-ramp: point ``--data`` at the dataset you already have instead of
+    packing tar shards first (``write_tar_shards`` remains the right tool for
+    large corpora, where sequential shard reads beat per-file opens).
+
+    Everything TarShardSource documents is inherited — thread/process decode
+    pool, deterministic skip-by-count resume, ``on_decode_error`` corrupt-
+    record substitution — except sample order: with the whole manifest in
+    memory this source draws a FULL per-epoch permutation (seeded by
+    ``(seed, epoch)``), i.e. exactly the reference's ``DataLoader
+    (shuffle=True)`` semantics (training.py:61) rather than the streaming
+    reservoir approximation (``shuffle_buffer`` is accepted but pointless
+    here). Per-host sharding splits the entry list round-robin at equal
+    per-host counts (same pod-hang rationale as the shard split above).
+    """
+
+    def __init__(self, entries: Sequence[Tuple[str, str]], batch_size: int, **kwargs):
+        entries = [(str(p), str(c)) for p, c in entries]
+        if not entries:
+            raise ValueError("FileListSource needs at least one (path, caption) entry")
+        n_hosts = int(kwargs.pop("n_hosts", 1))
+        host_index = int(kwargs.pop("host_index", 0))
+        if n_hosts > 1:
+            per = len(entries) // n_hosts
+            if per == 0:
+                raise ValueError(f"{len(entries)} entries cannot feed {n_hosts} hosts")
+            entries = entries[host_index::n_hosts][:per]
+        self.entries = entries
+        super().__init__([p for p, _ in entries], batch_size, **kwargs)
+
+    @property
+    def batches_per_epoch(self) -> Optional[int]:
+        full, rem = divmod(len(self.entries), self.batch_size)
+        return full + (1 if rem and not self.drop_last else 0)
+
+    def _iter_shard_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
+        order = np.random.default_rng((self.seed, epoch)).permutation(len(self.entries))
+        for i in order:
+            path, caption = self.entries[i]
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                if self.on_decode_error != "substitute":
+                    raise
+                # unreadable file ≈ undecodable bytes: keep the sample slot so
+                # batch boundaries (and therefore resume-by-count) hold, and
+                # let _decode_batch substitute an in-batch neighbor for it.
+                data = b""
+            yield data, caption
+
+    _HEADER_PATH = ("filepath", "file", "image", "image_path", "img_path", "path", "url")
+    _HEADER_CAPTION = ("caption", "text", "title", "label")
+
+    @classmethod
+    def from_csv(
+        cls,
+        manifest_path: str,
+        batch_size: int,
+        image_root: Optional[str] = None,
+        delimiter: Optional[str] = None,
+        **kwargs,
+    ) -> "FileListSource":
+        """Manifest file with (image path, caption) columns — the layout
+        img2dataset and most caption datasets ship as metadata.
+
+        * delimiter: inferred from the extension (.tsv → tab, else comma)
+          unless given.
+        * header: the first row is treated as a header iff its first cell is
+          a recognised path column name (filepath/file/image/...); the
+          caption column is then matched by name (caption/text/title/label),
+          falling back to column 1.
+        * relative image paths resolve against ``image_root`` (default: the
+          manifest's own directory).
+        """
+        import csv as _csv
+
+        if delimiter is None:
+            delimiter = "\t" if manifest_path.lower().endswith(".tsv") else ","
+        root = (
+            image_root
+            if image_root is not None
+            else os.path.dirname(os.path.abspath(manifest_path))
+        )
+        entries: List[Tuple[str, str]] = []
+        with open(manifest_path, newline="", encoding="utf-8") as f:
+            rows = _csv.reader(f, delimiter=delimiter)
+            path_col, caption_col = 0, 1
+            for lineno, row in enumerate(rows):
+                if not row or (len(row) == 1 and not row[0].strip()):
+                    continue
+                if lineno == 0 and row[0].strip().lower() in cls._HEADER_PATH:
+                    names = [c.strip().lower() for c in row]
+                    for j, name in enumerate(names):
+                        if name in cls._HEADER_CAPTION:
+                            caption_col = j
+                            break
+                    continue
+                if len(row) <= max(path_col, caption_col):
+                    raise ValueError(
+                        f"{manifest_path}:{lineno + 1}: need at least "
+                        f"{max(path_col, caption_col) + 1} columns, got {len(row)}"
+                    )
+                p = row[path_col].strip()
+                if not os.path.isabs(p):
+                    p = os.path.join(root, p)
+                entries.append((p, row[caption_col]))
+        return cls(entries, batch_size, **kwargs)
+
+    @classmethod
+    def from_folder(
+        cls,
+        root: str,
+        batch_size: int,
+        caption_from: str = "txt",
+        **kwargs,
+    ) -> "FileListSource":
+        """Recursive scan of ``root`` for .jpg/.jpeg/.png images (sorted, so
+        the manifest — and with it the resume contract — is deterministic).
+
+        caption_from:
+        * "txt"     — sidecar ``<stem>.txt`` next to each image (the
+          unpacked-webdataset layout); a missing sidecar is an error.
+        * "dirname" — ``"a photo of a <parent dir>."`` (class-folder layout;
+          underscores/dashes read as spaces).
+        * "stem"    — the filename stem, underscores/dashes as spaces.
+        """
+        if caption_from not in ("txt", "dirname", "stem"):
+            raise ValueError(f"caption_from must be txt|dirname|stem, got {caption_from!r}")
+        images: List[str] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if os.path.splitext(name)[1].lower() in (".jpg", ".jpeg", ".png"):
+                    images.append(os.path.join(dirpath, name))
+        if not images:
+            raise ValueError(f"no .jpg/.jpeg/.png images under {root}")
+        entries: List[Tuple[str, str]] = []
+        for path in images:
+            if caption_from == "txt":
+                sidecar = os.path.splitext(path)[0] + ".txt"
+                if not os.path.exists(sidecar):
+                    raise FileNotFoundError(
+                        f"{path}: no sidecar caption {os.path.basename(sidecar)} "
+                        "(use caption_from='dirname' or 'stem' for caption-less trees)"
+                    )
+                with open(sidecar, encoding="utf-8", errors="replace") as f:
+                    caption = f.read().strip()
+            elif caption_from == "dirname":
+                label = os.path.basename(os.path.dirname(path)).replace("_", " ").replace("-", " ")
+                caption = f"a photo of a {label}."
+            else:
+                stem = os.path.splitext(os.path.basename(path))[0]
+                caption = stem.replace("_", " ").replace("-", " ")
+            entries.append((path, caption))
+        return cls(entries, batch_size, **kwargs)
+
+
 class MixtureSource(TarShardSource):
     """Weighted mixture of tar-shard corpora, blended at the SAMPLE level.
 

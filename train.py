@@ -13,9 +13,15 @@ Examples:
 import argparse
 import glob
 import math
+import os
 
 from clip_mixer_tpu.config import PRESETS, SIGLIP_LOGIT_SCALE_MAX, TrainConfig
-from clip_mixer_tpu.data.pipeline import MixtureSource, SyntheticSource, TarShardSource
+from clip_mixer_tpu.data.pipeline import (
+    FileListSource,
+    MixtureSource,
+    SyntheticSource,
+    TarShardSource,
+)
 from clip_mixer_tpu.evals.validators import (
     CosineSimValidator,
     ImageNetValidator,
@@ -32,7 +38,15 @@ def parse_args():
                    help="glob of webdataset tar shards; repeat for a weighted "
                         "mixture with an optional '::WEIGHT' suffix per glob "
                         "(e.g. --data 'laion/*.tar::3' --data 'curated/*.tar::1'; "
-                        "mixtures stream indefinitely — set --steps-per-epoch)")
+                        "mixtures stream indefinitely — set --steps-per-epoch). "
+                        "Also accepts a .csv/.tsv manifest of (image path, "
+                        "caption) rows or a plain image directory (sidecar "
+                        ".txt captions by default, see --caption-from) — the "
+                        "fine-tuning on-ramp, no shard packing needed")
+    p.add_argument("--caption-from", default="txt", choices=("txt", "dirname", "stem"),
+                   help="caption source when --data is an image directory: "
+                        "sidecar <stem>.txt files, the class-folder name, or "
+                        "the filename stem")
     p.add_argument("--synthetic", action="store_true", help="synthetic data (smoke runs)")
     p.add_argument("--run-name", default="run", help="output directory name")
     p.add_argument("--epochs", type=int, default=32)  # training.py:255
@@ -248,14 +262,6 @@ def main():
             context_length=cfg.context_length,
         )
     else:
-        components, weights = [], []
-        for spec in args.data:
-            pattern, weight = parse_data_spec(spec)
-            weights.append(weight)
-            shards = sorted(glob.glob(pattern))
-            if not shards:
-                raise SystemExit(f"no shards match {pattern}")
-            components.append(shards)
         source_kwargs = dict(
             batch_size=per_host_batch,
             image_size=source_res,
@@ -265,15 +271,44 @@ def main():
             shuffle_buffer=args.shuffle_buffer,
             on_decode_error=args.on_decode_error,
         )
-        if len(components) == 1:
-            data = TarShardSource(components[0], **source_kwargs)
-        else:
-            if args.steps_per_epoch is None:
+        # Manifest / directory fast paths (FileListSource): fine-tuning
+        # datasets that were never packed into tar shards.
+        first_pattern, _ = parse_data_spec(args.data[0])
+        is_manifest = first_pattern.lower().endswith((".csv", ".tsv"))
+        is_folder = os.path.isdir(first_pattern) and not glob.glob(
+            os.path.join(first_pattern, "**", "*.tar"), recursive=True
+        )
+        if is_manifest or is_folder:
+            if len(args.data) > 1:
                 raise SystemExit(
-                    "a --data mixture streams indefinitely (small components "
-                    "repeat to hold the ratio): set --steps-per-epoch"
+                    "--data mixtures support tar-shard globs only; a "
+                    ".csv/.tsv manifest or image directory must be the sole "
+                    "--data argument"
                 )
-            data = MixtureSource(components, weights=weights, **source_kwargs)
+            if is_manifest:
+                data = FileListSource.from_csv(first_pattern, **source_kwargs)
+            else:
+                data = FileListSource.from_folder(
+                    first_pattern, caption_from=args.caption_from, **source_kwargs
+                )
+        else:
+            components, weights = [], []
+            for spec in args.data:
+                pattern, weight = parse_data_spec(spec)
+                weights.append(weight)
+                shards = sorted(glob.glob(pattern))
+                if not shards:
+                    raise SystemExit(f"no shards match {pattern}")
+                components.append(shards)
+            if len(components) == 1:
+                data = TarShardSource(components[0], **source_kwargs)
+            else:
+                if args.steps_per_epoch is None:
+                    raise SystemExit(
+                        "a --data mixture streams indefinitely (small components "
+                        "repeat to hold the ratio): set --steps-per-epoch"
+                    )
+                data = MixtureSource(components, weights=weights, **source_kwargs)
 
     validators = []
     if not args.no_validators:
