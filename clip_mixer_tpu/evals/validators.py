@@ -282,3 +282,74 @@ class MNISTValidator:
             self.writer.add_scalar("MNIST Top-1 accuracy", res["top1"], step)
             self.writer.add_scalar("MNIST Top-5 accuracy", res["top5"], step)
         return res
+
+
+class RetrievalValidator:
+    """Image↔text retrieval (R@1/5/10 + median rank, both directions) on a
+    held-out ``DataSource`` — the CLIP-paper retrieval protocol applied to
+    the user's own validation split.
+
+    No reference counterpart: the reference's four validators
+    (validation.py:19-529) all require remote Azure/HF datasets, leaving no
+    training-progress signal in air-gapped deployments. This one consumes
+    any pipeline source (tar shards, CSV manifest, image folder, synthetic),
+    so ``--val-data`` works wherever ``--data`` does. Ranks are computed
+    against the sampled gallery of ``max_samples`` candidates; as elsewhere
+    in retrieval evals, duplicate captions make the true pair's rank
+    pessimistic (an identical caption may sort above it) — prefer a split
+    with distinct captions.
+    """
+
+    def __init__(self, params, cfg: CLIPConfig, data_source=None, writer=None,
+                 max_samples: int = 2048):
+        self.params, self.cfg, self.writer = params, cfg, writer
+        self.data_source = data_source
+        self.max_samples = max_samples
+
+    def validate(self, step: int, verbose: bool = False, params=None) -> Dict[str, float]:
+        from clip_mixer_tpu.evals.zeroshot import encode_images_batched
+
+        p = params if params is not None else self.params
+        if self.data_source is None:
+            return {}
+        images, texts, n = [], [], 0
+        for batch in self.data_source.iter_batches(epoch=0):
+            images.append(batch["images"])
+            texts.append(batch["texts"])
+            n += batch["images"].shape[0]
+            if n >= self.max_samples:
+                break
+        if n == 0:
+            if verbose:
+                print("[retrieval] skipped: validation source yielded no batches")
+            return {}
+        images = np.concatenate(images)[: self.max_samples]
+        texts = np.concatenate(texts)[: self.max_samples]
+        img_f = encode_images_batched(p, self.cfg, images)
+        txt_f = encode_texts_batched(p, self.cfg, texts)
+        sim = img_f @ txt_f.T  # [N, N]; row i's true match is column i
+
+        res: Dict[str, float] = {"n": float(sim.shape[0])}
+        eye = np.arange(sim.shape[0])
+        for name, s in (("image_to_text", sim), ("text_to_image", sim.T)):
+            order = np.argsort(-s, axis=-1, kind="stable")
+            ranks = np.argmax(order == eye[:, None], axis=-1)
+            for k in (1, 5, 10):
+                res[f"{name}_r@{k}"] = float((ranks < k).mean() * 100.0)
+            res[f"{name}_median_rank"] = float(np.median(ranks) + 1.0)
+        if verbose:
+            print(
+                f"Retrieval (n={sim.shape[0]}): "
+                f"I->T R@1 {res['image_to_text_r@1']:.2f}% "
+                f"R@5 {res['image_to_text_r@5']:.2f}% | "
+                f"T->I R@1 {res['text_to_image_r@1']:.2f}% "
+                f"R@5 {res['text_to_image_r@5']:.2f}%"
+            )
+        if self.writer is not None:
+            for key in ("image_to_text_r@1", "image_to_text_r@5",
+                        "text_to_image_r@1", "text_to_image_r@5"):
+                direction = "I->T" if key.startswith("image") else "T->I"
+                self.writer.add_scalar(
+                    f"Retrieval {direction} R@{key.rsplit('@', 1)[1]}", res[key], step
+                )
+        return res

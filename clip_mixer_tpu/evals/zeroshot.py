@@ -60,6 +60,45 @@ def encode_texts_batched(
     return feats
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_image_encoder(cfg: CLIPConfig):
+    """Cached compiled image encoder per config (same rationale as
+    _jit_text_encoder): uint8 in, L2-normalised f32 features out."""
+    from clip_mixer_tpu.ops.preprocess import normalize_images
+
+    @jax.jit
+    def encode(p, images_u8):
+        images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+        feats = clip_model.encode_image(p, cfg, images)
+        return clip_model.l2_normalize(feats).astype(jnp.float32)
+
+    return encode
+
+
+def encode_images_batched(
+    params,
+    cfg: CLIPConfig,
+    images_u8: np.ndarray,
+    batch_size: int = 256,
+) -> np.ndarray:
+    """Run [N, H, W, 3] uint8 images through the jitted encoder in
+    fixed-shape batches (last batch zero-padded: one compiled shape),
+    returning L2-normalised f32 features."""
+    encode = _jit_image_encoder(cfg)
+    n = images_u8.shape[0]
+    out: List[np.ndarray] = []
+    for i in range(0, n, batch_size):
+        chunk = images_u8[i : i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+            )
+        feats = np.asarray(encode(params, jnp.asarray(chunk)), np.float32)
+        out.append(feats[: batch_size - pad])
+    return np.concatenate(out)
+
+
 def build_zeroshot_classifier(
     params,
     cfg: CLIPConfig,

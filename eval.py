@@ -13,6 +13,7 @@ from clip_mixer_tpu.evals.validators import (
     CosineSimValidator,
     ImageNetValidator,
     MNISTValidator,
+    RetrievalValidator,
     SST2Validator,
 )
 from clip_mixer_tpu.train.metrics import MetricsWriter
@@ -22,6 +23,7 @@ VALIDATORS = {
     "sts": CosineSimValidator,
     "sst2": SST2Validator,
     "mnist": MNISTValidator,
+    "retrieval": RetrievalValidator,
 }
 
 
@@ -29,6 +31,14 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True, help="checkpoint dir / .pt / registry or preset name")
     p.add_argument("--validators", nargs="+", default=["sts"], choices=sorted(VALIDATORS.keys()))
+    p.add_argument("--val-data", default=None,
+                   help="held-out split for the 'retrieval' validator: tar "
+                        "glob, .csv/.tsv manifest, or image directory (fully "
+                        "offline, unlike the remote-dataset validators)")
+    p.add_argument("--val-samples", type=int, default=2048,
+                   help="retrieval gallery size drawn from --val-data")
+    p.add_argument("--caption-from", default="txt", choices=("txt", "dirname", "stem"),
+                   help="caption source when --val-data is an image directory")
     p.add_argument("--compute-dtype", default=None)
     p.add_argument("--log-dir", default=None)
     args = p.parse_args()
@@ -36,7 +46,23 @@ def main():
     params, cfg, _ = load(args.model, compute_dtype=args.compute_dtype)
     writer = MetricsWriter(log_dir=args.log_dir)
     for name in args.validators:
-        v = VALIDATORS[name](params, cfg, writer=writer)
+        if name == "retrieval":
+            if not args.val_data:
+                raise SystemExit("the 'retrieval' validator needs --val-data")
+            from train import build_single_source
+
+            source = build_single_source(
+                args.val_data,
+                args.caption_from,
+                batch_size=min(256, args.val_samples),
+                image_size=cfg.image_resolution,
+                context_length=cfg.context_length,
+                drop_last=False,
+            )
+            v = RetrievalValidator(params, cfg, data_source=source, writer=writer,
+                                   max_samples=args.val_samples)
+        else:
+            v = VALIDATORS[name](params, cfg, writer=writer)
         result = v.validate(step=0, verbose=True)
         print(f"[{name}] {result}")
     # tensorboardX buffers on a background thread; flush before exit or a

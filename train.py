@@ -26,6 +26,7 @@ from clip_mixer_tpu.evals.validators import (
     CosineSimValidator,
     ImageNetValidator,
     MNISTValidator,
+    RetrievalValidator,
     SST2Validator,
 )
 from clip_mixer_tpu.train.trainer import Trainer
@@ -43,6 +44,14 @@ def parse_args():
                         "caption) rows or a plain image directory (sidecar "
                         ".txt captions by default, see --caption-from) — the "
                         "fine-tuning on-ramp, no shard packing needed")
+    p.add_argument("--val-data", default=None,
+                   help="held-out split for image<->text retrieval validation "
+                        "(R@1/5/10 both directions at every validation pass) — "
+                        "same spec forms as --data (tar glob, .csv/.tsv "
+                        "manifest, image directory); runs fully offline, "
+                        "unlike the remote-dataset validators")
+    p.add_argument("--val-samples", type=int, default=2048,
+                   help="retrieval gallery size drawn from --val-data")
     p.add_argument("--caption-from", default="txt", choices=("txt", "dirname", "stem"),
                    help="caption source when --data is an image directory: "
                         "sidecar <stem>.txt files, the class-folder name, or "
@@ -164,6 +173,22 @@ def parse_data_spec(spec):
     return spec, 1.0
 
 
+def build_single_source(pattern, caption_from="txt", **source_kwargs):
+    """One non-mixture data source from a spec: a .csv/.tsv manifest, an
+    image directory (FileListSource), or a tar-shard glob (TarShardSource)."""
+    if pattern.lower().endswith((".csv", ".tsv")):
+        return FileListSource.from_csv(pattern, **source_kwargs)
+    if os.path.isdir(pattern):
+        tars = sorted(glob.glob(os.path.join(pattern, "**", "*.tar"), recursive=True))
+        if tars:
+            return TarShardSource(tars, **source_kwargs)
+        return FileListSource.from_folder(pattern, caption_from=caption_from, **source_kwargs)
+    shards = sorted(glob.glob(pattern))
+    if not shards:
+        raise SystemExit(f"no shards match {pattern}")
+    return TarShardSource(shards, **source_kwargs)
+
+
 def main():
     args = parse_args()
     import jax
@@ -271,44 +296,31 @@ def main():
             shuffle_buffer=args.shuffle_buffer,
             on_decode_error=args.on_decode_error,
         )
-        # Manifest / directory fast paths (FileListSource): fine-tuning
-        # datasets that were never packed into tar shards.
-        first_pattern, _ = parse_data_spec(args.data[0])
-        is_manifest = first_pattern.lower().endswith((".csv", ".tsv"))
-        is_folder = os.path.isdir(first_pattern) and not glob.glob(
-            os.path.join(first_pattern, "**", "*.tar"), recursive=True
-        )
-        if is_manifest or is_folder:
-            if len(args.data) > 1:
-                raise SystemExit(
-                    "--data mixtures support tar-shard globs only; a "
-                    ".csv/.tsv manifest or image directory must be the sole "
-                    "--data argument"
-                )
-            if is_manifest:
-                data = FileListSource.from_csv(first_pattern, **source_kwargs)
-            else:
-                data = FileListSource.from_folder(
-                    first_pattern, caption_from=args.caption_from, **source_kwargs
-                )
+        if len(args.data) == 1:
+            # Single source: tar glob, .csv/.tsv manifest, or image directory.
+            pattern, _ = parse_data_spec(args.data[0])
+            data = build_single_source(pattern, args.caption_from, **source_kwargs)
         else:
             components, weights = [], []
             for spec in args.data:
                 pattern, weight = parse_data_spec(spec)
+                if pattern.lower().endswith((".csv", ".tsv")) or os.path.isdir(pattern):
+                    raise SystemExit(
+                        "--data mixtures support tar-shard globs only; a "
+                        ".csv/.tsv manifest or image directory must be the "
+                        "sole --data argument"
+                    )
                 weights.append(weight)
                 shards = sorted(glob.glob(pattern))
                 if not shards:
                     raise SystemExit(f"no shards match {pattern}")
                 components.append(shards)
-            if len(components) == 1:
-                data = TarShardSource(components[0], **source_kwargs)
-            else:
-                if args.steps_per_epoch is None:
-                    raise SystemExit(
-                        "a --data mixture streams indefinitely (small components "
-                        "repeat to hold the ratio): set --steps-per-epoch"
-                    )
-                data = MixtureSource(components, weights=weights, **source_kwargs)
+            if args.steps_per_epoch is None:
+                raise SystemExit(
+                    "a --data mixture streams indefinitely (small components "
+                    "repeat to hold the ratio): set --steps-per-epoch"
+                )
+            data = MixtureSource(components, weights=weights, **source_kwargs)
 
     validators = []
     if not args.no_validators:
@@ -319,6 +331,21 @@ def main():
             SST2Validator(None, cfg),
             MNISTValidator(None, cfg),
         ]
+    if args.val_data:
+        # Explicitly requested, so it rides along even under --no-validators.
+        # Validation sees the MODEL resolution (no augment decode headroom)
+        # and keeps the tail batch (small held-out splits).
+        val_source = build_single_source(
+            args.val_data,
+            args.caption_from,
+            batch_size=min(256, args.val_samples),
+            image_size=cfg.image_resolution,
+            context_length=cfg.context_length,
+            drop_last=False,
+        )
+        validators.append(
+            RetrievalValidator(None, cfg, data_source=val_source, max_samples=args.val_samples)
+        )
 
     mesh = None
     if args.pipeline_stages > 1:
