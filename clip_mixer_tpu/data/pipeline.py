@@ -631,6 +631,44 @@ def prefetch(
         worker_stop.set()
 
 
+def write_tar_shards_from_files(
+    entries: Sequence[Tuple[str, str]],
+    out_dir: str,
+    samples_per_shard: int = 10000,
+) -> List[str]:
+    """Pack (image file path, caption) entries into webdataset tar shards by
+    RAW byte copy — no decode/re-encode, so pixels are untouched (unlike
+    ``write_tar_shards``, which JPEG-re-encodes arrays). The bridge from a
+    ``FileListSource``-shaped dataset (CSV manifest / image folder) to the
+    sequential-read tar layout that feeds large runs; see
+    ``scripts/pack_dataset.py`` for the CLI."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths: List[str] = []
+    tar = None
+    try:
+        for i, (src_path, caption) in enumerate(entries):
+            if i % samples_per_shard == 0:
+                if tar is not None:
+                    tar.close()
+                path = os.path.join(out_dir, f"{len(paths):05d}.tar")
+                paths.append(path)
+                tar = tarfile.open(path, "w")
+            ext = os.path.splitext(src_path)[1].lower()
+            if ext not in (".jpg", ".jpeg", ".png"):
+                raise ValueError(f"{src_path}: only .jpg/.jpeg/.png can be packed")
+            with open(src_path, "rb") as f:
+                img = f.read()
+            key = f"{i:09d}"
+            for name, data in ((f"{key}{ext}", img), (f"{key}.txt", caption.encode())):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+    finally:
+        if tar is not None:
+            tar.close()
+    return paths
+
+
 def write_tar_shards(
     samples: Iterator[Tuple[np.ndarray, str]],
     out_dir: str,

@@ -164,3 +164,52 @@ def test_corrupt_and_missing_files_substitute(tmp_path):
     (batch,) = list(lenient.iter_batches(epoch=0))
     assert batch["images"].shape == (8, 16, 16, 3)
     assert lenient.decode_errors == 2
+
+
+def test_pack_dataset_roundtrip(tmp_path):
+    """scripts/pack_dataset.py bridge: manifest -> raw-byte tar shards ->
+    TarShardSource yields the same decoded samples FileListSource does
+    (raw copy, so pixels are bit-identical)."""
+    import subprocess
+    import sys as _sys
+
+    from clip_mixer_tpu.data.pipeline import TarShardSource
+
+    caps = [f"pack caption {i}" for i in range(9)]
+    entries = _write_images(tmp_path / "src", 9, captions=caps)
+    manifest = tmp_path / "m.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.writer(f)
+        for p, c in entries:
+            w.writerow([p, c])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "pack_dataset.py"),
+         "--data", str(manifest), "--out", str(tmp_path / "shards"),
+         "--samples-per-shard", "4"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "9 samples into 3 shard(s)" in out.stdout
+
+    shards = sorted(str(p) for p in (tmp_path / "shards").glob("*.tar"))
+    tar_src = TarShardSource(shards, batch_size=9, image_size=16, context_length=16,
+                             seed=123)
+    fl_src = FileListSource(entries, batch_size=9, image_size=16, context_length=16,
+                            seed=123)
+    (a,) = list(tar_src.iter_batches(epoch=0))
+    (b,) = list(fl_src.iter_batches(epoch=0))
+    # orders differ (shard permutation vs entry permutation): compare multisets
+    key = lambda img, txt: (img.tobytes(), txt.tobytes())
+    assert sorted(key(i, t) for i, t in zip(a["images"], a["texts"])) == sorted(
+        key(i, t) for i, t in zip(b["images"], b["texts"])
+    )
+
+    # gs:// --out is rejected, not silently written to ./gs:/
+    bad = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "pack_dataset.py"),
+         "--data", str(manifest), "--out", "gs://bucket/shards"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert bad.returncode != 0 and "GCS-fuse" in bad.stderr
