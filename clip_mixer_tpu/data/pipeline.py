@@ -92,6 +92,67 @@ class SyntheticSource(DataSource):
             yield Batch(images=images, texts=self.tokens[classes])
 
 
+class CacheSource(DataSource):
+    """Decode-once, serve-from-host-RAM wrapper — the ``tf.data`` ``.cache()``
+    analogue, and the TPU-native answer to a host whose JPEG-decode rate
+    can't feed the chip (the reference leans on 64 DataLoader workers per
+    rank, training.py:62; a single-core TPU host decodes ~250 imgs/s against
+    a ~2000 imgs/s train step). First use materialises everything the inner
+    source yields for epoch 0 — preprocessed uint8 images + token rows — into
+    two preallocated host arrays; every epoch is then served as a fresh full
+    permutation (the reference's DataLoader(shuffle=True) semantics,
+    training.py:61 — stronger shuffling than the streaming reservoir the raw
+    tar source approximates it with). Resume stays skip-by-count
+    deterministic: batch b of epoch e is a pure function of (seed, e, b).
+
+    Memory: N * (res² * 3 + 4 * context) bytes — 100k samples at 224px ≈
+    15GB; the fill refuses to grow past ``max_bytes``. Only sensible when the
+    dataset fits host RAM and repeats (epochs > 1); for single-pass streaming
+    over a large corpus use the tar source directly.
+    """
+
+    def __init__(self, inner: DataSource, seed: int = 0, max_bytes: int = 64 << 30):
+        self.inner = inner
+        self.seed = seed
+        self.max_bytes = max_bytes
+        self.batch_size = inner.batch_size
+        self._images: Optional[np.ndarray] = None
+        self._texts: Optional[np.ndarray] = None
+
+    def _fill(self) -> None:
+        imgs, txts, total = [], [], 0
+        for batch in self.inner.iter_batches(epoch=0):
+            imgs.append(batch["images"])
+            txts.append(batch["texts"])
+            total += batch["images"].nbytes + batch["texts"].nbytes
+            if total > self.max_bytes:
+                raise MemoryError(
+                    f"CacheSource: cache would exceed max_bytes={self.max_bytes}; "
+                    "stream from the inner source instead or raise the budget"
+                )
+        if not imgs:
+            raise ValueError("CacheSource: inner source yielded no batches")
+        self._images = np.concatenate(imgs)
+        self._texts = np.concatenate(txts)
+
+    @property
+    def n_samples(self) -> int:
+        if self._images is None:
+            self._fill()
+        return self._images.shape[0]
+
+    @property
+    def batches_per_epoch(self) -> Optional[int]:
+        return self.n_samples // self.batch_size
+
+    def iter_batches(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
+        n = self.n_samples
+        order = np.random.default_rng((self.seed, epoch, 3)).permutation(n)
+        for b in range(start_batch, n // self.batch_size):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            yield Batch(images=self._images[idx], texts=self._texts[idx])
+
+
 def _decode_one(img_bytes: bytes, image_size: int) -> np.ndarray:
     from PIL import Image
 
@@ -396,10 +457,17 @@ class FileListSource(TarShardSource):
 
         * delimiter: inferred from the extension (.tsv → tab, else comma)
           unless given.
-        * header: the first row is treated as a header iff its first cell is
-          a recognised path column name (filepath/file/image/...); the
-          caption column is then matched by name (caption/text/title/label),
-          falling back to column 1.
+        * header: the first row is treated as a header iff ANY cell is a
+          recognised path column name (filepath/file/image/...) — that cell
+          becomes the path column; the caption column is then matched by
+          name (caption/text/title/label), falling back to the first other
+          column. A first row that resolves to no existing image and carries
+          no recognised name is rejected with a clear error instead of being
+          silently ingested as data.
+        * remote entries (http(s)://) are rejected up front with a pointer
+          at img2dataset / scripts/pack_dataset.py — this source only opens
+          local paths, and in substitute mode a URL manifest would otherwise
+          silently yield zero usable batches.
         * relative image paths resolve against ``image_root`` (default: the
           manifest's own directory).
         """
@@ -419,19 +487,42 @@ class FileListSource(TarShardSource):
             for lineno, row in enumerate(rows):
                 if not row or (len(row) == 1 and not row[0].strip()):
                     continue
-                if lineno == 0 and row[0].strip().lower() in cls._HEADER_PATH:
+                if lineno == 0:
                     names = [c.strip().lower() for c in row]
-                    for j, name in enumerate(names):
-                        if name in cls._HEADER_CAPTION:
-                            caption_col = j
-                            break
-                    continue
+                    path_hits = [j for j, n in enumerate(names) if n in cls._HEADER_PATH]
+                    if path_hits:  # header row, in ANY column order
+                        path_col = path_hits[0]
+                        caption_col = next(
+                            (j for j, n in enumerate(names) if n in cls._HEADER_CAPTION),
+                            0 if path_col != 0 else 1,
+                        )
+                        continue
+                    # Header-like but unrecognised (e.g. "image_file,desc"):
+                    # ingesting it as data swaps columns or trains on the
+                    # header text, surfacing only as confusing decode errors.
+                    cell = row[path_col].strip() if len(row) > path_col else ""
+                    resolved = cell if os.path.isabs(cell) else os.path.join(root, cell)
+                    if cell and "://" not in cell and not os.path.exists(resolved):
+                        raise ValueError(
+                            f"{manifest_path}:1: first row is not a recognised "
+                            f"header ({'/'.join(cls._HEADER_PATH)}) and its path "
+                            f"cell does not resolve to a file ({resolved}); "
+                            "rename the header columns or fix image_root"
+                        )
                 if len(row) <= max(path_col, caption_col):
                     raise ValueError(
                         f"{manifest_path}:{lineno + 1}: need at least "
                         f"{max(path_col, caption_col) + 1} columns, got {len(row)}"
                     )
                 p = row[path_col].strip()
+                if p.startswith(("http://", "https://")):
+                    raise ValueError(
+                        f"{manifest_path}:{lineno + 1}: remote URLs are not "
+                        "supported by FileListSource (it opens local paths "
+                        "only) — download with img2dataset "
+                        "(scripts/generate_dataset.py) or pack local files "
+                        "with scripts/pack_dataset.py first"
+                    )
                 if not os.path.isabs(p):
                     p = os.path.join(root, p)
                 entries.append((p, row[caption_col]))

@@ -814,3 +814,46 @@ def test_nonfinite_loss_raises_on_non_lead_hosts():
     pending = [(3, {"loss": np.float32("nan"), "grad_norm": np.float32(1.0)})]
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         Trainer._flush_metrics(fake, pending)
+
+
+def test_cache_source_contract(tmp_path):
+    """CacheSource: one decode pass, then every epoch is a full permutation
+    of exactly the inner source's samples; deterministic skip-by-count
+    resume; the RAM budget is enforced."""
+    from clip_mixer_tpu.data.pipeline import CacheSource
+
+    rng = np.random.default_rng(3)
+    samples = [
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), f"caption number {i}")
+        for i in range(23)
+    ]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "shards"), samples_per_shard=10)
+    inner = TarShardSource(paths, batch_size=4, image_size=16, context_length=16)
+    src = CacheSource(inner)
+
+    a = list(src.iter_batches(epoch=0))
+    assert len(a) == 5 and src.batches_per_epoch == 5  # 23 -> 5 full batches of 4
+    assert a[0]["images"].shape == (4, 16, 16, 3)
+    assert a[0]["images"].dtype == np.uint8
+
+    # epoch is a permutation of the SAME sample set the inner source yields
+    inner_again = TarShardSource(paths, batch_size=4, image_size=16, context_length=16)
+    inner_imgs = np.concatenate([b["images"] for b in inner_again.iter_batches(epoch=0)])
+    cached = np.concatenate([b["images"] for b in a])
+    key = lambda arr: sorted(x.tobytes() for x in arr)  # noqa: E731
+    assert key(cached) == key(inner_imgs[: len(cached)])
+
+    # determinism + resume + cross-epoch reshuffle
+    again = list(src.iter_batches(epoch=0, start_batch=3))
+    np.testing.assert_array_equal(a[3]["images"], again[0]["images"])
+    np.testing.assert_array_equal(a[4]["texts"], again[1]["texts"])
+    e1 = next(iter(src.iter_batches(epoch=1)))
+    assert not np.array_equal(a[0]["images"], e1["images"])
+
+    # budget refusal
+    tiny = CacheSource(
+        TarShardSource(paths, batch_size=4, image_size=16, context_length=16),
+        max_bytes=1000,
+    )
+    with pytest.raises(MemoryError, match="max_bytes"):
+        list(tiny.iter_batches(epoch=0))

@@ -213,3 +213,47 @@ def test_pack_dataset_roundtrip(tmp_path):
         capture_output=True, text=True, timeout=60,
     )
     assert bad.returncode != 0 and "GCS-fuse" in bad.stderr
+
+
+def test_from_csv_reordered_and_unrecognised_headers(tmp_path):
+    """Header detection must not depend on column order, and a header-like
+    first row with unrecognised names must fail loudly instead of being
+    ingested as a (column-swapped) data row."""
+    entries = _write_images(tmp_path, 4)
+
+    # reordered header: caption first, path second
+    manifest = tmp_path / "reordered.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["caption", "filepath"])
+        for p, c in entries:
+            w.writerow([c, os.path.basename(p)])
+    src = FileListSource.from_csv(str(manifest), batch_size=2, image_size=16,
+                                  context_length=16)
+    assert sorted(p for p, _ in src.entries) == sorted(p for p, _ in entries)
+    assert src.entries[0][1] == entries[0][1]
+    assert len(list(src.iter_batches(epoch=0))) == 2
+
+    # unrecognised header names: clear error, not silent column swap
+    bad = tmp_path / "unrecognised.csv"
+    with open(bad, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["image_file", "desc"])
+        for p, c in entries:
+            w.writerow([p, c])
+    with pytest.raises(ValueError, match="not a recognised header"):
+        FileListSource.from_csv(str(bad), batch_size=2)
+
+
+def test_from_csv_rejects_remote_urls(tmp_path):
+    """A URL manifest (img2dataset metadata) must fail at construction with
+    an actionable message — FileListSource only opens local paths, and in
+    substitute mode every URL row would otherwise decay to b'' and the epoch
+    would silently yield zero batches."""
+    manifest = tmp_path / "urls.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["url", "caption"])
+        w.writerow(["https://example.com/cat.jpg", "a cat"])
+    with pytest.raises(ValueError, match="img2dataset|pack_dataset"):
+        FileListSource.from_csv(str(manifest), batch_size=1)

@@ -18,6 +18,7 @@ import os
 from clip_mixer_tpu.config import PRESETS, SIGLIP_LOGIT_SCALE_MAX, TrainConfig
 from clip_mixer_tpu.data.pipeline import (
     FileListSource,
+    CacheSource,
     MixtureSource,
     SyntheticSource,
     TarShardSource,
@@ -88,6 +89,11 @@ def parse_args():
                         "(devices/stages) data x stages")
     p.add_argument("--pipeline-microbatches", type=int, default=8,
                    help="microbatches per PP step (bubble = (S-1)/(M+S-1))")
+    p.add_argument("--cache-data", action="store_true",
+                   help="decode the dataset once into host RAM and serve every "
+                        "epoch from the cache with full-permutation shuffling "
+                        "(tf.data .cache() analogue; for datasets that fit RAM "
+                        "on decode-bound hosts — see CacheSource)")
     p.add_argument("--shuffle-buffer", type=int, default=10000,
                    help="streaming sample-shuffle buffer (the reference trains "
                         "with DataLoader(shuffle=True)); 0 = sequential shard "
@@ -322,6 +328,19 @@ def main():
                 )
             data = MixtureSource(components, weights=weights, **source_kwargs)
 
+    if args.cache_data:
+        if args.synthetic or args.data is None:
+            raise SystemExit("--cache-data needs --data (synthetic data is already RAM-speed)")
+        if isinstance(data, MixtureSource):
+            raise SystemExit(
+                "--cache-data does not compose with --data mixtures (a mixture "
+                "streams indefinitely; cache the packed components instead)"
+            )
+        # Cached epochs are full permutations; the streaming reservoir would
+        # only reorder the one-time fill pass.
+        data.shuffle_buffer = 0
+        data = CacheSource(data)  # seed 0, matching the inner-source default
+
     validators = []
     if not args.no_validators:
         # params are injected fresh by Trainer.validate before each run.
@@ -342,6 +361,9 @@ def main():
             image_size=cfg.image_resolution,
             context_length=cfg.context_length,
             drop_last=False,
+            # a single corrupt image in the held-out split must not abort
+            # the run when the user already opted into substitution
+            on_decode_error=args.on_decode_error,
         )
         validators.append(
             RetrievalValidator(None, cfg, data_source=val_source, max_samples=args.val_samples)
