@@ -31,6 +31,8 @@ Methodology (see ~axon tunnel quirks): every throughput number comes from a
 single jitted loop-carried fori_loop chain whose body perturbs the input with
 the previous result (nothing is loop-invariant, no dispatch gaps measured),
 timed as the slope between two loop lengths; scalars fetched via float().
+The image-path headline is the MEDIAN of three such chains (detail carries
+all three), absorbing the measured ±4% identical-code run spread.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
@@ -75,6 +77,19 @@ def _slope_time(run, n1=5, n2=45):
     return slope_time(run, n1, n2)
 
 
+def _median_ips(run, batch, repeats=3, n1=5, n2=45):
+    """Median imgs/sec over ``repeats`` independent measurement chains.
+
+    Identical-code bench runs historically spread ±4% (README's five-run
+    table: 32.5-35.3k); a single draw from that distribution is a noisy
+    round-over-round record. The headline is therefore the median of three
+    chains measured seconds apart, and the min/max band is self-reported in
+    detail (run-to-run drift shows up as band width, not headline jitter).
+    """
+    vals = sorted(batch / _slope_time(run, n1, n2) for _ in range(repeats))
+    return vals[len(vals) // 2], [round(v, 1) for v in vals]
+
+
 def main():
     from clip_mixer_tpu.config import PRESETS, TrainConfig
     from clip_mixer_tpu.models import clip as clip_model
@@ -105,7 +120,7 @@ def main():
             return feats.astype(jnp.float32).mean() * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    bf16_ips = batch / _slope_time(lambda n: chained(params, images, jnp.int32(n)))
+    bf16_ips, bf16_runs = _median_ips(lambda n: chained(params, images, jnp.int32(n)), batch)
 
     # ---- int8 calibrated image path (the serving headline) ---------------
     from clip_mixer_tpu.ops.quant import (
@@ -124,7 +139,7 @@ def main():
             return f.astype(jnp.float32).mean() * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    int8_ips = batch / _slope_time(lambda n: chained_q(qparams, images, jnp.int32(n)))
+    int8_ips, int8_runs = _median_ips(lambda n: chained_q(qparams, images, jnp.int32(n)), batch)
 
     # ---- int8 accuracy gate: zero-shot top-1 agreement at full scale -----
     gate = None
@@ -192,7 +207,20 @@ def main():
         from clip_mixer_tpu.evals.quant_gate import text_noise_floor_gate
         from clip_mixer_tpu.ops.preprocess import normalize_images
 
-        bank_imgs = synthetic_images(256, cfg.image_resolution, seed=2)
+        # Gate-statistic stability: at n=768 the flip COUNTS are single
+        # digits, so the ratio (int8 flips / max(bf16 flips, 1/n)) swung
+        # 0.0<->1.78 across identical runs (README round-2 table). A
+        # dedicated fixed-seed 4096-text set with a 512-image bank puts
+        # tens of flips in both numerator and denominator; the 5-run
+        # spread table lives in quant_gate.text_noise_floor_gate's
+        # docstring.
+        gate_rng = np.random.default_rng(42)
+        n_gate_texts = 4096
+        gate_texts = np.zeros((n_gate_texts, cfg.context_length), np.int32)
+        gate_texts[:, 0] = 49406
+        gate_texts[:, 1:8] = gate_rng.integers(1, 49000, (n_gate_texts, 7))
+        gate_texts[:, 8] = 49407
+        bank_imgs = synthetic_images(512, cfg.image_resolution, seed=2)
         cfg32 = cfg.replace(compute_dtype="float32")
         bank = np.asarray(
             jax.jit(
@@ -203,7 +231,7 @@ def main():
             np.float32,
         )
         text_gate = text_noise_floor_gate(
-            params, cfg, texts[:768], bank.T, calibrate_n=128, batch_size=256,
+            params, cfg, gate_texts, bank.T, calibrate_n=128, batch_size=512,
             max_flip_ratio=MAX_FLIP_RATIO,
         )
 
@@ -249,6 +277,9 @@ def main():
                 "detail": {
                     "bf16_imgs_per_sec": round(bf16_ips, 1),
                     "int8_imgs_per_sec": round(int8_ips, 1),
+                    # value = median of these three chains; band is min..max
+                    "bf16_runs": bf16_runs,
+                    "int8_runs": int8_runs,
                     "int8_accuracy_gate": gate,
                     "encode_text_texts_per_sec_bf16": round(text_ips, 1) if text_ips else None,
                     "encode_text_texts_per_sec_int8": round(text_int8_ips, 1) if text_int8_ips else None,

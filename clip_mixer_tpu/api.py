@@ -51,8 +51,17 @@ def available_models():
     return list(_MODELS.keys()) + list(PRESETS.keys())
 
 
-def _download(url: str, root: str) -> str:
-    """SHA256-verified download to the cache dir (clip.py:44-73)."""
+def _download(url: str, root: str, retries: int = 4) -> str:
+    """SHA256-verified download to the cache dir (clip.py:44-73), hardened
+    for real 338MB checkpoints: bytes stream into a ``.partial`` file, a
+    dropped connection retries with an HTTP Range request resuming at the
+    exact byte already on disk (the reference restarts from zero), progress
+    goes to stderr (the reference's tqdm, clip.py:58-66, without the dep),
+    and the finished file lands via atomic rename so a torn download can
+    never be mistaken for a cached checkpoint."""
+    import sys
+    import time
+
     os.makedirs(root, exist_ok=True)
     expected_sha256 = url.split("/")[-2]
     target = os.path.join(root, os.path.basename(url))
@@ -62,14 +71,54 @@ def _download(url: str, root: str) -> str:
         if hashlib.sha256(open(target, "rb").read()).hexdigest() == expected_sha256:
             return target
         warnings.warn(f"{target} exists with wrong SHA256; re-downloading")
-    with urllib.request.urlopen(url) as src, open(target, "wb") as out:
-        while True:
-            buf = src.read(1 << 16)
-            if not buf:
+
+    partial = target + ".partial"
+    delay = 2.0
+    for attempt in range(retries + 1):
+        done = os.path.getsize(partial) if os.path.exists(partial) else 0
+        req = urllib.request.Request(url)
+        if done:
+            req.add_header("Range", f"bytes={done}-")
+        try:
+            with urllib.request.urlopen(req) as src:
+                # A server that ignores Range answers 200 with the full
+                # body — start the file over instead of corrupting it.
+                resumed = done and getattr(src, "status", 200) == 206
+                total = src.headers.get("Content-Length")
+                total = int(total) + (done if resumed else 0) if total else None
+                mode = "ab" if resumed else "wb"
+                if not resumed:
+                    done = 0
+                last_print = 0
+                with open(partial, mode) as out:
+                    while True:
+                        buf = src.read(1 << 16)
+                        if not buf:
+                            break
+                        out.write(buf)
+                        done += len(buf)
+                        if done - last_print >= (8 << 20):
+                            last_print = done
+                            pct = f" ({100 * done / total:.0f}%)" if total else ""
+                            print(f"\rdownloading {os.path.basename(target)}: "
+                                  f"{done >> 20} MiB{pct}", end="", file=sys.stderr)
+                if last_print:
+                    print(file=sys.stderr)
+            break
+        except Exception as e:
+            status = getattr(e, "code", None) or getattr(e, "status", None)
+            if status == 416 and done:  # partial is already the full file
                 break
-            out.write(buf)
-    if hashlib.sha256(open(target, "rb").read()).hexdigest() != expected_sha256:
+            if attempt == retries:
+                raise
+            print(f"download interrupted at {done} bytes ({e}); resuming "
+                  f"in {delay:.0f}s [{attempt + 1}/{retries}]", file=sys.stderr)
+            time.sleep(delay)
+            delay *= 2
+    if hashlib.sha256(open(partial, "rb").read()).hexdigest() != expected_sha256:
+        os.remove(partial)  # poisoned bytes would fail every future resume
         raise RuntimeError("Model downloaded but the SHA256 checksum does not match")
+    os.replace(partial, target)
     return target
 
 

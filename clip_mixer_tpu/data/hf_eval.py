@@ -21,18 +21,17 @@ class DatasetUnavailable(RuntimeError):
     pass
 
 
-_HUB_REACHABLE = None  # one probe per process
+_REACHABLE: dict = {}  # one probe per (process, host)
 
 
-def _hub_reachable(timeout: float = 5.0) -> bool:
-    """One-shot DNS probe of the HF hub. A zero-egress host fails resolution
+def host_reachable(host: str, timeout: float = 5.0) -> bool:
+    """One-shot DNS probe of ``host``. A zero-egress host fails resolution
     in milliseconds; without this the hub client retries 5x with backoff
     (~30s) PER DATASET, per validation pass — on a pod with periodic
     validation that compounds. getaddrinfo ignores socket timeouts, so the
     probe runs in a daemon thread with a hard join deadline (an unresolvable
     slow resolver counts as unreachable rather than hanging the trainer)."""
-    global _HUB_REACHABLE
-    if _HUB_REACHABLE is None:
+    if host not in _REACHABLE:
         import os
         import socket
         import threading
@@ -42,16 +41,16 @@ def _hub_reachable(timeout: float = 5.0) -> bool:
             for k in ("HTTPS_PROXY", "https_proxy", "HTTP_PROXY", "http_proxy",
                       "ALL_PROXY", "all_proxy")
         ):
-            # Proxied hosts resolve hub names AT the proxy — a local
-            # getaddrinfo failure says nothing. Let the hub client try.
-            _HUB_REACHABLE = True
+            # Proxied hosts resolve names AT the proxy — a local
+            # getaddrinfo failure says nothing. Let the client try.
+            _REACHABLE[host] = True
             return True
 
         result = []
 
         def probe():
             try:
-                socket.getaddrinfo("huggingface.co", 443)
+                socket.getaddrinfo(host, 443)
                 result.append(True)
             except OSError:
                 result.append(False)
@@ -59,8 +58,12 @@ def _hub_reachable(timeout: float = 5.0) -> bool:
         t = threading.Thread(target=probe, daemon=True)
         t.start()
         t.join(timeout)
-        _HUB_REACHABLE = bool(result and result[0])
-    return _HUB_REACHABLE
+        _REACHABLE[host] = bool(result and result[0])
+    return _REACHABLE[host]
+
+
+def _hub_reachable(timeout: float = 5.0) -> bool:
+    return host_reachable("huggingface.co", timeout)
 
 
 def _load(name: str, split: str):

@@ -21,6 +21,7 @@ import os
 import queue
 import tarfile
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -109,31 +110,86 @@ class CacheSource(DataSource):
     15GB; the fill refuses to grow past ``max_bytes``. Only sensible when the
     dataset fits host RAM and repeats (epochs > 1); for single-pass streaming
     over a large corpus use the tar source directly.
+
+    ``cache_dir`` makes the cache disk-backed (memmapped .npy files keyed by
+    a fingerprint of the inner source's shards): later processes — a resumed
+    run after a kill, a second experiment on the same data — skip the decode
+    pass entirely and serve from the OS page cache. Writes go through a temp
+    file + atomic rename, so an interrupted fill can never be mistaken for a
+    complete cache.
     """
 
-    def __init__(self, inner: DataSource, seed: int = 0, max_bytes: int = 64 << 30):
+    def __init__(
+        self,
+        inner: DataSource,
+        seed: int = 0,
+        max_bytes: int = 64 << 30,
+        cache_dir: Optional[str] = None,
+    ):
         self.inner = inner
         self.seed = seed
         self.max_bytes = max_bytes
+        self.cache_dir = cache_dir
         self.batch_size = inner.batch_size
         self._images: Optional[np.ndarray] = None
         self._texts: Optional[np.ndarray] = None
 
+    def _fingerprint(self) -> str:
+        """Identity of the decoded cache: the inner source's shard files
+        (path + size) and the decode geometry. Per-host shard splits hash
+        differently, so hosts sharing one cache_dir cannot collide."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for p in getattr(self.inner, "shards", []):
+            try:
+                h.update(f"{p}:{os.path.getsize(p)};".encode())
+            except OSError:
+                h.update(f"{p}:?;".encode())
+        h.update(f"res={getattr(self.inner, 'image_size', 0)};"
+                 f"ctx={getattr(self.inner, 'context_length', 0)}".encode())
+        return h.hexdigest()[:16]
+
     def _fill(self) -> None:
+        if self.cache_dir is not None:
+            fp = self._fingerprint()
+            img_path = os.path.join(self.cache_dir, f"images-{fp}.npy")
+            txt_path = os.path.join(self.cache_dir, f"texts-{fp}.npy")
+            if os.path.exists(img_path) and os.path.exists(txt_path):
+                self._images = np.load(img_path, mmap_mode="r")
+                self._texts = np.load(txt_path, mmap_mode="r")
+                return
         imgs, txts, total = [], [], 0
-        for batch in self.inner.iter_batches(epoch=0):
-            imgs.append(batch["images"])
-            txts.append(batch["texts"])
-            total += batch["images"].nbytes + batch["texts"].nbytes
-            if total > self.max_bytes:
-                raise MemoryError(
-                    f"CacheSource: cache would exceed max_bytes={self.max_bytes}; "
-                    "stream from the inner source instead or raise the budget"
-                )
+        # The fill must see EVERY sample: at large train batch sizes the
+        # inner source's drop_last would silently discard up to batch_size-1
+        # tail samples from the cache (the cache re-batches anyway).
+        inner_drop_last = getattr(self.inner, "drop_last", None)
+        if inner_drop_last is not None:
+            self.inner.drop_last = False
+        try:
+            for batch in self.inner.iter_batches(epoch=0):
+                imgs.append(batch["images"])
+                txts.append(batch["texts"])
+                total += batch["images"].nbytes + batch["texts"].nbytes
+                if total > self.max_bytes:
+                    raise MemoryError(
+                        f"CacheSource: cache would exceed max_bytes={self.max_bytes}; "
+                        "stream from the inner source instead or raise the budget"
+                    )
+        finally:
+            if inner_drop_last is not None:
+                self.inner.drop_last = inner_drop_last
         if not imgs:
             raise ValueError("CacheSource: inner source yielded no batches")
         self._images = np.concatenate(imgs)
         self._texts = np.concatenate(txts)
+        if self.cache_dir is not None:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            for path, arr in ((img_path, self._images), (txt_path, self._texts)):
+                tmp = f"{path}.tmp{os.getpid()}.npy"
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, path)
 
     @property
     def n_samples(self) -> int:
@@ -149,7 +205,14 @@ class CacheSource(DataSource):
         n = self.n_samples
         order = np.random.default_rng((self.seed, epoch, 3)).permutation(n)
         for b in range(start_batch, n // self.batch_size):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            # Sorted gather: batch COMPOSITION comes from the epoch
+            # permutation; within-batch order is ascending. The contrastive
+            # objectives are within-batch permutation-equivariant (labels are
+            # arange(B) row-matched either way), and an ascending 4.8GB
+            # gather is 21x faster than a random one on this host (3.7s vs
+            # 78.5s — TLB/page locality), which is the difference between a
+            # compute-bound and an input-bound 32k-batch step.
+            idx = np.sort(order[b * self.batch_size : (b + 1) * self.batch_size])
             yield Batch(images=self._images[idx], texts=self._texts[idx])
 
 
@@ -184,8 +247,94 @@ def _decode_chunk(args):
     return [_decode_checked(b, c, image_size) for b, c in samples]
 
 
+class _RetryingStream(io.RawIOBase):
+    """Sequential reader over a remote object (any fsspec scheme: gs://,
+    s3://, file://, memory://) with bounded reconnect-and-resume retry.
+
+    The reference re-fetches each failed SAMPLE up to 10 times
+    (dataset.py:134-142); here the unit of IO is the shard stream, so the
+    equivalent robustness is per-read: a dropped connection mid-shard
+    reopens the object and seeks back to the exact byte offset already
+    consumed — no sample is skipped or duplicated, keeping the
+    deterministic skip-by-count resume contract intact.
+    """
+
+    def __init__(self, path: str, retries: int = 4, backoff: float = 0.5, open_fn=None):
+        if open_fn is None:
+            import fsspec
+
+            open_fn = lambda: fsspec.open(path, "rb").open()  # noqa: E731
+        self._open_fn = open_fn
+        self._path = path
+        self._retries = retries
+        self._backoff = backoff
+        self._pos = 0
+        self._f = None
+        self._reopen()
+
+    def _reopen(self) -> None:
+        if self._f is not None:
+            try:
+                self._f.close()
+            except Exception:
+                pass
+        self._f = self._open_fn()
+        if self._pos:
+            self._f.seek(self._pos)
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        delay = self._backoff
+        for attempt in range(self._retries + 1):
+            try:
+                data = self._f.read(len(b))
+                n = len(data)
+                b[:n] = data
+                self._pos += n
+                return n
+            except Exception:
+                if attempt == self._retries:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+                try:
+                    self._reopen()
+                except Exception:
+                    pass  # next loop iteration retries the reopen too
+        raise AssertionError("unreachable")
+
+    def close(self) -> None:
+        if self._f is not None:
+            try:
+                self._f.close()
+            except Exception:
+                pass
+        super().close()
+
+
+def open_shard_stream(path: str, readahead_bytes: int = 16 << 20):
+    """Readahead-buffered, retrying byte stream for a remote shard."""
+    return io.BufferedReader(_RetryingStream(path), buffer_size=readahead_bytes)
+
+
+def expand_shard_pattern(pattern: str) -> List[str]:
+    """Glob a shard pattern, local or remote (any fsspec scheme)."""
+    if "://" in pattern:
+        import fsspec
+
+        fs, _, paths = fsspec.get_fs_token_paths(pattern)
+        return [fs.unstrip_protocol(p) for p in paths]
+    import glob as _glob
+
+    return sorted(_glob.glob(pattern))
+
+
 class TarShardSource(DataSource):
-    """Webdataset-style source over local/NFS/GCS-fuse tar shards.
+    """Webdataset-style source over tar shards — local/NFS paths or remote
+    URIs streamed directly (gs://, s3://, ... via fsspec with readahead and
+    bounded mid-stream retry; no FUSE mount needed).
 
     Each shard holds {key}.jpg + {key}.txt pairs (img2dataset layout). Images
     are decoded with PIL and preprocessed host-side to fixed-size HWC uint8
@@ -285,19 +434,32 @@ class TarShardSource(DataSource):
     def _iter_shard_samples(self, epoch: int) -> Iterator[Tuple[bytes, str]]:
         order = np.random.default_rng((self.seed, epoch)).permutation(len(self.shards))
         for si in order:
-            with tarfile.open(self.shards[si], "r") as tar:
-                pending: Dict[str, Dict[str, bytes]] = {}
-                for info in tar:
-                    if not info.isfile():
-                        continue
-                    key, ext = os.path.splitext(os.path.basename(info.name))
-                    if ext not in (".jpg", ".jpeg", ".png", ".txt"):
-                        continue
-                    entry = pending.setdefault(key, {})
-                    entry["img" if ext != ".txt" else "txt"] = tar.extractfile(info).read()
-                    if "img" in entry and "txt" in entry:
-                        yield entry["img"], entry["txt"].decode("utf-8", "replace")
-                        del pending[key]
+            path = self.shards[si]
+            if "://" in path:
+                # remote: sequential tar stream ("r|*": members read in
+                # order, no random access) over the retrying readahead reader
+                with open_shard_stream(path) as fobj, tarfile.open(
+                    fileobj=fobj, mode="r|*"
+                ) as tar:
+                    yield from self._iter_tar_members(tar)
+            else:
+                with tarfile.open(path, "r") as tar:
+                    yield from self._iter_tar_members(tar)
+
+    @staticmethod
+    def _iter_tar_members(tar) -> Iterator[Tuple[bytes, str]]:
+        pending: Dict[str, Dict[str, bytes]] = {}
+        for info in tar:
+            if not info.isfile():
+                continue
+            key, ext = os.path.splitext(os.path.basename(info.name))
+            if ext not in (".jpg", ".jpeg", ".png", ".txt"):
+                continue
+            entry = pending.setdefault(key, {})
+            entry["img" if ext != ".txt" else "txt"] = tar.extractfile(info).read()
+            if "img" in entry and "txt" in entry:
+                yield entry["img"], entry["txt"].decode("utf-8", "replace")
+                del pending[key]
 
     def _decode(self, sample: Tuple[bytes, str]):
         img_bytes, caption = sample

@@ -55,32 +55,100 @@ class ImageNetValidator:
         return res
 
 
+# The dataset the reference evaluates on, via the imagenetv2_pytorch package
+# (validation.py:114-116). Primary URL is that package's current source (its
+# original S3 bucket is defunct upstream); extraction yields the
+# "imagenetv2-matched-frequency-format-val/<class 0..999>/*.jpeg" layout.
+_IMAGENETV2_URLS = (
+    "https://huggingface.co/datasets/vaishaal/ImageNetV2/resolve/main/imagenetv2-matched-frequency.tar.gz",
+    "https://imagenetv2public.s3-us-west-2.amazonaws.com/imagenetv2-matched-frequency.tar.gz",
+)
+
+
+def _find_imagenetv2_root(location: str):
+    import os
+
+    for cand in (
+        os.path.join(location, "imagenetv2-matched-frequency-format-val"),
+        location,
+    ):
+        if os.path.isdir(cand) and os.path.isdir(os.path.join(cand, "0")):
+            return cand
+    return None
+
+
+def fetch_imagenetv2(location: str = "datasetImageNet") -> str:
+    """Download + extract ImageNetV2 matched-frequency into ``location`` and
+    return the class-folder root — the self-provisioning the reference gets
+    from imagenetv2_pytorch (validation.py:114-116). Offline-gated by the
+    same fast DNS probe as the HF loaders; the download goes through a
+    .partial temp file so an interrupted fetch is never mistaken for a
+    complete archive."""
+    import os
+    import tarfile
+    import urllib.request
+
+    from clip_mixer_tpu.data.hf_eval import host_reachable
+
+    existing = _find_imagenetv2_root(location)
+    if existing is not None:
+        return existing
+    os.makedirs(location, exist_ok=True)
+    last_err = "no URL reachable (offline)"
+    for url in _IMAGENETV2_URLS:
+        host = url.split("/")[2]
+        if not host_reachable(host):
+            continue
+        tmp = os.path.join(location, ".imagenetv2.tar.gz.partial")
+        try:
+            with urllib.request.urlopen(url, timeout=60) as src, open(tmp, "wb") as out:
+                done = 0
+                while True:
+                    buf = src.read(1 << 20)
+                    if not buf:
+                        break
+                    out.write(buf)
+                    done += len(buf)
+                    if done % (200 << 20) < (1 << 20):
+                        print(f"[imagenetv2] {done >> 20} MiB from {host}", flush=True)
+            with tarfile.open(tmp, "r:gz") as tar:
+                tar.extractall(location, filter="data")
+            os.remove(tmp)
+            root = _find_imagenetv2_root(location)
+            if root is not None:
+                return root
+            last_err = f"{url}: archive extracted but no class folders found"
+        except Exception as e:
+            last_err = f"{url}: {e}"
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    raise DatasetUnavailable(f"ImageNetV2 fetch failed: {last_err}")
+
+
 def _imagenetv2_batches(batch_size: int = 256, location: str = "datasetImageNet", image_size: int = 224):
-    """ImageNetV2 ("matched-frequency") loader. Expects the extracted class
-    folders (0..999) under ``location`` (the reference downloads them via
-    imagenetv2_pytorch, validation.py:114-116); raises DatasetUnavailable
-    offline."""
+    """ImageNetV2 ("matched-frequency") loader. Uses the extracted class
+    folders (0..999) under ``location``, self-provisioning them when egress
+    exists (``fetch_imagenetv2``); raises DatasetUnavailable offline."""
     import os
 
     from PIL import Image
 
     from clip_mixer_tpu.ops.preprocess import preprocess_pil
 
-    root = None
-    for cand in (
-        os.path.join(location, "imagenetv2-matched-frequency-format-val"),
-        location,
-    ):
-        if os.path.isdir(cand) and os.path.isdir(os.path.join(cand, "0")):
-            root = cand
-            break
+    root = _find_imagenetv2_root(location)
     if root is None:
-        raise DatasetUnavailable(f"ImageNetV2 not found under {location}")
+        root = fetch_imagenetv2(location)  # raises DatasetUnavailable offline
+
+    classes = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    if not classes:
+        raise DatasetUnavailable(f"ImageNetV2 under {root} has no class folders")
 
     def gen():
         images, targets = [], []
         yielded = False
-        for cls in range(1000):
+        for cls in classes:
             d = os.path.join(root, str(cls))
             try:
                 fnames = sorted(os.listdir(d))

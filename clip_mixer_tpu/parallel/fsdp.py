@@ -203,6 +203,15 @@ def make_fsdp_train_step(
             texts.reshape(accum_steps, mb, *texts.shape[1:]), mb_spec
         )
 
+        def get_chunk(i):
+            # GSPMD path: keep the data-axis-resharded stack (each chunk
+            # stays split over DATA_AXIS); a flat dynamic_slice here would
+            # cut across device shards and force a per-microbatch all-to-all.
+            return (
+                jax.lax.dynamic_index_in_dim(imgs, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(txts, i, 0, keepdims=False),
+            )
+
         def micro_feats(p, im_u8, tx):
             p = freeze_subtree(p, tcfg.freeze)
             im = normalize_images(im_u8, dtype=dtype)
@@ -222,7 +231,7 @@ def make_fsdp_train_step(
             )
 
         loss, grads = two_pass_accum_grads(
-            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=keys
+            params, accum_steps, get_chunk, micro_feats, feat_loss, loss_param_keys=keys
         )
         return loss, grads, {}
 

@@ -49,7 +49,12 @@ from clip_mixer_tpu.ops.augment import maybe_augment
 from clip_mixer_tpu.ops.preprocess import normalize_images
 from clip_mixer_tpu.parallel.mesh import DATA_AXIS
 from clip_mixer_tpu.parallel.tp import f_psum, g_psum
-from clip_mixer_tpu.parallel.train_step import TrainState, freeze_subtree, two_pass_accum_grads
+from clip_mixer_tpu.parallel.train_step import (
+    TrainState,
+    flat_chunker as train_step_flat_chunker,
+    freeze_subtree,
+    two_pass_accum_grads,
+)
 
 STAGE_AXIS = "stage"
 
@@ -231,8 +236,7 @@ def make_pp_train_step(
         assert local_b % accum_steps == 0, (local_b, accum_steps)
         mb = local_b // accum_steps
         assert mb % n_micro == 0, (mb, n_micro)
-        imgs = images.reshape(accum_steps, mb, *images.shape[1:])
-        txts = texts.reshape(accum_steps, mb, *texts.shape[1:])
+        get_chunk = train_step_flat_chunker(images, texts, accum_steps)
 
         def micro_feats(p, im_u8, tx):
             p = freeze_subtree(p, tcfg.freeze)
@@ -253,7 +257,7 @@ def make_pp_train_step(
             )
 
         loss, grads = two_pass_accum_grads(
-            params, imgs, txts, micro_feats, feat_loss, loss_param_keys=keys
+            params, accum_steps, get_chunk, micro_feats, feat_loss, loss_param_keys=keys
         )
         return jax.lax.pmean(loss, DATA_AXIS), jax.lax.pmean(grads, DATA_AXIS)
 

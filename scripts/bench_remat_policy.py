@@ -46,7 +46,7 @@ def main():
     from clip_mixer_tpu.models import clip as clip_model
     from clip_mixer_tpu.ops.losses import info_nce
     from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
-    from clip_mixer_tpu.parallel.train_step import two_pass_accum_grads
+    from clip_mixer_tpu.parallel.train_step import flat_chunker, two_pass_accum_grads
     from clip_mixer_tpu.train.optimizer import make_optimizer
     from clip_mixer_tpu.utils.profiling import chained_train_time
 
@@ -75,7 +75,6 @@ def main():
         # keys, the reference's detach) so accum-vs-plain timings compare the
         # same backward math.
         if args.accum > 1:
-            mb = b // args.accum
             def loss_and_grads(p, imgs_u8, tk):
                 def micro_feats(pp, im_u8, tx):
                     img, txt, _s, _bn = clip_model.forward_train(pp, rcfg, pre(im_u8), tx)
@@ -83,9 +82,8 @@ def main():
                 def feat_loss(fi, ft, loss_params):
                     return info_nce(fi.reshape(b, -1), ft.reshape(b, -1),
                                     jnp.exp(loss_params["logit_scale"]))
-                si = imgs_u8.reshape(args.accum, mb, *imgs_u8.shape[1:])
-                st = tk.reshape(args.accum, mb, *tk.shape[1:])
-                return two_pass_accum_grads(p, si, st, micro_feats, feat_loss)
+                get_chunk = flat_chunker(imgs_u8, tk, args.accum)
+                return two_pass_accum_grads(p, args.accum, get_chunk, micro_feats, feat_loss)
         else:
             def loss_and_grads(p, imgs_u8, tk):
                 def loss_fn(pp):

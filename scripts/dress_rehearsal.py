@@ -1,0 +1,154 @@
+"""Full-fidelity dress rehearsal of the reference's production training run.
+
+The reference's headline run: Mixer-B/32, global batch 32,768, fp16, 8xA100,
+LAION-COCO webdataset shards, checkpoint+validate every 400 steps, crash
+resume from checkpoints (/root/reference/training/training.py:56-62,197-205).
+This script reproduces that composition on ONE v5e chip against the locally
+generated natural-ish shard set (scripts/make_dress_dataset.py):
+
+  * the real train.py CLI under the elastic supervisor (scripts/supervise.py),
+  * global batch 32,768 via exact GradCache accumulation (--accum-steps),
+  * decode-once RAM/disk cache (--cache-data) — one core cannot JPEG-decode
+    2k imgs/s; the cache is the tf.data .cache() answer,
+  * RetrievalValidator on a held-out shard (--val-data),
+  * checkpoint cadence 400, and a mid-run hard crash (--crash-after-steps)
+    that the supervisor must recover from checkpoints,
+
+then distills outputs/<run>/metrics.jsonl into TRAIN_DRESS.json: loss curve,
+retrieval-metric series, steady-state imgs/s at the 32k batch, restart count,
+and the resume boundary.
+
+Usage:
+  python scripts/dress_rehearsal.py --steps 510 --accum 16 \
+      --data '/root/data/dress/0000[0-8].tar' --val-data /root/data/dress/00009.tar
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def read_metrics(run_dir: Path):
+    series = {}
+    path = run_dir / "runs" / "metrics.jsonl"
+    if not path.exists():
+        return series
+    for line in path.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # truncated tail line from a crash
+        series.setdefault(rec["name"], []).append((rec["step"], rec["value"]))
+    return series
+
+
+def thin(points, keep=60):
+    if len(points) <= keep:
+        return points
+    stride = max(1, len(points) // keep)
+    out = points[::stride]
+    if out[-1] != points[-1]:
+        out.append(points[-1])
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", default="/root/data/dress/0000[0-8].tar")
+    p.add_argument("--val-data", default="/root/data/dress/00009.tar")
+    p.add_argument("--cache-dir", default="/root/data/cache")
+    p.add_argument("--steps", type=int, default=510)
+    p.add_argument("--global-batch", type=int, default=32768)  # training.py:56
+    p.add_argument("--accum", type=int, default=16)
+    p.add_argument("--checkpoint-every", type=int, default=400)  # training.py:197
+    p.add_argument("--validate-every", type=int, default=100)
+    p.add_argument("--crash-after-steps", type=int, default=250,
+                   help="hard-crash each launch after N local steps (0 = off); "
+                        "the supervisor resumes from the last checkpoint")
+    p.add_argument("--run-name", default="dress")
+    p.add_argument("--out", default="TRAIN_DRESS.json")
+    p.add_argument("--max-restarts", type=int, default=8)
+    args = p.parse_args()
+
+    run_dir = REPO / "outputs" / args.run_name
+    # batches/epoch is set by the dataset (90k samples / 32768 = 2), so epochs
+    # is derived from the requested step count.
+    import math
+
+    # the cache serves floor(n_samples / batch) full batches per epoch
+    steps_per_epoch = 2 if args.global_batch == 32768 else None
+    epochs = math.ceil(args.steps / (steps_per_epoch or 1))
+
+    train_args = [
+        "--preset", "mixer-b32",
+        "--data", args.data,
+        "--cache-data", args.cache_dir,
+        "--global-batch-size", str(args.global_batch),
+        "--accum-steps", str(args.accum),
+        "--epochs", str(epochs),
+        "--checkpoint-every", str(args.checkpoint_every),
+        "--validate-every", str(args.validate_every),
+        "--no-validators",  # offline HF validators skip anyway; retrieval rides --val-data
+        "--val-data", args.val_data,
+        "--val-samples", "2048",
+        "--run-name", args.run_name,
+        "--verbose",
+    ]
+    if args.crash_after_steps:
+        train_args += ["--crash-after-steps", str(args.crash_after_steps)]
+
+    cmd = [sys.executable, str(REPO / "scripts" / "supervise.py"),
+           "--max-restarts", str(args.max_restarts), "--"] + train_args
+    print("[dress] launching:", " ".join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO)
+    wall = time.time() - t0
+
+    series = read_metrics(run_dir)
+    losses = series.get("Loss", [])
+    ips = series.get("Throughput (imgs/s)", [])
+    retrieval = {k: thin(v, 30) for k, v in series.items() if k.startswith("retrieval")}
+    # steady-state throughput: median over the second half of the run
+    steady = sorted(v for _, v in ips[len(ips) // 2:]) if ips else []
+    result = {
+        "config": {
+            "preset": "mixer-b32",
+            "global_batch_size": args.global_batch,
+            "accum_steps": args.accum,
+            "steps_requested": args.steps,
+            "checkpoint_every": args.checkpoint_every,
+            "validate_every": args.validate_every,
+            "crash_after_steps": args.crash_after_steps,
+            "data": args.data,
+            "val_data": args.val_data,
+        },
+        "supervisor_exit": proc.returncode,
+        "wall_seconds": round(wall, 1),
+        "steps_completed": losses[-1][0] if losses else 0,
+        "loss_first": losses[0][1] if losses else None,
+        "loss_last": losses[-1][1] if losses else None,
+        "loss_curve": thin(losses, 80),
+        "imgs_per_sec_median_steady": steady[len(steady) // 2] if steady else None,
+        "imgs_per_sec_series": thin(ips, 40),
+        "retrieval": retrieval,
+        # with --crash-after-steps each launch dies after exactly N local
+        # steps, so completed_steps // N is the number of crash->resume cycles
+        "restarts": ((losses[-1][0] if losses else 0) // args.crash_after_steps
+                     if args.crash_after_steps else 0),
+    }
+    with open(REPO / args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: result[k] for k in (
+        "steps_completed", "loss_first", "loss_last",
+        "imgs_per_sec_median_steady", "wall_seconds", "supervisor_exit")}))
+    return 0 if proc.returncode == 0 and losses else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

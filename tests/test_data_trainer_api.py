@@ -1,5 +1,8 @@
 """Data pipeline, Trainer orchestration, and public-API gates."""
 
+import io
+import os
+
 import numpy as np
 import pytest
 
@@ -836,12 +839,18 @@ def test_cache_source_contract(tmp_path):
     assert a[0]["images"].shape == (4, 16, 16, 3)
     assert a[0]["images"].dtype == np.uint8
 
-    # epoch is a permutation of the SAME sample set the inner source yields
-    inner_again = TarShardSource(paths, batch_size=4, image_size=16, context_length=16)
+    # the cache holds EVERY sample (the fill lifts the inner drop_last, so
+    # the 3 tail samples are cached too) and an epoch draws from that set
+    # without duplicates
+    assert src.n_samples == 23
+    inner_again = TarShardSource(paths, batch_size=4, image_size=16,
+                                 context_length=16, drop_last=False)
     inner_imgs = np.concatenate([b["images"] for b in inner_again.iter_batches(epoch=0)])
     cached = np.concatenate([b["images"] for b in a])
-    key = lambda arr: sorted(x.tobytes() for x in arr)  # noqa: E731
-    assert key(cached) == key(inner_imgs[: len(cached)])
+    key = lambda arr: [x.tobytes() for x in arr]  # noqa: E731
+    full, drawn = key(inner_imgs), key(cached)
+    assert len(set(drawn)) == len(drawn)  # a permutation never repeats
+    assert set(drawn) <= set(full) and len(full) == 23
 
     # determinism + resume + cross-epoch reshuffle
     again = list(src.iter_batches(epoch=0, start_batch=3))
@@ -857,3 +866,189 @@ def test_cache_source_contract(tmp_path):
     )
     with pytest.raises(MemoryError, match="max_bytes"):
         list(tiny.iter_batches(epoch=0))
+
+
+def test_cache_source_disk_backed(tmp_path):
+    """Disk-backed cache: a second CacheSource over the same shards loads the
+    memmapped .npy without re-decoding (inner source not touched), yields
+    identical batches, and a different geometry misses the fingerprint."""
+    from clip_mixer_tpu.data.pipeline import CacheSource
+
+    rng = np.random.default_rng(4)
+    samples = [
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), f"caption number {i}")
+        for i in range(9)
+    ]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "shards"), samples_per_shard=5)
+    cache = str(tmp_path / "cache")
+
+    inner = TarShardSource(paths, batch_size=2, image_size=16, context_length=16)
+    first = list(CacheSource(inner, cache_dir=cache).iter_batches(epoch=1))
+
+    class Exploding(TarShardSource):
+        def iter_batches(self, epoch, start_batch=0):
+            raise AssertionError("cache hit must not decode")
+
+    inner2 = Exploding(paths, batch_size=2, image_size=16, context_length=16)
+    second = list(CacheSource(inner2, cache_dir=cache).iter_batches(epoch=1))
+    assert len(first) == len(second) == 4
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["texts"], b["texts"])
+
+    # different decode geometry -> different fingerprint -> fresh fill
+    inner3 = TarShardSource(paths, batch_size=2, image_size=24, context_length=16)
+    third = list(CacheSource(inner3, cache_dir=cache).iter_batches(epoch=1))
+    assert third[0]["images"].shape == (2, 24, 24, 3)
+
+
+def test_tar_source_remote_streaming(tmp_path):
+    """Direct remote shard streaming (the reference reads every sample over
+    the network, dataset.py:126-147): a TarShardSource over file:// and
+    memory:// URIs must yield byte-identical batches to the local-path
+    source, through the sequential r|* tar stream + retrying reader."""
+    import fsspec
+
+    from clip_mixer_tpu.data.pipeline import expand_shard_pattern
+
+    rng = np.random.default_rng(5)
+    samples = [
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), f"caption number {i}")
+        for i in range(10)
+    ]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "shards"), samples_per_shard=5)
+    kw = dict(batch_size=2, image_size=16, context_length=16)
+    local = list(TarShardSource(paths, **kw).iter_batches(epoch=0))
+
+    remote_paths = expand_shard_pattern(f"file://{tmp_path}/shards/*.tar")
+    assert [os.path.basename(p) for p in remote_paths] == [os.path.basename(p) for p in paths]
+    assert all(p.startswith("file://") for p in remote_paths)
+    remote = list(TarShardSource(remote_paths, **kw).iter_batches(epoch=0))
+    assert len(remote) == len(local) == 5
+    for a, b in zip(local, remote):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["texts"], b["texts"])
+
+    # a second scheme, object-store-shaped (block reads, no OS file handle)
+    mem = fsspec.filesystem("memory")
+    for p in paths:
+        with open(p, "rb") as src, mem.open(f"/shards/{os.path.basename(p)}", "wb") as dst:
+            dst.write(src.read())
+    mem_paths = expand_shard_pattern("memory://shards/*.tar")
+    assert len(mem_paths) == 2
+    memory = list(TarShardSource(mem_paths, **kw).iter_batches(epoch=0))
+    for a, b in zip(local, memory):
+        np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_retrying_stream_resumes_at_offset():
+    """A connection dropped mid-shard must resume at the exact byte offset —
+    no skipped or duplicated bytes (the resume contract depends on it)."""
+    from clip_mixer_tpu.data.pipeline import _RetryingStream
+
+    payload = bytes(range(256)) * 512  # 128 KiB
+
+    class FlakyFile:
+        """Raises after serving some bytes, twice; then a clean connection."""
+
+        def __init__(self, fails_left):
+            self.pos = 0
+            self.fails_left = fails_left
+
+        def seek(self, pos):
+            self.pos = pos
+
+        def read(self, n):
+            if self.fails_left and self.pos >= len(payload) // 3:
+                self.fails_left -= 1
+                raise IOError("connection reset by peer")
+            out = payload[self.pos : self.pos + n]
+            self.pos += len(out)
+            return out
+
+        def close(self):
+            pass
+
+    state = {"opens": 0, "fails": 2}
+
+    def open_fn():
+        state["opens"] += 1
+        return FlakyFile(fails_left=state.pop("fails") if "fails" in state else 0)
+
+    raw = _RetryingStream("fake://x", retries=4, backoff=0.0, open_fn=open_fn)
+    got = io.BufferedReader(raw, buffer_size=4096).read()
+    assert got == payload
+    assert state["opens"] >= 2  # it really reconnected
+
+    # retry budget exhausted -> the error propagates
+    state2 = {"n": 0}
+
+    def always_fails():
+        state2["n"] += 1
+        return FlakyFile(fails_left=99)
+
+    raw2 = _RetryingStream("fake://y", retries=2, backoff=0.0, open_fn=always_fails)
+    with pytest.raises(IOError):
+        io.BufferedReader(raw2, buffer_size=4096).read()
+
+
+def test_download_resumes_with_range(monkeypatch, tmp_path):
+    """api._download survives mid-stream disconnects: retry resumes at the
+    byte offset already on disk via an HTTP Range request (no re-download
+    from zero), the SHA256 gate still runs on the assembled file, and the
+    finished checkpoint lands atomically (no .partial left behind)."""
+    import hashlib
+    import io as _io
+    import urllib.request
+
+    from clip_mixer_tpu import api
+
+    payload = bytes(range(256)) * 2048  # 512 KiB
+    sha = hashlib.sha256(payload).hexdigest()
+    url = f"https://fake.test/{sha}/model.pt"
+    calls = []
+
+    class FlakyRangeServer:
+        def __init__(self, start, fail_after):
+            self._b = _io.BytesIO(payload[start:])
+            self._served = 0
+            self._fail_after = fail_after
+            self.status = 206 if start else 200
+            self.headers = {"Content-Length": str(len(payload) - start)}
+
+        def read(self, n):
+            if self._fail_after is not None and self._served >= self._fail_after:
+                raise ConnectionResetError("mid-stream drop")
+            out = self._b.read(n)
+            self._served += len(out)
+            return out
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, *a, **k):
+        rng_header = req.get_header("Range")
+        start = int(rng_header.split("=")[1].rstrip("-")) if rng_header else 0
+        calls.append(start)
+        # first connection drops after 128 KiB; the resumed one completes
+        return FlakyRangeServer(start, fail_after=(128 << 10) if not start else None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    target = api._download(url, str(tmp_path))
+    assert open(target, "rb").read() == payload
+    assert calls[0] == 0 and len(calls) == 2
+    assert calls[1] > 0  # second request actually resumed mid-file
+    assert not os.path.exists(target + ".partial")
+
+    # corrupted payload -> hard error and the poisoned partial is removed
+    bad_url = f"https://fake.test/{'0' * 64}/model2.pt"
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda req, *a, **k: FlakyRangeServer(0, None)
+    )
+    with pytest.raises(RuntimeError, match="SHA256"):
+        api._download(bad_url, str(tmp_path))
+    assert not os.path.exists(str(tmp_path / "model2.pt.partial"))

@@ -205,7 +205,7 @@ def test_hf_eval_offline_autodetect(monkeypatch):
         raise socket.gaierror("Name or service not known")
 
     monkeypatch.setattr(socket, "getaddrinfo", no_dns)
-    monkeypatch.setattr(hf_eval, "_HUB_REACHABLE", None)
+    monkeypatch.setattr(hf_eval, "_REACHABLE", {})
     t0 = time.monotonic()
     with pytest.raises(hf_eval.DatasetUnavailable):
         hf_eval._load("this-dataset-does-not-exist-xyz", "test")
@@ -213,3 +213,67 @@ def test_hf_eval_offline_autodetect(monkeypatch):
         hf_eval._load("this-dataset-does-not-exist-xyz", "test")
     assert time.monotonic() - t0 < 20  # no retry/backoff ladder
     assert calls["n"] == 1  # probe result is cached across loads
+
+
+def test_imagenetv2_fetch_and_batches(monkeypatch, tmp_path):
+    """fetch_imagenetv2 self-provisions the class folders the moment egress
+    exists (the reference gets this from imagenetv2_pytorch,
+    validation.py:114-116): gated by the DNS probe, .partial-safe download,
+    extraction feeds _imagenetv2_batches directly. Offline -> fast
+    DatasetUnavailable."""
+    import gzip
+    import io as _io
+    import tarfile
+    import urllib.request
+
+    import numpy as np
+    from PIL import Image
+
+    from clip_mixer_tpu.data import hf_eval
+    from clip_mixer_tpu.evals import validators
+
+    # build a tiny archive in the real layout (2 classes x 2 images)
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tar:
+        rng = np.random.default_rng(0)
+        for cls in range(2):
+            for i in range(2):
+                img = _io.BytesIO()
+                Image.fromarray(
+                    rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                ).save(img, "JPEG")
+                info = tarfile.TarInfo(
+                    f"imagenetv2-matched-frequency-format-val/{cls}/{i}.jpeg")
+                info.size = len(img.getvalue())
+                tar.addfile(info, _io.BytesIO(img.getvalue()))
+    archive = buf.getvalue()
+
+    class FakeResponse:
+        def __init__(self):
+            self._b = _io.BytesIO(archive)
+        def read(self, n):
+            return self._b.read(n)
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    # offline: probe says unreachable -> DatasetUnavailable, no URL touched
+    monkeypatch.setattr(hf_eval, "_REACHABLE", {})
+    monkeypatch.setattr(hf_eval, "host_reachable", lambda h, timeout=5.0: False)
+    with pytest.raises(validators.DatasetUnavailable, match="offline"):
+        validators.fetch_imagenetv2(str(tmp_path / "inet"))
+
+    # online: fetch, extract, and the batches generator serves it
+    monkeypatch.setattr(hf_eval, "host_reachable", lambda h, timeout=5.0: True)
+    monkeypatch.setattr(urllib.request, "urlopen", lambda url, timeout=60: FakeResponse())
+    root = validators.fetch_imagenetv2(str(tmp_path / "inet"))
+    assert root.endswith("imagenetv2-matched-frequency-format-val")
+    batches = list(validators._imagenetv2_batches(
+        batch_size=3, location=str(tmp_path / "inet"), image_size=16))
+    images = np.concatenate([b[0] for b in batches])
+    targets = np.concatenate([b[1] for b in batches])
+    assert images.shape == (4, 16, 16, 3)
+    assert sorted(targets.tolist()) == [0, 0, 1, 1]
+    # second call is a no-op (already extracted)
+    assert validators.fetch_imagenetv2(str(tmp_path / "inet")) == root

@@ -22,6 +22,7 @@ from clip_mixer_tpu.data.pipeline import (
     MixtureSource,
     SyntheticSource,
     TarShardSource,
+    expand_shard_pattern,
 )
 from clip_mixer_tpu.evals.validators import (
     CosineSimValidator,
@@ -64,6 +65,9 @@ def parse_args():
     p.add_argument("--learning-rate", type=float, default=5e-4)  # training.py:55
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=400)  # training.py:197
+    p.add_argument("--validate-every", type=int, default=None,
+                   help="validation cadence in steps (default: follow "
+                        "--checkpoint-every, as the reference couples them)")
     p.add_argument("--keep-checkpoints", type=int, default=3,
                    help="orbax retention window (last N cadence checkpoints)")
     p.add_argument("--grad-through-gather", action="store_true",
@@ -89,11 +93,13 @@ def parse_args():
                         "(devices/stages) data x stages")
     p.add_argument("--pipeline-microbatches", type=int, default=8,
                    help="microbatches per PP step (bubble = (S-1)/(M+S-1))")
-    p.add_argument("--cache-data", action="store_true",
-                   help="decode the dataset once into host RAM and serve every "
-                        "epoch from the cache with full-permutation shuffling "
-                        "(tf.data .cache() analogue; for datasets that fit RAM "
-                        "on decode-bound hosts — see CacheSource)")
+    p.add_argument("--cache-data", nargs="?", const=True, default=None,
+                   metavar="DIR",
+                   help="decode the dataset once and serve every epoch from the "
+                        "cache with full-permutation shuffling (tf.data .cache() "
+                        "analogue; for datasets that fit RAM on decode-bound "
+                        "hosts). With DIR the cache is disk-backed (memmapped "
+                        ".npy) so resumed/repeat runs skip the decode pass")
     p.add_argument("--shuffle-buffer", type=int, default=10000,
                    help="streaming sample-shuffle buffer (the reference trains "
                         "with DataLoader(shuffle=True)); 0 = sequential shard "
@@ -181,9 +187,16 @@ def parse_data_spec(spec):
 
 def build_single_source(pattern, caption_from="txt", **source_kwargs):
     """One non-mixture data source from a spec: a .csv/.tsv manifest, an
-    image directory (FileListSource), or a tar-shard glob (TarShardSource)."""
+    image directory (FileListSource), or a tar-shard glob (TarShardSource —
+    local paths or remote URIs like 'gs://bucket/shards/*.tar', streamed
+    directly via fsspec, no FUSE mount)."""
     if pattern.lower().endswith((".csv", ".tsv")):
         return FileListSource.from_csv(pattern, **source_kwargs)
+    if "://" in pattern:
+        shards = expand_shard_pattern(pattern)
+        if not shards:
+            raise SystemExit(f"no shards match {pattern}")
+        return TarShardSource(shards, **source_kwargs)
     if os.path.isdir(pattern):
         tars = sorted(glob.glob(os.path.join(pattern, "**", "*.tar"), recursive=True))
         if tars:
@@ -257,6 +270,7 @@ def main():
         steps_per_epoch=args.steps_per_epoch,
         learning_rate=args.learning_rate,
         checkpoint_every_steps=args.checkpoint_every,
+        validate_every_steps=args.validate_every,
         keep_checkpoints=args.keep_checkpoints,
         accum_steps=args.accum_steps,
         fsdp=args.fsdp,
@@ -317,7 +331,7 @@ def main():
                         "sole --data argument"
                     )
                 weights.append(weight)
-                shards = sorted(glob.glob(pattern))
+                shards = expand_shard_pattern(pattern)
                 if not shards:
                     raise SystemExit(f"no shards match {pattern}")
                 components.append(shards)
@@ -328,7 +342,7 @@ def main():
                 )
             data = MixtureSource(components, weights=weights, **source_kwargs)
 
-    if args.cache_data:
+    if args.cache_data is not None:
         if args.synthetic or args.data is None:
             raise SystemExit("--cache-data needs --data (synthetic data is already RAM-speed)")
         if isinstance(data, MixtureSource):
@@ -339,7 +353,8 @@ def main():
         # Cached epochs are full permutations; the streaming reservoir would
         # only reorder the one-time fill pass.
         data.shuffle_buffer = 0
-        data = CacheSource(data)  # seed 0, matching the inner-source default
+        cache_dir = args.cache_data if isinstance(args.cache_data, str) else None
+        data = CacheSource(data, cache_dir=cache_dir)  # seed 0, as the inner default
 
     validators = []
     if not args.no_validators:
