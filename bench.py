@@ -123,19 +123,25 @@ def main():
     bf16_ips, bf16_runs = _median_ips(lambda n: chained(params, images, jnp.int32(n)), batch)
 
     # ---- int8 calibrated image path (the serving headline) ---------------
+    # Front-end: the planar fused resize->int8-patches graph (bf16 resize
+    # matmuls in [B,3,H,W] layout, normalize + patch-scale quantize fused;
+    # +2.4% e2e over the NHWC front-end whose second einsum had an N=3 MXU
+    # axis — measured ablation in scripts/bench_frontend_variants.py).
     from clip_mixer_tpu.ops.quant import (
         calibrate_vision_tower,
-        encode_image_q,
+        encode_image_q_patches,
+        make_planar_front_end,
         quantize_vision_tower,
     )
 
     scales = jax.jit(lambda p, x: calibrate_vision_tower(p, cfg, x))(params, pre(images[:128]))
     qparams = jax.jit(lambda p, s: quantize_vision_tower(p, cfg, s))(params, scales)
+    front = make_planar_front_end(cfg, (256, 256), scales["patch"])
 
     @jax.jit
     def chained_q(p, images_u8, n):
         def body(_, carry):
-            f = encode_image_q(p, cfg, pre(images_u8 + carry.astype(jnp.uint8)))
+            f = encode_image_q_patches(p, cfg, front(images_u8 + carry.astype(jnp.uint8)))
             return f.astype(jnp.float32).mean() * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -151,15 +157,17 @@ def main():
         from clip_mixer_tpu.evals.prompts import IMAGENET_CLASSNAMES, PROMPT_TEMPLATES
         from clip_mixer_tpu.evals.quant_gate import (
             build_float_classifier,
-            noise_floor_gate,
+            frontend_noise_floor_gate,
             synthetic_images,
         )
 
-        gate_imgs = synthetic_images(768, cfg.image_resolution, seed=1)
+        # 256px gate images: the gate covers the EXACT headline graph end to
+        # end (planar fused front-end + int8 tower), resize included.
+        gate_imgs = synthetic_images(768, 256, seed=1)
         w = build_float_classifier(
             params, cfg, IMAGENET_CLASSNAMES[:64], PROMPT_TEMPLATES[:4], batch_size=256
         )
-        gate = noise_floor_gate(
+        gate = frontend_noise_floor_gate(
             params, cfg, gate_imgs, w, calibrate_n=128, batch_size=256,
             max_flip_ratio=MAX_FLIP_RATIO,
         )
@@ -281,6 +289,7 @@ def main():
                     "bf16_runs": bf16_runs,
                     "int8_runs": int8_runs,
                     "int8_accuracy_gate": gate,
+                    "int8_gate_scope": "256px planar front-end + tower (the measured graph)",
                     "encode_text_texts_per_sec_bf16": round(text_ips, 1) if text_ips else None,
                     "encode_text_texts_per_sec_int8": round(text_int8_ips, 1) if text_int8_ips else None,
                     "text_int8_accuracy_gate": text_gate,

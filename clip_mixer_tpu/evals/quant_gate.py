@@ -247,14 +247,19 @@ def noise_floor_gate(
     ff32 = _batched_feats(f_f32, params, images_u8, batch_size)
     fbf = _batched_feats(f_bf16, params, images_u8, batch_size)
     fq = _batched_feats(f_int8, qparams, images_u8, batch_size)
+    return _flip_stats(ff32, fbf, fq, classifier, max_flip_ratio)
 
+
+def _flip_stats(ff32, fbf, fq, classifier, max_flip_ratio: float) -> Dict[str, float]:
+    """The shared noise-floor verdict from three feature banks:
+    flip(int8 vs f32) <= max_flip_ratio * flip(bf16 vs f32)."""
     t32 = (100.0 * ff32 @ classifier).argmax(-1)
     t16 = (100.0 * fbf @ classifier).argmax(-1)
     tq = (100.0 * fq @ classifier).argmax(-1)
     flip_bf16 = float((t32 != t16).mean())
     flip_int8 = float((t32 != tq).mean())
     # +1 pseudo-flip in the denominator guards div-by-zero on tiny sets.
-    n = images_u8.shape[0]
+    n = ff32.shape[0]
     ratio = flip_int8 / max(flip_bf16, 1.0 / n)
     cos_q = (ff32 * fq).sum(-1)
     return {
@@ -267,6 +272,63 @@ def noise_floor_gate(
         "min_cosine_int8_vs_f32": float(cos_q.min()),
         "passed": bool(ratio <= max_flip_ratio),
     }
+
+
+def frontend_noise_floor_gate(
+    params,
+    cfg: CLIPConfig,
+    images_u8_src: np.ndarray,
+    classifier: np.ndarray,
+    calibrate_n: int = 128,
+    batch_size: int = 256,
+    max_flip_ratio: float = 2.5,
+    a_scales=None,
+) -> Dict[str, float]:
+    """:func:`noise_floor_gate` with the RESIZE front-end inside every path —
+    gates the exact graph bench.py's int8 headline measures, end to end from
+    dataset-native-resolution uint8 (reference clip.py:76-87 preprocess
+    semantics):
+
+      f32:  f32 resize+normalize          -> f32 tower
+      bf16: shipped bf16-out preprocess   -> bf16 tower
+      int8: planar fused front-end (bf16 resize -> int8 patches,
+            ops.quant.make_planar_front_end) -> int8 tower
+
+    Mixer towers only (the planar patch path). images_u8_src: [N, H, W, 3]
+    at source resolution (e.g. 256px)."""
+    from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+    from clip_mixer_tpu.ops.quant import (
+        calibrate_vision_tower,
+        encode_image_q_patches,
+        make_planar_front_end,
+        quantize_vision_tower,
+    )
+
+    assert not cfg.use_transformer and not cfg.is_resnet, "planar front-end: mixer towers"
+    cfg32 = cfg.replace(compute_dtype="float32")
+    hw = images_u8_src.shape[1:3]
+    pre32 = make_batch_preprocess(hw, cfg.image_resolution, normalize=True, dtype=jnp.float32)
+    pre = make_batch_preprocess(
+        hw, cfg.image_resolution, normalize=True, dtype=jnp.dtype(cfg.compute_dtype)
+    )
+
+    f_f32 = jax.jit(lambda p, x: clip_model.l2_normalize(clip_model.encode_image(p, cfg32, pre32(x))))
+    f_bf16 = jax.jit(lambda p, x: clip_model.l2_normalize(clip_model.encode_image(p, cfg, pre(x))))
+
+    if a_scales is None:
+        scales = jax.jit(lambda p, x: calibrate_vision_tower(p, cfg, x))(
+            params, pre(jnp.asarray(images_u8_src[:calibrate_n]))
+        )
+    else:
+        scales = a_scales
+    qparams = jax.jit(lambda p, s: quantize_vision_tower(p, cfg, s))(params, scales)
+    front = make_planar_front_end(cfg, hw, scales["patch"])
+    f_int8 = jax.jit(lambda p, x: clip_model.l2_normalize(encode_image_q_patches(p, cfg, front(x))))
+
+    ff32 = _batched_feats(f_f32, params, images_u8_src, batch_size)
+    fbf = _batched_feats(f_bf16, params, images_u8_src, batch_size)
+    fq = _batched_feats(f_int8, qparams, images_u8_src, batch_size)
+    return _flip_stats(ff32, fbf, fq, classifier, max_flip_ratio)
 
 
 def text_noise_floor_gate(

@@ -115,17 +115,11 @@ def _mixer_block_q(p: Dict, x: jnp.ndarray, a_scales=None) -> jnp.ndarray:
     return x + int8_matmul(h, cm["w_out_q"], s_hidden, dt) + cm["b_out"].astype(dt)
 
 
-def encode_image_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """int8 mirror of towers.vision_encoder. images: normalised [B, H, W, 3].
-
-    Uses calibrated static activation scales when the qparams carry an
-    "a_scales" entry (from calibrate_vision_tower); dynamic per-row scales
-    otherwise."""
+def _mixer_q_tail(v: Dict, cfg: CLIPConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Shared mixer-tower tail after the patch embed: cls concat, ln_pre,
+    int8 block scan, ln_post, (bf16) projection. x: [B, tokens-1, width]."""
     dt = jnp.dtype(cfg.compute_dtype)
-    v = qparams["visual"]
     a = v.get("a_scales")
-    x = patchify(images.astype(dt), cfg.vision_patch_size)
-    x = int8_matmul(x, v["patch_embed"]["kernel_q"], a["patch"] if a else None, dt)
     cls = jnp.broadcast_to(v["class_embedding"].astype(dt), (x.shape[0], 1, x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1)
     x = layer_norm(v["ln_pre"], x)
@@ -140,6 +134,111 @@ def encode_image_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.n
     x, _ = jax.lax.scan(step, x, (v["tower"]["blocks"], layer_scales))
     x = layer_norm(v["ln_post"], x[:, 0, :])
     return x @ v["proj"].astype(dt)  # bf16 by design (see quantize_vision_tower)
+
+
+def encode_image_q(qparams: Dict, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """int8 mirror of towers.vision_encoder. images: normalised [B, H, W, 3].
+
+    Uses calibrated static activation scales when the qparams carry an
+    "a_scales" entry (from calibrate_vision_tower); dynamic per-row scales
+    otherwise."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    v = qparams["visual"]
+    a = v.get("a_scales")
+    x = patchify(images.astype(dt), cfg.vision_patch_size)
+    x = int8_matmul(x, v["patch_embed"]["kernel_q"], a["patch"] if a else None, dt)
+    return _mixer_q_tail(v, cfg, x)
+
+
+# --------------------------------------------------------------------------
+# Planar fused front-end: resize + normalize + quantize + patchify as one
+# int8-emitting graph (the serving/bench path from raw dataset-native uint8).
+#
+# Why planar: the NHWC resize's second einsum ("pw,bowc->bopc") contracts w
+# with the output channel axis c=3 — a [n_px, src] @ [src, 3] matmul whose
+# N=3 fills 3/128 MXU lanes. Transposing the uint8 input to [B, 3, H, W]
+# once (cheap bytes) makes BOTH resize contractions clean [*, src] @
+# [src, n_px] matmuls (N = n_px). Measured at B=512 Mixer-B/32 on v5e
+# (scripts/bench_frontend_variants.py, median of 3 chains): e2e int8
+# 14.72ms vs 15.08ms shipped (+2.4%), identical feature cosine vs the f32
+# reference front-end (0.999889 both). Losing alternatives, measured: bf16
+# in NHWC layout 15.12ms (dtype was not the problem, the N=3 axis was);
+# int8 resize matmuls 15.28ms (the inter-pass requantize costs more than
+# s8 saves at these shapes — same finding as the K=50 token-mix); folding
+# the transpose into the first einsum's output layout ties (14.74ms), so
+# the explicit uint8 relayout is free.
+# --------------------------------------------------------------------------
+
+
+def patch_perm(patch: int):
+    """Row permutation mapping models.towers.patchify's (ph, pw, c) patch
+    vector order to the (c, ph, pw) order the planar front-end emits:
+    ``kernel_planar = kernel[patch_perm(p), :]``."""
+    import numpy as np
+
+    return np.arange(patch * patch * 3).reshape(patch, patch, 3).transpose(2, 0, 1).reshape(-1)
+
+
+def make_planar_front_end(cfg: CLIPConfig, input_hw, patch_scale):
+    """Build the fused serving front-end: uint8 NHWC [B, H, W, 3] -> int8
+    c-major patches [B, (n_px/p)^2, 3*p*p], ready for
+    :func:`encode_image_q_patches`.
+
+    Channel-planar bf16 resize matmuls (PIL-parity weights from
+    ops.preprocess, reference clip.py:76-87 semantics; uint8 -> bf16 is
+    exact for 0..255), mean/std normalisation and the static patch-scale
+    activation quantisation fused at the matmul output, patchify as an INT8
+    reshape/transpose (1 byte/elem of relayout traffic instead of 2-4).
+    ``patch_scale``: the calibrated "patch" entry of
+    :func:`calibrate_vision_tower`'s scales.
+    """
+    import numpy as np
+
+    from clip_mixer_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, _cached_matrices
+
+    h, w = input_hw
+    n_px = cfg.image_resolution
+    p = cfg.vision_patch_size
+    g = n_px // p
+    rh_np, rw_np = _cached_matrices(h, w, n_px)
+    rh = jnp.asarray(rh_np, jnp.bfloat16)
+    rw = jnp.asarray(rw_np, jnp.bfloat16)
+    mean = (jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0).reshape(1, 3, 1, 1)
+    std_inv = (1.0 / (jnp.asarray(CLIP_STD, jnp.float32) * 255.0)).reshape(1, 3, 1, 1)
+
+    def front_end(images_u8: jnp.ndarray) -> jnp.ndarray:
+        B = images_u8.shape[0]
+        x = images_u8.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # [B,3,H,W]
+        x = jnp.einsum("oh,kchw->kcow", rh, x, preferred_element_type=jnp.float32)
+        x = jnp.einsum("pw,kcow->kcop", rw, x.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        x = (x - mean) * std_inv
+        xq = jnp.clip(jnp.round(x / patch_scale), -127, 127).astype(jnp.int8)
+        xq = xq.reshape(B, 3, g, p, g, p)
+        xq = xq.transpose(0, 2, 4, 1, 3, 5)  # [B, gh, gw, c, ph, pw]
+        return xq.reshape(B, g * g, 3 * p * p)
+
+    return front_end
+
+
+def encode_image_q_patches(qparams: Dict, cfg: CLIPConfig, patches_q: jnp.ndarray) -> jnp.ndarray:
+    """encode_image_q's twin consuming :func:`make_planar_front_end` output:
+    pre-quantized c-major int8 patches [B, tokens-1, 3*p*p]. The stored
+    patch-embed kernel rows are gathered into c-major order in-graph (a
+    constant-index gather XLA folds; artifacts/checkpoints keep the one
+    (ph, pw, c) layout). Requires calibrated static scales ("a_scales")."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    v = qparams["visual"]
+    a = v["a_scales"]  # the front-end quantized with a["patch"] already
+    kq = v["patch_embed"]["kernel_q"]
+    acc = jax.lax.dot_general(
+        patches_q,
+        kq["q"][patch_perm(cfg.vision_patch_size), :],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    x = (acc.astype(jnp.float32) * a["patch"] * kq["scale"]).astype(dt)
+    return _mixer_q_tail(v, cfg, x)
 
 
 def _quantize_attn_blocks(blocks: Dict) -> Dict:

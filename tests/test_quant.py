@@ -294,3 +294,68 @@ def test_resnet_int8_serving_engine():
     after = engine.encode_image_arrays(imgs)
     cos = (before * after).sum(-1)  # both l2-normalised
     assert cos.min() > 0.99, cos
+
+
+# --------------------------------------------------------------------------
+# Planar fused front-end (resize -> int8 c-major patches) — the bench/serving
+# headline graph's front half (ops.quant.make_planar_front_end).
+# --------------------------------------------------------------------------
+
+
+def test_patch_perm_is_permutation():
+    from clip_mixer_tpu.ops.quant import patch_perm
+
+    perm = patch_perm(16)
+    assert sorted(perm.tolist()) == list(range(16 * 16 * 3))
+    # spot-check the mapping: planar index c*p*p + ph*p + pw must point at
+    # patchify's (ph*p + pw)*3 + c
+    p = 16
+    for c, ph, pw in [(0, 0, 0), (2, 3, 5), (1, 15, 15)]:
+        assert perm[c * p * p + ph * p + pw] == (ph * p + pw) * 3 + c
+
+
+def test_planar_front_end_bitwise_vs_nhwc_at_identity_resize():
+    """With source == target resolution the resize matrices are exactly
+    identity, so the planar path must reproduce encode_image_q BITWISE:
+    same normalize, same quantization values (reordered), permuted kernel
+    rows cancel the reorder."""
+    from clip_mixer_tpu.ops.preprocess import normalize_images
+    from clip_mixer_tpu.ops.quant import encode_image_q_patches, make_planar_front_end
+
+    params = clip_model.init(jax.random.key(2), CFG)
+    rng = np.random.default_rng(5)
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    imgs = normalize_images(u8, dtype="float32")
+    scales = calibrate_vision_tower(params, CFG, imgs)
+    qp = quantize_vision_tower(params, CFG, scales)
+    want = np.asarray(encode_image_q(qp, CFG, imgs))
+
+    front = make_planar_front_end(CFG, (32, 32), scales["patch"])
+    patches = front(u8)
+    assert patches.dtype == jnp.int8 and patches.shape == (4, 4, 16 * 16 * 3)
+    got = np.asarray(encode_image_q_patches(qp, CFG, patches))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_planar_front_end_resize_fidelity():
+    """Real 64->32 resize: planar bf16 front-end + int8 tower vs the all-f32
+    reference front-end + f32 tower — feature cosine must stay high (full
+    scale measured 0.99989 on v5e, scripts/bench_frontend_variants.py)."""
+    from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+    from clip_mixer_tpu.ops.quant import encode_image_q_patches, make_planar_front_end
+
+    params = clip_model.init(jax.random.key(2), CFG)
+    rng = np.random.default_rng(6)
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8))
+    pre32 = make_batch_preprocess((64, 64), 32, normalize=True, dtype=jnp.float32)
+    ref = np.asarray(clip_model.encode_image(params, CFG, pre32(u8)), np.float32)
+
+    scales = calibrate_vision_tower(params, CFG, pre32(u8))
+    qp = quantize_vision_tower(params, CFG, scales)
+    front = make_planar_front_end(CFG, (64, 64), scales["patch"])
+    got = np.asarray(encode_image_q_patches(qp, CFG, front(u8)), np.float32)
+
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.99, cos

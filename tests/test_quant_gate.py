@@ -139,3 +139,23 @@ def test_text_noise_floor_gate_small(tower):
         # budget), so its verdict is only meaningful at full scale —
         # measured on TPU and recorded in README (scripts/bench.py regime).
         assert gate["passed"], gate
+
+
+def test_frontend_noise_floor_gate_small():
+    """The resize-inclusive gate (what bench.py now runs): all three paths
+    include the 64->32 front-end; int8 uses the planar fused graph."""
+    from clip_mixer_tpu.evals.quant_gate import frontend_noise_floor_gate
+
+    cfg = make_cfg("mixer")
+    params = clip_model.init(jax.random.key(0), cfg)
+    imgs = synthetic_images(48, 64, seed=3)  # SOURCE resolution 64 -> 32
+    w = build_float_classifier(params, cfg, CLASSNAMES, TEMPLATES)
+    g = frontend_noise_floor_gate(
+        params, cfg, imgs, w, calibrate_n=16, batch_size=16, max_flip_ratio=2.5
+    )
+    assert g["n"] == 48
+    assert set(g) >= {"flip_bf16_vs_f32", "flip_int8_vs_f32", "flip_ratio", "passed"}
+    assert g["min_cosine_int8_vs_f32"] > 0.98, g
+    # random-init tiny model: the ratio protocol must at least evaluate;
+    # a hard failure here (ratio >> budget) would flag a real numerics bug
+    assert g["flip_int8_vs_f32"] <= 0.25, g
