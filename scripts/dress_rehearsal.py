@@ -68,9 +68,13 @@ def main():
     p.add_argument("--accum", type=int, default=16)
     p.add_argument("--checkpoint-every", type=int, default=400)  # training.py:197
     p.add_argument("--validate-every", type=int, default=100)
-    p.add_argument("--crash-after-steps", type=int, default=250,
+    p.add_argument("--crash-after-steps", type=int, default=450,
                    help="hard-crash each launch after N local steps (0 = off); "
-                        "the supervisor resumes from the last checkpoint")
+                        "the supervisor resumes from the last checkpoint. Must "
+                        "exceed --checkpoint-every: a crash BEFORE the first "
+                        "checkpoint resumes from step 0 and re-crashes at the "
+                        "same point — no progress, and the supervisor's "
+                        "no-progress budget correctly aborts the run")
     p.add_argument("--run-name", default="dress")
     p.add_argument("--out", default="TRAIN_DRESS.json")
     p.add_argument("--max-restarts", type=int, default=8)
