@@ -93,6 +93,7 @@ def export_servable(
     int8_calibration: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
+    input_hw=None,
 ) -> str:
     """Write a self-contained frozen-serving directory (see module doc):
     a save_pretrained checkpoint plus the recorded programs.
@@ -119,6 +120,7 @@ def export_servable(
         int8_calibration=int8_calibration,
         platforms=platforms,
         mesh=mesh,
+        input_hw=input_hw,
     )
     return out_dir
 
@@ -132,6 +134,7 @@ def freeze_programs(
     int8_calibration: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
+    input_hw=None,
 ) -> str:
     """Record just the ``servable/`` payload into an EXISTING
     save_pretrained directory (e.g. the Trainer's completion export) —
@@ -162,7 +165,7 @@ def freeze_programs(
     int8 = int8_calibration is not None
     # the ONE serving composition (serving.encoder_fns) — frozen-vs-live
     # bit-equality depends on both paths building from it
-    image_fn, text_fn = encoder_fns(cfg, int8=int8)
+    image_fn, text_fn = encoder_fns(cfg, int8=int8, input_hw=input_hw)
     if int8:
         art = _checked_artifact(int8_calibration, cfg)
         img_params, txt_params = _quantized_params(params, cfg, art)
@@ -172,10 +175,11 @@ def freeze_programs(
 
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     R, ctx = cfg.image_resolution, cfg.context_length
+    ih, iw = tuple(input_hw) if input_hw is not None else (R, R)
     img_struct, txt_struct = _struct_of(img_params), _struct_of(txt_params)
     exported_platforms = None
     for b in buckets:
-        img_batch = jax.ShapeDtypeStruct((b, R, R, 3), jnp.uint8)
+        img_batch = jax.ShapeDtypeStruct((b, ih, iw, 3), jnp.uint8)
         txt_batch = jax.ShapeDtypeStruct((b, ctx), jnp.int32)
         exp_i = jax_export.export(jax.jit(image_fn, **jit_kw), **kw)(img_struct, img_batch)
         exp_t = jax_export.export(jax.jit(text_fn, **jit_kw), **kw)(txt_struct, txt_batch)
@@ -189,6 +193,7 @@ def freeze_programs(
         "int8": int8,
         "platforms": exported_platforms,
         "mesh": mesh_info,
+        "input_hw": None if input_hw is None else [ih, iw],
         "jax_version": jax.__version__,
     }
     (sdir / "manifest.json").write_text(json.dumps(manifest, indent=1))
@@ -241,7 +246,11 @@ def load_servable(path: str, *, check_platform: bool = True):
         mesh = Mesh(
             np.asarray(devs[:n]).reshape(shape), tuple(manifest["mesh"]["axis_names"])
         )
-    engine = InferenceEngine(params, cfg, batch_buckets=tuple(manifest["buckets"]), mesh=mesh)
+    input_hw = manifest.get("input_hw")
+    engine = InferenceEngine(
+        params, cfg, batch_buckets=tuple(manifest["buckets"]), mesh=mesh,
+        input_hw=None if input_hw is None else tuple(input_hw),
+    )
 
     if manifest["int8"]:
         from clip_mixer_tpu.ops import quant_io

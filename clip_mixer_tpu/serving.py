@@ -47,13 +47,21 @@ from clip_mixer_tpu.ops.preprocess import normalize_images, preprocess_pil
 from clip_mixer_tpu.text.fast import fast_tokenize
 
 
-def encoder_fns(cfg: CLIPConfig, int8: bool = False):
+def encoder_fns(cfg: CLIPConfig, int8: bool = False, input_hw=None):
     """(image_fn, text_fn) — the ONE serving composition: in-graph
     uint8→normalize + encode + l2-normalize (image) and encode +
     l2-normalize (text), float or calibrated-int8 encoders. Shared by the
     live jitted engine below AND the frozen jax.export programs (aot.py);
     the frozen-vs-live bit-equality contract depends on both building from
-    here, so don't inline a copy."""
+    here, so don't inline a copy.
+
+    ``input_hw``: serve dataset-native-resolution uint8 (e.g. (256, 256),
+    the reference's generateDataset.sh shard size) and run the antialiased
+    bicubic resize+crop ON DEVICE (reference clip.py:76-87 semantics as
+    matmuls) instead of per-image host PIL — the host CPU is the serving
+    bottleneck for raw-image clients. int8 mixer engines route through the
+    planar fused front-end (resize -> int8 patches, ops/quant.py; requires
+    calibrated a_scales, which enable_int8/artifacts always provide)."""
     if int8:
         from clip_mixer_tpu.ops.quant import image_quant_fns, text_quant_fns
 
@@ -62,9 +70,31 @@ def encoder_fns(cfg: CLIPConfig, int8: bool = False):
     else:
         encode_image, encode_text = clip_model.encode_image, clip_model.encode_text
 
-    def image_fn(p, images_u8):
-        images = normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
-        return clip_model.l2_normalize(encode_image(p, cfg, images))
+    if input_hw is None:
+        def to_model_inputs(images_u8):
+            return normalize_images(images_u8, dtype=jnp.dtype(cfg.compute_dtype))
+    else:
+        from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+
+        pre = make_batch_preprocess(
+            tuple(input_hw), cfg.image_resolution, normalize=True,
+            dtype=jnp.dtype(cfg.compute_dtype),
+        )
+
+        def to_model_inputs(images_u8):
+            return pre(images_u8)
+
+    if int8 and input_hw is not None and not (cfg.use_transformer or cfg.is_resnet):
+        from clip_mixer_tpu.ops.quant import encode_image_q_patches, make_planar_front_end
+
+        def image_fn(p, images_u8):
+            front = make_planar_front_end(
+                cfg, tuple(input_hw), p["visual"]["a_scales"]["patch"]
+            )
+            return clip_model.l2_normalize(encode_image_q_patches(p, cfg, front(images_u8)))
+    else:
+        def image_fn(p, images_u8):
+            return clip_model.l2_normalize(encode_image(p, cfg, to_model_inputs(images_u8)))
 
     def text_fn(p, tokens):
         return clip_model.l2_normalize(encode_text(p, cfg, tokens))
@@ -120,8 +150,12 @@ class InferenceEngine:
     single process. Batch buckets are rounded up to multiples of the device
     count so the batch axis always shards evenly."""
 
-    def __init__(self, params, cfg: CLIPConfig, batch_buckets: Sequence[int] = (8, 32, 128), mesh=None):
+    def __init__(self, params, cfg: CLIPConfig, batch_buckets: Sequence[int] = (8, 32, 128),
+                 mesh=None, input_hw=None):
         self.mesh = mesh
+        # input_hw: accept uint8 at this fixed source resolution and resize
+        # ON DEVICE (see encoder_fns). None = images arrive model-sized.
+        self.input_hw = None if input_hw is None else tuple(input_hw)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -136,7 +170,7 @@ class InferenceEngine:
         self.cfg = cfg
         self.buckets = sorted(batch_buckets)
 
-        image_fn, text_fn = encoder_fns(cfg)
+        image_fn, text_fn = encoder_fns(cfg, input_hw=self.input_hw)
         # (fn, params) tuples are swapped ATOMICALLY (single attribute write)
         # so concurrent server threads never see a fn/params mismatch, e.g.
         # during enable_int8 on a live server.
@@ -194,9 +228,20 @@ class InferenceEngine:
 
         calibrate, quantize, _ = image_quant_fns(cfg)
         if scales is None and sample_images_u8 is not None:
-            sample = normalize_images(
-                jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype)
-            )
+            if self.input_hw is not None:
+                # samples arrive at the engine's source resolution: run the
+                # same in-graph resize the serving path will use
+                from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+
+                pre = make_batch_preprocess(
+                    self.input_hw, cfg.image_resolution, normalize=True,
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                )
+                sample = pre(jnp.asarray(sample_images_u8))
+            else:
+                sample = normalize_images(
+                    jnp.asarray(sample_images_u8), dtype=jnp.dtype(cfg.compute_dtype)
+                )
             scales = calibrate(self.params, cfg, sample)
         t_calibrate, t_quantize, _ = text_quant_fns(cfg)
         if t_scales is None and sample_texts:
@@ -216,7 +261,7 @@ class InferenceEngine:
                 text_scales=None if t_scales is None else jax.device_get(t_scales),
             )
 
-        image_fn_q, text_fn_q = encoder_fns(cfg, int8=True)
+        image_fn_q, text_fn_q = encoder_fns(cfg, int8=True, input_hw=self.input_hw)
         if scales is not None:
             qparams = self._put_params(quantize(self.params, cfg, scales))
             self._image_path = (jax.jit(image_fn_q), qparams)  # atomic swap
@@ -285,8 +330,9 @@ class InferenceEngine:
         tail is seconds to minutes. Zeros are enough: compilation keys on
         shapes/dtypes only."""
         R, ctx = self.cfg.image_resolution, self.cfg.context_length
+        ih, iw = self.input_hw if self.input_hw is not None else (R, R)
         for b in self.buckets:
-            self._run_padded(self._image_path, np.zeros((b, R, R, 3), np.uint8))
+            self._run_padded(self._image_path, np.zeros((b, ih, iw, 3), np.uint8))
             self._run_padded(self._text_path, np.zeros((b, ctx), np.int32))
         index = self._index
         if index is not None and isinstance(index[0], jax.Array):
@@ -297,6 +343,23 @@ class InferenceEngine:
     def decode_and_preprocess(self, blobs: Sequence[bytes]) -> np.ndarray:
         from PIL import Image
 
+        if self.input_hw is not None:
+            # device-resize engine: blobs must already be at the configured
+            # source resolution (the dataset-native deployment contract) —
+            # resampling twice (host to input_hw, device to model size)
+            # would diverge from the reference's single-resize semantics.
+            ih, iw = self.input_hw
+            out = []
+            for b in blobs:
+                img = Image.open(io.BytesIO(b)).convert("RGB")
+                if img.size != (iw, ih):
+                    raise ValueError(
+                        f"engine is configured for {ih}x{iw} source images "
+                        f"(device-side resize); got {img.size[1]}x{img.size[0]}. "
+                        "Send native-resolution images or serve without --input-size."
+                    )
+                out.append(np.asarray(img, np.uint8))
+            return np.stack(out)
         out = [preprocess_pil(Image.open(io.BytesIO(b)), self.cfg.image_resolution) for b in blobs]
         return np.stack(out)
 
@@ -418,6 +481,15 @@ class InferenceEngine:
                         f"retrieval bank was embedded on the {meta.get('path')!r} "
                         f"image path but this engine serves {self.path_kinds['image']!r};"
                         " scores will carry the cross-path numerics gap",
+                        stacklevel=2,
+                    )
+                bank_hw = meta.get("input_hw")
+                eng_hw = None if self.input_hw is None else list(self.input_hw)
+                if bank_hw != eng_hw:
+                    warnings.warn(
+                        f"retrieval bank was embedded with input_hw={bank_hw} "
+                        f"but this engine serves input_hw={eng_hw}; the resize "
+                        "numerics differ (host PIL vs device matmul)",
                         stacklevel=2,
                     )
             else:
@@ -577,6 +649,7 @@ def make_handler(engine: InferenceEngine, stats: Optional[ServerStats] = None):
                         "model": engine.cfg.tower,
                         "embed_dim": engine.cfg.embed_dim,
                         "image_resolution": engine.cfg.image_resolution,
+                        "input_hw": engine.input_hw,
                         "buckets": list(engine.buckets),
                         "paths": dict(engine.path_kinds),
                         "frozen": engine.frozen,
@@ -687,11 +760,18 @@ def main():  # pragma: no cover - CLI
         help="serve text->image retrieval over a feature bank "
         "(scripts/embed_dataset.py)",
     )
+    p.add_argument(
+        "--input-size", type=int, default=None, metavar="N",
+        help="accept NxN source images and resize on DEVICE (dataset-native "
+        "serving, e.g. 256 for generateDataset.sh shards); clients must "
+        "send exactly that resolution",
+    )
     args = p.parse_args()
 
     params, cfg, _ = load(args.model)
     mesh = local_mesh() if args.all_devices else None
-    engine = InferenceEngine(params, cfg, mesh=mesh)
+    input_hw = (args.input_size, args.input_size) if args.input_size else None
+    engine = InferenceEngine(params, cfg, mesh=mesh, input_hw=input_hw)
     if args.int8:
         engine.enable_int8(calibration=args.int8)
     if args.index:

@@ -78,16 +78,24 @@ def main():
     p.add_argument("--run-name", default="dress")
     p.add_argument("--out", default="TRAIN_DRESS.json")
     p.add_argument("--max-restarts", type=int, default=8)
+    p.add_argument("--leg", default=None, metavar="NAME",
+                   help="record the result under legs[NAME] in --out, merging "
+                        "with existing legs — the rehearsal is run as two legs "
+                        "(the reference's 32k global batch for composition "
+                        "fidelity; a ≥500-step leg at a batch the remote-TPU "
+                        "tunnel can feed) because one chip's host link cannot "
+                        "ship 6.4GB/step of uint8 500 times in a session")
+    p.add_argument("--n-samples", type=int, default=90000,
+                   help="train samples in --data (sets steps/epoch)")
     args = p.parse_args()
 
     run_dir = REPO / "outputs" / args.run_name
-    # batches/epoch is set by the dataset (90k samples / 32768 = 2), so epochs
-    # is derived from the requested step count.
+    # epochs is derived from the requested step count; the cache serves
+    # floor(n_samples / batch) full batches per epoch
     import math
 
-    # the cache serves floor(n_samples / batch) full batches per epoch
-    steps_per_epoch = 2 if args.global_batch == 32768 else None
-    epochs = math.ceil(args.steps / (steps_per_epoch or 1))
+    steps_per_epoch = max(1, args.n_samples // args.global_batch)
+    epochs = math.ceil(args.steps / steps_per_epoch)
 
     train_args = [
         "--preset", "mixer-b32",
@@ -146,8 +154,20 @@ def main():
         "restarts": ((losses[-1][0] if losses else 0) // args.crash_after_steps
                      if args.crash_after_steps else 0),
     }
-    with open(REPO / args.out, "w") as f:
-        json.dump(result, f, indent=2)
+    out_path = REPO / args.out
+    if args.leg:
+        doc = {}
+        if out_path.exists():
+            try:
+                doc = json.loads(out_path.read_text())
+            except json.JSONDecodeError:
+                doc = {}
+        doc.setdefault("legs", {})[args.leg] = result
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=2)
+    else:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
     print(json.dumps({k: result[k] for k in (
         "steps_completed", "loss_first", "loss_last",
         "imgs_per_sec_median_steady", "wall_seconds", "supervisor_exit")}))

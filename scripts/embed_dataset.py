@@ -31,10 +31,15 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def iter_tar_images(shard_paths, image_size, limit=None, skipped=None):
+def iter_tar_images(shard_paths, image_size, limit=None, skipped=None, raw_hw=None):
     """Yield (id, preprocessed HWC uint8 image) from webdataset tars.
     Corrupt/undecodable members are skipped and counted in ``skipped``
-    (a multi-hour bank build must not die on one truncated JPEG)."""
+    (a multi-hour bank build must not die on one truncated JPEG).
+
+    ``raw_hw``: decode ONLY — yield source-resolution uint8 for an engine
+    that resizes on device (InferenceEngine(input_hw=raw_hw)); members at
+    any other resolution are skipped with a warning (the fixed-shape
+    device program cannot take them)."""
     from clip_mixer_tpu.data.pipeline import _decode_one
 
     count = 0
@@ -46,7 +51,20 @@ def iter_tar_images(shard_paths, image_size, limit=None, skipped=None):
                     continue
                 try:
                     data = tar.extractfile(member).read()
-                    img = _decode_one(data, image_size)
+                    if raw_hw is not None:
+                        import io as _io
+
+                        from PIL import Image
+
+                        with Image.open(_io.BytesIO(data)) as im:
+                            img = np.asarray(im.convert("RGB"), np.uint8)
+                        if img.shape[:2] != tuple(raw_hw):
+                            raise ValueError(
+                                f"source is {img.shape[0]}x{img.shape[1]}, "
+                                f"--input-size expects {raw_hw[0]}x{raw_hw[1]}"
+                            )
+                    else:
+                        img = _decode_one(data, image_size)
                 except Exception as e:
                     print(f"skipping {stem}/{member.name}: {type(e).__name__}: {e}")
                     if skipped is not None:
@@ -69,6 +87,10 @@ def main(argv=None):
     p.add_argument("--all-devices", action="store_true",
                    help="shard encode batches over every local chip")
     p.add_argument("--limit", type=int, default=None, help="stop after N samples")
+    p.add_argument("--input-size", type=int, default=None, metavar="N",
+                   help="decode only on host and resize ON DEVICE from NxN "
+                   "source images (must match a server run with the same "
+                   "--input-size for bit-equal features)")
     p.add_argument("--platform", default=None,
                    help="force the JAX backend (jax.config; the env var is inert)")
     args = p.parse_args(argv)
@@ -91,7 +113,9 @@ def main(argv=None):
 
     params, cfg, _ = clip.load(args.model)
     mesh = local_mesh() if args.all_devices else None
-    engine = InferenceEngine(params, cfg, batch_buckets=(args.batch,), mesh=mesh)
+    input_hw = (args.input_size, args.input_size) if args.input_size else None
+    engine = InferenceEngine(params, cfg, batch_buckets=(args.batch,), mesh=mesh,
+                             input_hw=input_hw)
     if args.int8:
         engine.enable_int8(calibration=args.int8)
 
@@ -105,7 +129,8 @@ def main(argv=None):
             batch_imgs.clear()
             batch_ids.clear()
 
-    for sid, img in iter_tar_images(shards, cfg.image_resolution, limit=args.limit, skipped=skipped):
+    for sid, img in iter_tar_images(shards, cfg.image_resolution, limit=args.limit,
+                                    skipped=skipped, raw_hw=input_hw):
         batch_ids.append(sid)
         batch_imgs.append(img)
         if len(batch_imgs) == args.batch:
@@ -124,7 +149,8 @@ def main(argv=None):
     # load_index_file — a bank from a different checkpoint/path must not
     # silently serve nonsense rankings
     meta = json.dumps(
-        {"cfg": quant_io._cfg_dict(cfg), "path": engine.path_kinds["image"], "source": args.model}
+        {"cfg": quant_io._cfg_dict(cfg), "path": engine.path_kinds["image"],
+         "source": args.model, "input_hw": input_hw}
     )
     buf = io.BytesIO()
     np.savez(

@@ -588,3 +588,131 @@ def test_similarity_endpoint(server_port):
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
     e = np.exp(logits - logits.max(-1, keepdims=True))
     np.testing.assert_allclose(probs, e / e.sum(-1, keepdims=True), rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Device-side resize serving (InferenceEngine(input_hw=...))
+# --------------------------------------------------------------------------
+
+
+def test_input_hw_engine_matches_host_preprocess():
+    """Float path: the engine's in-graph resize must equal composing the
+    batch preprocess by hand (same graph, so exact)."""
+    from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+
+    params = clip_model.init(jax.random.key(1), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,), input_hw=(64, 64))
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    got = engine.encode_image_arrays(u8)
+
+    pre = make_batch_preprocess((64, 64), CFG.image_resolution, normalize=True, dtype="float32")
+    want = np.asarray(
+        jax.jit(lambda p, x: clip_model.l2_normalize(
+            clip_model.encode_image(p, CFG, pre(x))))(params, u8),
+        np.float32,
+    )  # jitted like the engine path: same composition -> same XLA program
+    np.testing.assert_array_equal(got, want)
+    assert engine.input_hw == (64, 64)
+
+
+def test_input_hw_int8_planar_path():
+    """int8 mixer + input_hw routes through the planar fused front-end;
+    features must stay close to the engine's own float path."""
+    params = clip_model.init(jax.random.key(1), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,), input_hw=(64, 64))
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    before = engine.encode_image_arrays(u8)
+    engine.enable_int8(u8)  # calibration samples at SOURCE resolution
+    after = engine.encode_image_arrays(u8)
+    assert engine.path_kinds["image"] == "int8"
+    cos = (before * after).sum(-1)  # both l2-normalized
+    assert cos.min() > 0.99, cos
+
+
+def test_input_hw_decode_rejects_wrong_size():
+    params = clip_model.init(jax.random.key(1), CFG)
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,), input_hw=(64, 64))
+    buf = io.BytesIO()
+    Image.new("RGB", (48, 48)).save(buf, "PNG")
+    with pytest.raises(ValueError, match="64x64 source images"):
+        engine.decode_and_preprocess([buf.getvalue()])
+    # exact-size blobs pass through raw (no host resample)
+    buf2 = io.BytesIO()
+    Image.new("RGB", (64, 64), (10, 20, 30)).save(buf2, "PNG")
+    arr = engine.decode_and_preprocess([buf2.getvalue()])
+    assert arr.shape == (1, 64, 64, 3) and arr.dtype == np.uint8
+    np.testing.assert_array_equal(arr[0, 0, 0], [10, 20, 30])
+
+
+def test_input_hw_frozen_roundtrip(tmp_path):
+    """export_servable(input_hw=) records resize-inclusive programs;
+    load_servable rebuilds an engine bit-equal to the live one."""
+    from clip_mixer_tpu.aot import export_servable, load_servable
+
+    params = clip_model.init(jax.random.key(2), CFG)
+    out = str(tmp_path / "frozen_ihw")
+    export_servable(params, CFG, out, batch_buckets=(4,), input_hw=(64, 64))
+    frozen = load_servable(out, check_platform=False)
+    assert frozen.frozen and frozen.input_hw == (64, 64)
+
+    live = InferenceEngine(params, CFG, batch_buckets=(4,), input_hw=(64, 64))
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        frozen.encode_image_arrays(u8), live.encode_image_arrays(u8)
+    )
+
+
+def test_embed_dataset_input_size_bank(tmp_path):
+    """--input-size banks: decode-only host path, device resize, features
+    bit-equal to a same-input_hw engine; provenance mismatch warns."""
+    import sys
+    import warnings as _warnings
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import embed_dataset
+
+    import clip_mixer_tpu as clip
+    from clip_mixer_tpu.data.pipeline import write_tar_shards
+
+    rng = np.random.default_rng(3)
+    samples = [(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8), f"caption {i}") for i in range(4)]
+    shard_dir = tmp_path / "shards64"
+    write_tar_shards(iter(samples), str(shard_dir), samples_per_shard=4)
+
+    ckpt = str(tmp_path / "ckpt")
+    params = clip_model.init(jax.random.key(0), CFG)
+    clip.save_pretrained(params, CFG, ckpt)
+
+    bank = str(tmp_path / "bank64.npz")
+    embed_dataset.main([
+        "--model", ckpt, "--data", str(shard_dir / "*.tar"),
+        "--out", bank, "--batch", "4", "--input-size", "64",
+    ])
+
+    engine = InferenceEngine(params, CFG, batch_buckets=(4,), input_hw=(64, 64))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # matching input_hw must NOT warn
+        engine.load_index_file(bank)
+    assert len(engine._index[1]) == 4
+
+    # bit-equality: bank row == the engine encoding the JPEG-decoded source
+    import tarfile, io as _io
+    from PIL import Image
+    with tarfile.open(shard_dir / "00000.tar") as tar:
+        raw = np.asarray(
+            Image.open(_io.BytesIO(tar.extractfile("000000000.jpg").read())).convert("RGB"),
+            np.uint8,
+        )
+    direct = engine.encode_image_arrays(raw[None])[0]
+    with np.load(bank) as z:
+        np.testing.assert_array_equal(z["features"][0], direct)
+
+    # a default (host-resize) engine loading this bank must warn on the
+    # input_hw provenance mismatch
+    plain = InferenceEngine(params, CFG, batch_buckets=(4,))
+    with pytest.warns(UserWarning, match="input_hw"):
+        plain.load_index_file(bank)
