@@ -38,7 +38,14 @@ from jax import export as jax_export
 
 from clip_mixer_tpu.config import CLIPConfig
 
+# version 1: the original layout; version 2 adds input_hw (device-side
+# resize) — written ONLY when input_hw is set, so plain exports stay
+# loadable by older deployments while an input_hw export fails cleanly
+# there (a v1-only loader feeding 224px images into (b,256,256,3)
+# programs would otherwise die with a confusing shape error at request
+# time)
 _MANIFEST_VERSION = 1
+_SUPPORTED_MANIFEST_VERSIONS = (1, 2)
 
 
 def _sdir(out_dir: str):
@@ -188,7 +195,7 @@ def freeze_programs(
         (sdir / f"text_{b}.bin").write_bytes(exp_t.serialize())
 
     manifest = {
-        "version": _MANIFEST_VERSION,
+        "version": _MANIFEST_VERSION if input_hw is None else 2,
         "buckets": buckets,
         "int8": int8,
         "platforms": exported_platforms,
@@ -220,7 +227,7 @@ def load_servable(path: str, *, check_platform: bool = True):
             f"{path} has no servable/manifest.json — not an export_servable dir"
         )
     manifest = json.loads(mpath.read_text())
-    if manifest.get("version") != _MANIFEST_VERSION:
+    if manifest.get("version") not in _SUPPORTED_MANIFEST_VERSIONS:
         raise ValueError(f"unsupported servable manifest version {manifest.get('version')!r}")
     backend = jax.default_backend()
     if check_platform and manifest["platforms"] and backend not in manifest["platforms"]:

@@ -72,6 +72,29 @@ def _download(url: str, root: str, retries: int = 4) -> str:
             return target
         warnings.warn(f"{target} exists with wrong SHA256; re-downloading")
 
+    # Serialize concurrent downloaders (several processes per host is the
+    # normal pod layout): both would otherwise interleave writes into the
+    # same .partial. flock is advisory, local-FS only — exactly the cache
+    # dir's scope. The loser wakes to a finished `target` and short-circuits.
+    import fcntl
+
+    lock = open(target + ".lock", "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        if os.path.isfile(target) and hashlib.sha256(
+            open(target, "rb").read()
+        ).hexdigest() == expected_sha256:
+            return target
+        return _download_locked(url, target, expected_sha256, retries)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+
+
+def _download_locked(url: str, target: str, expected_sha256: str, retries: int) -> str:
+    import sys
+    import time
+
     partial = target + ".partial"
     delay = 2.0
     for attempt in range(retries + 1):
@@ -80,7 +103,7 @@ def _download(url: str, root: str, retries: int = 4) -> str:
         if done:
             req.add_header("Range", f"bytes={done}-")
         try:
-            with urllib.request.urlopen(req) as src:
+            with urllib.request.urlopen(req, timeout=60) as src:
                 # A server that ignores Range answers 200 with the full
                 # body — start the file over instead of corrupting it.
                 resumed = done and getattr(src, "status", 200) == 206

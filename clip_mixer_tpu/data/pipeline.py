@@ -93,6 +93,18 @@ class SyntheticSource(DataSource):
             yield Batch(images=images, texts=self.tokens[classes])
 
 
+def _concat_consuming(chunks: list) -> np.ndarray:
+    """np.concatenate(chunks) at ~1x peak memory: preallocate the result,
+    copy chunk by chunk, and drop each chunk as it's copied."""
+    n = sum(c.shape[0] for c in chunks)
+    out = np.empty((n,) + chunks[0].shape[1:], chunks[0].dtype)
+    while chunks:
+        c = chunks.pop()
+        out[n - c.shape[0]:n] = c
+        n -= c.shape[0]
+    return out
+
+
 class CacheSource(DataSource):
     """Decode-once, serve-from-host-RAM wrapper — the ``tf.data`` ``.cache()``
     analogue, and the TPU-native answer to a host whose JPEG-decode rate
@@ -129,6 +141,14 @@ class CacheSource(DataSource):
         self.inner = inner
         self.seed = seed
         self.max_bytes = max_bytes
+        if cache_dir is not None and "://" in str(cache_dir):
+            # the cache is memmapped (np.load(mmap_mode="r")) — a remote URI
+            # can never serve it, and raw os.path would silently create a
+            # local "./gs:/..." directory instead (repo-wide gs:// rule)
+            raise ValueError(
+                f"cache_dir must be a local directory, got {cache_dir!r}; "
+                "point --cache-data at local SSD (the cache is memmapped)"
+            )
         self.cache_dir = cache_dir
         self.batch_size = inner.batch_size
         self._images: Optional[np.ndarray] = None
@@ -143,9 +163,17 @@ class CacheSource(DataSource):
         h = hashlib.sha256()
         for p in getattr(self.inner, "shards", []):
             try:
-                h.update(f"{p}:{os.path.getsize(p)};".encode())
+                st = os.stat(p)
+                # mtime_ns too: a same-length caption edit inside a tar (or a
+                # sidecar .txt rewrite) can leave the size unchanged
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
             except OSError:
                 h.update(f"{p}:?;".encode())
+        # FileListSource captions live OUTSIDE the shard files (manifest /
+        # sidecars / dirnames) — hash them directly, they're already in RAM
+        for _, caption in getattr(self.inner, "entries", []):
+            h.update(caption.encode())
+            h.update(b"\x00")
         h.update(f"res={getattr(self.inner, 'image_size', 0)};"
                  f"ctx={getattr(self.inner, 'context_length', 0)}".encode())
         return h.hexdigest()[:16]
@@ -181,8 +209,11 @@ class CacheSource(DataSource):
                 self.inner.drop_last = inner_drop_last
         if not imgs:
             raise ValueError("CacheSource: inner source yielded no batches")
-        self._images = np.concatenate(imgs)
-        self._texts = np.concatenate(txts)
+        # consume the batch lists while copying: np.concatenate would hold
+        # batches + result alive together (~2x the dataset at peak — the
+        # documented 15GB target case would OOM a 24GB host)
+        self._images = _concat_consuming(imgs)
+        self._texts = _concat_consuming(txts)
         if self.cache_dir is not None:
             os.makedirs(self.cache_dir, exist_ok=True)
             for path, arr in ((img_path, self._images), (txt_path, self._texts)):
@@ -652,7 +683,17 @@ class FileListSource(TarShardSource):
                 if lineno == 0:
                     names = [c.strip().lower() for c in row]
                     path_hits = [j for j, n in enumerate(names) if n in cls._HEADER_PATH]
-                    if path_hits:  # header row, in ANY column order
+
+                    def _resolve(cell):
+                        cell = cell.strip()
+                        return cell if os.path.isabs(cell) else os.path.join(root, cell)
+
+                    # A true header's cells are column NAMES — none of them
+                    # is an existing file. A data row whose caption happens
+                    # to be the literal word "image"/"file"/... must not be
+                    # eaten as a header (its path cell resolves).
+                    row_has_file = any(os.path.isfile(_resolve(c)) for c in row)
+                    if path_hits and not row_has_file:  # header, ANY column order
                         path_col = path_hits[0]
                         caption_col = next(
                             (j for j, n in enumerate(names) if n in cls._HEADER_CAPTION),
@@ -662,13 +703,21 @@ class FileListSource(TarShardSource):
                     # Header-like but unrecognised (e.g. "image_file,desc"):
                     # ingesting it as data swaps columns or trains on the
                     # header text, surfacing only as confusing decode errors.
+                    # Only cells that don't even LOOK like paths qualify — a
+                    # path-shaped cell (separator or image extension) whose
+                    # file is merely missing stays a data row, which
+                    # on_decode_error='substitute' explicitly supports.
                     cell = row[path_col].strip() if len(row) > path_col else ""
-                    resolved = cell if os.path.isabs(cell) else os.path.join(root, cell)
-                    if cell and "://" not in cell and not os.path.exists(resolved):
+                    looks_like_path = ("/" in cell or os.sep in cell or
+                                       cell.lower().endswith(
+                                           (".jpg", ".jpeg", ".png", ".webp",
+                                            ".bmp", ".gif", ".tif", ".tiff")))
+                    if (cell and "://" not in cell and not looks_like_path
+                            and not os.path.exists(_resolve(cell))):
                         raise ValueError(
                             f"{manifest_path}:1: first row is not a recognised "
                             f"header ({'/'.join(cls._HEADER_PATH)}) and its path "
-                            f"cell does not resolve to a file ({resolved}); "
+                            f"cell does not resolve to a file ({_resolve(cell)}); "
                             "rename the header columns or fix image_root"
                         )
                 if len(row) <= max(path_col, caption_col):

@@ -94,6 +94,31 @@ def fetch_imagenetv2(location: str = "datasetImageNet") -> str:
     if existing is not None:
         return existing
     os.makedirs(location, exist_ok=True)
+    # Serialize concurrent fetchers: several processes on one host (the pod
+    # layout) hitting the first validation pass together would interleave
+    # writes into one .partial and extract over each other — flock'd, the
+    # losers wake to the extracted tree and return it from the root check.
+    import fcntl
+
+    lock = open(os.path.join(location, ".imagenetv2.lock"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        existing = _find_imagenetv2_root(location)
+        if existing is not None:
+            return existing
+        return _fetch_imagenetv2_locked(location)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+
+
+def _fetch_imagenetv2_locked(location: str) -> str:
+    import os
+    import tarfile
+    import urllib.request
+
+    from clip_mixer_tpu.data.hf_eval import host_reachable
+
     last_err = "no URL reachable (offline)"
     for url in _IMAGENETV2_URLS:
         host = url.split("/")[2]

@@ -5,6 +5,8 @@ jax.export programs reproduce the live engine bit-for-bit — the JAX
 equivalent of the reference's TorchScript serving path (clip.py:95-195,
 jit=True), which PARITY previously marked torch-specific."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -207,3 +209,29 @@ def test_enable_int8_on_frozen_engine_clears_provenance(tmp_path, params):
     assert eng.frozen is True
     eng.enable_int8(np.zeros((4, 32, 32, 3), np.uint8))
     assert eng.frozen is False and eng.path_kinds["image"] == "int8"
+
+
+def test_manifest_versioning(tmp_path, params):
+    """Plain exports stay manifest version 1 (loadable by older deployments);
+    input_hw exports write version 2 so a v1-only loader rejects them cleanly
+    instead of host-preprocessing to 224 and hitting a shape error inside the
+    frozen (b, ih, iw, 3) programs. Unknown versions fail loudly."""
+    import json
+
+    plain = str(tmp_path / "plain")
+    aot.export_servable(params, CFG, plain, batch_buckets=(4,))
+    m = json.loads((Path(plain) / "servable" / "manifest.json").read_text())
+    assert m["version"] == 1
+
+    ihw = str(tmp_path / "ihw")
+    aot.export_servable(params, CFG, ihw, batch_buckets=(4,), input_hw=(64, 64))
+    m2 = json.loads((Path(ihw) / "servable" / "manifest.json").read_text())
+    assert m2["version"] == 2 and m2["input_hw"] == [64, 64]
+    eng = aot.load_servable(ihw)
+    assert eng.input_hw == (64, 64)
+
+    # future/unknown version: clean rejection
+    m2["version"] = 3
+    (Path(ihw) / "servable" / "manifest.json").write_text(json.dumps(m2))
+    with pytest.raises(ValueError, match="manifest version"):
+        aot.load_servable(ihw)

@@ -1052,3 +1052,113 @@ def test_download_resumes_with_range(monkeypatch, tmp_path):
     with pytest.raises(RuntimeError, match="SHA256"):
         api._download(bad_url, str(tmp_path))
     assert not os.path.exists(str(tmp_path / "model2.pt.partial"))
+
+
+def test_cache_source_rejects_remote_dir(tmp_path):
+    """cache_dir is memmapped — a gs:// URI can never serve it, and raw
+    os.path would silently create a local './gs:/...' dir (repo gs:// rule)."""
+    from clip_mixer_tpu.data.pipeline import CacheSource
+
+    rng = np.random.default_rng(5)
+    samples = [(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), "c")]
+    paths = write_tar_shards(iter(samples), str(tmp_path / "s"), samples_per_shard=1)
+    inner = TarShardSource(paths, batch_size=1, image_size=16, context_length=16)
+    with pytest.raises(ValueError, match="local directory"):
+        CacheSource(inner, cache_dir="gs://bucket/cache")
+
+
+def test_cache_fingerprint_tracks_captions(tmp_path):
+    """A caption edit that leaves every shard file size unchanged (sidecar
+    .txt rewrite for FileListSource; same-length in-tar edit) must MISS the
+    disk cache — the fingerprint once hashed only (path, size), silently
+    serving stale captions."""
+    from clip_mixer_tpu.data.pipeline import CacheSource, FileListSource
+    from PIL import Image
+
+    img = tmp_path / "a.jpg"
+    Image.new("RGB", (32, 32), (90, 10, 10)).save(img, "JPEG")
+    cache = str(tmp_path / "cache")
+
+    src1 = CacheSource(
+        FileListSource([(str(img), "old caption")], batch_size=1,
+                       image_size=16, context_length=16),
+        cache_dir=cache,
+    )
+    [b1] = list(src1.iter_batches(epoch=0))
+
+    src2 = CacheSource(
+        FileListSource([(str(img), "new caption")], batch_size=1,
+                       image_size=16, context_length=16),
+        cache_dir=cache,
+    )
+    [b2] = list(src2.iter_batches(epoch=0))
+    assert src1._fingerprint() != src2._fingerprint()
+    assert not np.array_equal(b1["texts"], b2["texts"])  # not the stale rows
+    from clip_mixer_tpu.text.fast import fast_tokenize
+    np.testing.assert_array_equal(
+        b2["texts"], fast_tokenize(["new caption"], context_length=16)
+    )
+
+
+def test_concat_consuming_matches_numpy():
+    from clip_mixer_tpu.data.pipeline import _concat_consuming
+
+    rng = np.random.default_rng(6)
+    chunks = [rng.integers(0, 256, (n, 3, 2), dtype=np.uint8) for n in (4, 1, 7, 2)]
+    want = np.concatenate(chunks)
+    got = _concat_consuming([c.copy() for c in chunks])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_download_serializes_concurrent_processes(monkeypatch, tmp_path):
+    """Two concurrent downloaders of the same checkpoint (the per-host pod
+    layout) must not interleave writes into one .partial: the flock makes
+    the loser wait and return the winner's verified file."""
+    import hashlib
+    import io as _io
+    import threading
+    import urllib.request
+
+    from clip_mixer_tpu import api
+
+    payload = b"\xab" * (256 << 10)
+    sha = hashlib.sha256(payload).hexdigest()
+    url = f"https://fake.test/{sha}/model.pt"
+    opened = []
+
+    class SlowServer:
+        def __init__(self):
+            self._b = _io.BytesIO(payload)
+            self.status = 200
+            self.headers = {"Content-Length": str(len(payload))}
+
+        def read(self, n):
+            import time
+            time.sleep(0.005)
+            return self._b.read(n)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, *a, **k):
+        opened.append(1)
+        return SlowServer()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    results, errors = [], []
+
+    def worker():
+        try:
+            results.append(api._download(url, str(tmp_path)))
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=60) for t in ts]
+    assert not errors and len(results) == 2
+    assert open(results[0], "rb").read() == payload
+    assert len(opened) == 1  # the loser never re-downloaded

@@ -257,3 +257,42 @@ def test_from_csv_rejects_remote_urls(tmp_path):
         w.writerow(["https://example.com/cat.jpg", "a cat"])
     with pytest.raises(ValueError, match="img2dataset|pack_dataset"):
         FileListSource.from_csv(str(manifest), batch_size=1)
+
+
+def test_from_csv_caption_named_like_header_is_data(tmp_path):
+    """A headerless manifest whose first CAPTION is literally 'image' (or
+    any recognised column name) must stay a data row: the path cell resolves
+    to a real file, so the row cannot be a header. Regression: header
+    detection once matched ANY cell, dropping the first sample and swapping
+    the columns for the whole manifest."""
+    entries = _write_images(tmp_path, 3)
+    manifest = tmp_path / "tricky.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([os.path.basename(entries[0][0]), "image"])  # caption = 'image'
+        for p, c in entries[1:]:
+            w.writerow([os.path.basename(p), c])
+    src = FileListSource.from_csv(str(manifest), batch_size=3, image_size=16,
+                                  context_length=16)
+    assert len(src.entries) == 3  # first row kept as data
+    assert src.entries[0] == (entries[0][0], "image")
+    assert src.entries[1][1] == entries[1][1]  # columns NOT swapped
+
+
+def test_from_csv_missing_first_file_stays_data_row(tmp_path):
+    """Headerless manifest whose FIRST image was deleted: the cell is
+    path-shaped, so it must be ingested as a data row (substitute mode
+    explicitly supports unreadable files) — not rejected as an unrecognised
+    header at construction time."""
+    entries = _write_images(tmp_path, 3)
+    manifest = tmp_path / "gone.csv"
+    with open(manifest, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["deleted/gone_0001.jpg", "a vanished photo"])
+        for p, c in entries:
+            w.writerow([os.path.basename(p), c])
+    src = FileListSource.from_csv(str(manifest), batch_size=4, image_size=16,
+                                  context_length=16, on_decode_error="substitute")
+    assert len(src.entries) == 4
+    [batch] = list(src.iter_batches(epoch=0))
+    assert batch["images"].shape[0] == 4  # substituted, not aborted
