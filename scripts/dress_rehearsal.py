@@ -51,11 +51,28 @@ def read_metrics(run_dir: Path):
 def thin(points, keep=60):
     if len(points) <= keep:
         return points
-    stride = max(1, len(points) // keep)
+    stride = -(-len(points) // keep)  # ceil: never exceed ~keep points
     out = points[::stride]
     if out[-1] != points[-1]:
         out.append(points[-1])
     return out
+
+
+def write_result(out_path, result, leg=None):
+    """Write the distilled run record; with ``leg``, merge under legs[leg]
+    so the two rehearsal legs accumulate into one TRAIN_DRESS.json."""
+    out_path = Path(out_path)
+    if leg:
+        doc = {}
+        if out_path.exists():
+            try:
+                doc = json.loads(out_path.read_text())
+            except json.JSONDecodeError:
+                doc = {}
+        doc.setdefault("legs", {})[leg] = result
+        out_path.write_text(json.dumps(doc, indent=2))
+    else:
+        out_path.write_text(json.dumps(result, indent=2))
 
 
 def main():
@@ -154,20 +171,7 @@ def main():
         "restarts": ((losses[-1][0] if losses else 0) // args.crash_after_steps
                      if args.crash_after_steps else 0),
     }
-    out_path = REPO / args.out
-    if args.leg:
-        doc = {}
-        if out_path.exists():
-            try:
-                doc = json.loads(out_path.read_text())
-            except json.JSONDecodeError:
-                doc = {}
-        doc.setdefault("legs", {})[args.leg] = result
-        with open(out_path, "w") as f:
-            json.dump(doc, f, indent=2)
-    else:
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=2)
+    write_result(REPO / args.out, result, args.leg)
     print(json.dumps({k: result[k] for k in (
         "steps_completed", "loss_first", "loss_last",
         "imgs_per_sec_median_steady", "wall_seconds", "supervisor_exit")}))

@@ -207,3 +207,33 @@ def test_derive_run_name():
     assert d(["--run-name=prod1"]) == "prod1"
     assert d(["--run-name", "a", "--run-name=b"]) == "b"
     assert d(["--preset", "mixer-b32", "--run-name"]) is None
+
+
+def test_dress_rehearsal_distillation(tmp_path):
+    """dress_rehearsal's metric distillation + leg merging: read_metrics
+    groups the jsonl (tolerating a crash-truncated tail line), thin()
+    keeps endpoints, and write_result(leg=...) accumulates both rehearsal
+    legs into one TRAIN_DRESS.json without clobbering."""
+    import json
+
+    import dress_rehearsal as dr
+
+    run = tmp_path / "run" / "runs"
+    run.mkdir(parents=True)
+    lines = [json.dumps({"step": s, "name": "Loss", "value": 10.0 - s})
+             for s in range(1, 8)]
+    lines.append('{"step": 8, "name": "Lo')  # crash-truncated tail
+    (run / "metrics.jsonl").write_text("\n".join(lines))
+    series = dr.read_metrics(tmp_path / "run")
+    assert series["Loss"][0] == (1, 9.0) and series["Loss"][-1] == (7, 3.0)
+
+    pts = [(i, float(i)) for i in range(200)]
+    thinned = dr.thin(pts, keep=60)
+    assert len(thinned) <= 62 and thinned[0] == pts[0] and thinned[-1] == pts[-1]
+
+    out = tmp_path / "TRAIN_DRESS.json"
+    dr.write_result(out, {"steps_completed": 12}, leg="batch32k")
+    dr.write_result(out, {"steps_completed": 516}, leg="steps500")
+    doc = json.loads(out.read_text())
+    assert doc["legs"]["batch32k"]["steps_completed"] == 12
+    assert doc["legs"]["steps500"]["steps_completed"] == 516
