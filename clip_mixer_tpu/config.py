@@ -338,6 +338,17 @@ class TrainConfig:
     # trains without augmentation (training.py:115 uses the inference
     # preprocess) — this is an addition, off by default.
     augment: bool = False
+    # Dispatch-depth throttle: the train loop deliberately avoids per-step
+    # host syncs (metrics are buffered to checkpoint cadence), but JAX's
+    # async dispatch then lets the host loop run arbitrarily far ahead of
+    # the device — every enqueued step pins its full uint8 host batch in
+    # transfer staging. At global batch 2048 that is ~0.3GB/step; measured
+    # on the remote-TPU host: ~123GB RSS and an OOM kill ~310 steps into
+    # the first flush window. Each step blocks on the loss of the step
+    # N-max_inflight_steps back — a no-op while the device is the
+    # bottleneck, pure backpressure when the host is. 2 = classic double
+    # buffering; raise only on hosts with RAM to spare.
+    max_inflight_steps: int = 2
     seed: int = 0
     # image normalisation applied inside the train step, NOT in preprocess
     # (reference keeps preprocess uint8 and normalises in-loop,
@@ -350,6 +361,10 @@ class TrainConfig:
             raise ValueError(f"loss must be 'info_nce' or 'siglip' (got {self.loss!r})")
         if self.freeze not in (None, "visual", "text"):
             raise ValueError(f"freeze must be 'visual' or 'text' (got {self.freeze!r})")
+        if self.max_inflight_steps < 1:
+            raise ValueError(
+                f"max_inflight_steps must be >= 1 (got {self.max_inflight_steps})"
+            )
         if self.ema_decay is not None and not (0.0 < self.ema_decay < 1.0):
             # decay=1.0 would freeze the EMA at the random init forever and
             # validation/export would silently ship untrained weights.

@@ -14,6 +14,7 @@ jax.process_index() == 0 in place of rank checks.
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Optional, Sequence
 
 import jax
@@ -279,6 +280,13 @@ class Trainer:
             t0 = time.monotonic()
             steps_since_t0 = 0
             pending = []  # (step, metrics) awaiting device_get at cadence
+            # Bounded dispatch depth (tcfg.max_inflight_steps): without it
+            # the loop enqueues steps as fast as the data source gathers
+            # them, and every in-flight step pins its host batch in transfer
+            # staging — measured OOM at ~310 x 0.3GB on the dress rehearsal.
+            # Blocking on a METRICS scalar (not the state) keeps the next
+            # step's dispatch off the critical path.
+            inflight: deque = deque()
             for host_batch in prefetch(self.data.iter_batches(epoch, start_batch), stop=prefetch_stop):
                 # Per-epoch cap checked BEFORE stepping (the reference's
                 # iterationPerEpoch break, training.py:192-194): resuming from
@@ -311,6 +319,9 @@ class Trainer:
                 # with a generic rc and their supervisors would restart them
                 # into a dead rendezvous while the lead's supervisor stopped.
                 pending.append((step, metrics))
+                inflight.append(metrics["loss"])
+                if len(inflight) > self.tcfg.max_inflight_steps:
+                    jax.block_until_ready(inflight.popleft())
                 if self.profile_steps and self.is_lead:
                     # Trace covers exactly N whole steps after
                     # _trace_start_after (chosen above to dodge checkpoint /

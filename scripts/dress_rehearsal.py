@@ -58,6 +58,42 @@ def thin(points, keep=60):
     return out
 
 
+def checkpoint_steps(run_dir: Path):
+    """Step ids of the checkpoints the run left behind (orbax step-named
+    dirs) — the resume-boundary evidence: a crash at step C with latest
+    checkpoint K means the supervisor restarted from K and re-ran (C-K]."""
+    d = Path(run_dir) / "checkpoints"
+    if not d.exists():
+        return []
+    return sorted(int(p.name) for p in d.iterdir() if p.name.isdigit())
+
+
+def distill(series, wall, returncode, crash_after_steps=0, ckpt_steps=()):
+    """Reduce a run's metric series to the committed TRAIN_DRESS record."""
+    losses = series.get("Loss", [])
+    ips = series.get("Throughput (imgs/s)", [])
+    # trainer scalar names: "Retrieval I->T R@1" etc (evals/validators.py)
+    retrieval = {k: thin(v, 30) for k, v in series.items()
+                 if k.lower().startswith("retrieval")}
+    steady = sorted(v for _, v in ips[len(ips) // 2:]) if ips else []
+    return {
+        "supervisor_exit": returncode,
+        "wall_seconds": round(wall, 1),
+        "steps_completed": losses[-1][0] if losses else 0,
+        "loss_first": losses[0][1] if losses else None,
+        "loss_last": losses[-1][1] if losses else None,
+        "loss_curve": thin(losses, 80),
+        "imgs_per_sec_median_steady": steady[len(steady) // 2] if steady else None,
+        "imgs_per_sec_series": thin(ips, 40),
+        "retrieval": retrieval,
+        "checkpoint_steps": list(ckpt_steps),
+        # with --crash-after-steps each launch dies after exactly N local
+        # steps, so completed_steps // N is the number of crash->resume cycles
+        "restarts": ((losses[-1][0] if losses else 0) // crash_after_steps
+                     if crash_after_steps else 0),
+    }
+
+
 def write_result(out_path, result, leg=None):
     """Write the distilled run record; with ``leg``, merge under legs[leg]
     so the two rehearsal legs accumulate into one TRAIN_DRESS.json."""
@@ -139,38 +175,21 @@ def main():
     proc = subprocess.run(cmd, cwd=REPO)
     wall = time.time() - t0
 
-    series = read_metrics(run_dir)
-    losses = series.get("Loss", [])
-    ips = series.get("Throughput (imgs/s)", [])
-    retrieval = {k: thin(v, 30) for k, v in series.items() if k.startswith("retrieval")}
-    # steady-state throughput: median over the second half of the run
-    steady = sorted(v for _, v in ips[len(ips) // 2:]) if ips else []
-    result = {
-        "config": {
-            "preset": "mixer-b32",
-            "global_batch_size": args.global_batch,
-            "accum_steps": args.accum,
-            "steps_requested": args.steps,
-            "checkpoint_every": args.checkpoint_every,
-            "validate_every": args.validate_every,
-            "crash_after_steps": args.crash_after_steps,
-            "data": args.data,
-            "val_data": args.val_data,
-        },
-        "supervisor_exit": proc.returncode,
-        "wall_seconds": round(wall, 1),
-        "steps_completed": losses[-1][0] if losses else 0,
-        "loss_first": losses[0][1] if losses else None,
-        "loss_last": losses[-1][1] if losses else None,
-        "loss_curve": thin(losses, 80),
-        "imgs_per_sec_median_steady": steady[len(steady) // 2] if steady else None,
-        "imgs_per_sec_series": thin(ips, 40),
-        "retrieval": retrieval,
-        # with --crash-after-steps each launch dies after exactly N local
-        # steps, so completed_steps // N is the number of crash->resume cycles
-        "restarts": ((losses[-1][0] if losses else 0) // args.crash_after_steps
-                     if args.crash_after_steps else 0),
+    result = distill(read_metrics(run_dir), wall, proc.returncode,
+                     crash_after_steps=args.crash_after_steps,
+                     ckpt_steps=checkpoint_steps(run_dir))
+    result["config"] = {
+        "preset": "mixer-b32",
+        "global_batch_size": args.global_batch,
+        "accum_steps": args.accum,
+        "steps_requested": args.steps,
+        "checkpoint_every": args.checkpoint_every,
+        "validate_every": args.validate_every,
+        "crash_after_steps": args.crash_after_steps,
+        "data": args.data,
+        "val_data": args.val_data,
     }
+    losses = result["loss_curve"]
     write_result(REPO / args.out, result, args.leg)
     print(json.dumps({k: result[k] for k in (
         "steps_completed", "loss_first", "loss_last",

@@ -222,10 +222,25 @@ def test_dress_rehearsal_distillation(tmp_path):
     run.mkdir(parents=True)
     lines = [json.dumps({"step": s, "name": "Loss", "value": 10.0 - s})
              for s in range(1, 8)]
+    # the REAL trainer scalar names (evals/validators.py RetrievalValidator,
+    # trainer throughput) — distill() must pick these up, capitalisation
+    # included
+    lines.append(json.dumps(
+        {"step": 5, "name": "Retrieval I->T R@1", "value": 1.5}))
+    lines.append(json.dumps(
+        {"step": 4, "name": "Throughput (imgs/s)", "value": 123.0}))
     lines.append('{"step": 8, "name": "Lo')  # crash-truncated tail
     (run / "metrics.jsonl").write_text("\n".join(lines))
     series = dr.read_metrics(tmp_path / "run")
     assert series["Loss"][0] == (1, 9.0) and series["Loss"][-1] == (7, 3.0)
+
+    (tmp_path / "run" / "checkpoints" / "4").mkdir(parents=True)
+    res = dr.distill(series, wall=12.0, returncode=0, crash_after_steps=5,
+                     ckpt_steps=dr.checkpoint_steps(tmp_path / "run"))
+    assert res["retrieval"] == {"Retrieval I->T R@1": [(5, 1.5)]}
+    assert res["steps_completed"] == 7 and res["restarts"] == 1
+    assert res["imgs_per_sec_median_steady"] == 123.0
+    assert res["checkpoint_steps"] == [4]
 
     pts = [(i, float(i)) for i in range(200)]
     thinned = dr.thin(pts, keep=60)

@@ -78,6 +78,10 @@ def parse_args():
                    help="exact (GradCache) gradient accumulation: microbatches per "
                         "step at one-microbatch activation memory; the InfoNCE loss "
                         "still couples the full global batch")
+    p.add_argument("--max-inflight-steps", type=int, default=2,
+                   help="async-dispatch depth: each step blocks on the loss from "
+                        "N steps back so queued steps can't pin unbounded host "
+                        "batch memory (2 = double buffering)")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params + Adam moments over the data axis "
                         "(for models too big to replicate per chip); trains with "
@@ -273,6 +277,7 @@ def main():
         validate_every_steps=args.validate_every,
         keep_checkpoints=args.keep_checkpoints,
         accum_steps=args.accum_steps,
+        max_inflight_steps=args.max_inflight_steps,
         fsdp=args.fsdp,
         pipeline_microbatches=args.pipeline_microbatches,
         freeze_serving=args.freeze_serving,
