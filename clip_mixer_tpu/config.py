@@ -311,6 +311,13 @@ class TrainConfig:
     # is exactly what launch.supervise's progress-aware budget rewards.
     # None = off.
     crash_after_steps: Optional[int] = None
+    # Stall-drill twin of crash_after_steps: after THIS PROCESS has executed
+    # N steps, simulate a wedged accelerator — stay alive, stop making
+    # progress, stop heartbeating, never exit (a hung device/tunnel RPC
+    # blocks the loop exactly like this; SIGTERM sets the Trainer's stop
+    # flag but the loop never reaches the check). Only an external watchdog
+    # (supervise --stall-timeout) can clear it. None = off.
+    hang_after_steps: Optional[int] = None
     # Contrastive objective: "info_nce" (the reference's softmax loss,
     # training.py:156-168) or "siglip" (pairwise sigmoid, ops/losses.py
     # siglip_loss — needs a model with logit_bias_init set). Applies to the

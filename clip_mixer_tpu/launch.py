@@ -188,6 +188,60 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _wait_watching_stall(proc, stall_timeout, heartbeat_path, grace, log) -> int:
+    """Wait for the child; if its heartbeat file goes stale for
+    ``stall_timeout`` seconds, kill it and return its exit code.
+
+    A hung-but-alive child is the failure mode a plain ``wait()`` can never
+    see: the process blocks forever inside a wedged accelerator/tunnel RPC,
+    making no progress and never exiting (observed live: a stalled remote-TPU
+    tunnel left train.py futex-waiting indefinitely mid-dress-rehearsal).
+    The Trainer touches ``heartbeat_path`` every step (trainer._beat; the
+    max_inflight_steps dispatch throttle guarantees a dead backend stops the
+    beats within that many steps), so a stale mtime IS a stall. Escalation:
+    SIGTERM first (an input-stalled child can still write its preemption
+    checkpoint), then after ``grace`` seconds SIGKILL — to the child's whole
+    process group when it leads one (decode workers die with it).
+    """
+    import os
+    import signal as _signal
+    import subprocess
+    import time
+
+    launched = time.time()
+    while True:
+        try:
+            return proc.wait(timeout=max(0.1, min(5.0, stall_timeout / 4)))
+        except subprocess.TimeoutExpired:
+            pass
+        try:
+            last = os.path.getmtime(heartbeat_path)
+        except OSError:
+            last = launched
+        # max(): a stale heartbeat left by the PREVIOUS incarnation must not
+        # trigger an instant kill — the clock never starts before launch.
+        stale = time.time() - max(last, launched)
+        if stale <= stall_timeout:
+            continue
+        log(
+            f"supervise: no heartbeat for {stale:.0f}s (budget "
+            f"{stall_timeout:.0f}s, {heartbeat_path}); killing the stalled child"
+        )
+        proc.terminate()
+        try:
+            return proc.wait(timeout=grace)
+        except subprocess.TimeoutExpired:
+            pass
+        try:
+            if os.getpgid(proc.pid) != os.getpgid(0):
+                os.killpg(proc.pid, _signal.SIGKILL)
+            else:
+                proc.kill()
+        except OSError:
+            proc.kill()
+        return proc.wait()
+
+
 def supervise(
     cmd: list,
     ckpt_dir: str,
@@ -196,6 +250,9 @@ def supervise(
     backoff_cap: float = 300.0,
     sleep=None,
     log=print,
+    stall_timeout: Optional[float] = None,
+    heartbeat_path: Optional[str] = None,
+    stall_grace: float = 30.0,
 ) -> int:
     """Elastic recovery: run ``cmd`` (a train.py invocation), restarting it
     after transient failures. Returns the final exit code.
@@ -228,6 +285,16 @@ def supervise(
       supervisor's startup if that matters operationally.
     * any other nonzero — restart after exponential backoff
       (``backoff * 2^k`` capped at ``backoff_cap``) while the budget holds.
+    * hung-but-alive child (``stall_timeout`` + ``heartbeat_path`` set):
+      when the Trainer's per-step heartbeat file goes stale for
+      ``stall_timeout`` seconds the child is killed (SIGTERM, then SIGKILL
+      after ``stall_grace``) and the exit flows into the same
+      progress-aware budget — completing the failure matrix (crash,
+      non-finite, preemption, corrupt data, hang). Set ``stall_timeout``
+      LARGER than worst-case startup (restore + first compile + cache
+      fill) and than a validation pass; the Trainer beats at loop entry
+      and after validation, but launch-to-first-beat is covered only by
+      the launch clock.
 
     Multi-host: run one supervisor per worker (same command everywhere). A
     single worker's crash stalls the collectives until the jax.distributed
@@ -288,7 +355,12 @@ def supervise(
                 # state["proc"] was visible found proc=None in _forward (a
                 # later signal that DID find it set handoff — don't re-send).
                 proc.send_signal(state["sig"])
-            rc = proc.wait()
+            if stall_timeout is not None and heartbeat_path is not None:
+                rc = _wait_watching_stall(
+                    proc, stall_timeout, heartbeat_path, stall_grace, log
+                )
+            else:
+                rc = proc.wait()
             state["proc"] = None
             if rc == 0:
                 log(f"supervise: run complete after {attempt} launch(es)")

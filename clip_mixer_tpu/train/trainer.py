@@ -13,6 +13,7 @@ jax.process_index() == 0 in place of rank checks.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 from typing import Optional, Sequence
@@ -80,6 +81,17 @@ class Trainer:
         self.run_dir = run_dir
         self._profile_dir = f"{run_dir}/profile"
         self._profiling = False
+        # Liveness heartbeat for supervise --stall-timeout: a per-process
+        # file whose mtime advances every step. With max_inflight_steps
+        # bounding async dispatch, a wedged device/tunnel RPC blocks the
+        # loop within that many steps and the beats STOP — which is what
+        # makes hang detection possible at all (an unthrottled loop would
+        # keep beating while enqueueing into a dead backend). Local run
+        # dirs only: the watchdog reads mtimes off the local filesystem.
+        self._heartbeat_path = (
+            None if "://" in str(run_dir)
+            else os.path.join(run_dir, f"heartbeat-{jax.process_index()}")
+        )
 
         steps_per_epoch = tcfg.steps_per_epoch or data.batches_per_epoch
         if steps_per_epoch is None:
@@ -219,6 +231,22 @@ class Trainer:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
 
+    def _beat(self) -> None:
+        """Touch the per-process heartbeat file (one utime syscall — free
+        next to a train step). Failures are swallowed: liveness reporting
+        must never be able to kill the training it reports on."""
+        if self._heartbeat_path is None:
+            return
+        try:
+            os.utime(self._heartbeat_path, None)
+        except OSError:
+            try:
+                os.makedirs(self.run_dir, exist_ok=True)
+                with open(self._heartbeat_path, "a"):
+                    pass
+            except OSError:
+                pass
+
     def _stop_agreed(self, stop_requested, step: int) -> bool:
         """Whether to act on a pending stop request at this step.
 
@@ -274,6 +302,7 @@ class Trainer:
         # keeps the blocking wait: an early per-host exit could not reach the
         # collective save anyway — agreement happens at step boundaries.
         prefetch_stop = stop_requested if jax.process_count() == 1 else None
+        self._beat()  # init/restore done — stall clock starts at the loop
         for epoch in range(self.start_epoch, self.tcfg.epochs):
             start_batch = self.start_batch if epoch == self.start_epoch else 0
             batch_idx = start_batch
@@ -322,6 +351,9 @@ class Trainer:
                 inflight.append(metrics["loss"])
                 if len(inflight) > self.tcfg.max_inflight_steps:
                     jax.block_until_ready(inflight.popleft())
+                # Beat AFTER the throttle: a wedged backend blocks above
+                # within max_inflight_steps steps, so the beats stop too.
+                self._beat()
                 if self.profile_steps and self.is_lead:
                     # Trace covers exactly N whole steps after
                     # _trace_start_after (chosen above to dodge checkpoint /
@@ -373,6 +405,21 @@ class Trainer:
                         f"{self.tcfg.crash_after_steps} steps this process "
                         "(crash_after_steps)"
                     )
+                if self.tcfg.hang_after_steps is not None and (
+                    step - resume_step
+                ) == self.tcfg.hang_after_steps:
+                    # Fault injection (stall drills): simulate a wedged
+                    # accelerator/tunnel RPC — alive, no progress, no
+                    # heartbeats, never exits. SIGTERM sets stop_requested
+                    # but this loop never reaches the check (PEP 475
+                    # restarts the sleep), which is faithful to a real hang:
+                    # only supervise --stall-timeout's escalation clears it.
+                    self.checkpointer.wait()  # like the crash drill: let the
+                    # in-flight async save commit so the relaunch can resume
+                    if self.verbose and self.is_lead:
+                        print(f"fault injection: hanging at step {step} (hang_after_steps)", flush=True)
+                    while True:
+                        time.sleep(3600)
                 # Stop check BEFORE validation: a validation pass (host
                 # all-gather of params + every validator) can take minutes at
                 # scale and would eat the whole preemption grace window
@@ -382,6 +429,7 @@ class Trainer:
                     return
                 if step % self.validate_every_steps == 0:
                     self.validate(step)
+                    self._beat()  # a long validation pass is not a stall
             self._flush_metrics(pending)
             if prefetch_stop is not None and stop_requested.is_set():
                 # The data wait was interrupted (or the source ended with a

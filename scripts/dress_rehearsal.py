@@ -131,6 +131,11 @@ def main():
     p.add_argument("--run-name", default="dress")
     p.add_argument("--out", default="TRAIN_DRESS.json")
     p.add_argument("--max-restarts", type=int, default=8)
+    p.add_argument("--stall-timeout", type=float, default=1800.0,
+                   help="supervise hang detection (a live tunnel stall left "
+                        "the first rehearsal attempt futex-waiting forever); "
+                        "must exceed startup (cache fill + compile) and a "
+                        "validation pass. 0 disables.")
     p.add_argument("--leg", default=None, metavar="NAME",
                    help="record the result under legs[NAME] in --out, merging "
                         "with existing legs — the rehearsal is run as two legs "
@@ -168,8 +173,11 @@ def main():
     if args.crash_after_steps:
         train_args += ["--crash-after-steps", str(args.crash_after_steps)]
 
+    sup_args = ["--max-restarts", str(args.max_restarts)]
+    if args.stall_timeout:
+        sup_args += ["--stall-timeout", str(args.stall_timeout)]
     cmd = [sys.executable, str(REPO / "scripts" / "supervise.py"),
-           "--max-restarts", str(args.max_restarts), "--"] + train_args
+           *sup_args, "--"] + train_args
     print("[dress] launching:", " ".join(cmd), flush=True)
     t0 = time.time()
     proc = subprocess.run(cmd, cwd=REPO)

@@ -40,21 +40,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from clip_mixer_tpu.launch import supervise  # noqa: E402
 
 
-def derive_run_name(train_args):
-    """The --run-name the train args will resolve to, mirroring argparse's
-    accepted spellings ('--run-name NAME' and '--run-name=NAME', last
+def derive_flag_value(train_args, flag, default):
+    """The value ``flag`` resolves to in a train.py command line, mirroring
+    argparse's accepted spellings ('--flag VALUE' and '--flag=VALUE', last
     occurrence wins). Returns None for a missing value (caller errors out) —
-    a silent mis-parse here would watch the wrong checkpoint dir and defeat
-    the progress-aware restart budget."""
-    run_name = "run"  # train.py's --run-name default
+    a silent mis-parse here would watch the wrong checkpoint/heartbeat path
+    and defeat the progress-aware restart budget / stall watchdog."""
+    value = default
     for i, a in enumerate(train_args):
-        if a == "--run-name":
+        if a == flag:
             if i + 1 >= len(train_args):
                 return None
-            run_name = train_args[i + 1]
-        elif a.startswith("--run-name="):
-            run_name = a.split("=", 1)[1]
-    return run_name
+            value = train_args[i + 1]
+        elif a.startswith(flag + "="):
+            value = a.split("=", 1)[1]
+    return value
+
+
+def derive_run_name(train_args):
+    return derive_flag_value(train_args, "--run-name", "run")
 
 
 def main(argv=None):
@@ -75,6 +79,17 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", default=None,
                    help="checkpoint dir watched for progress (default: derived "
                         "from the train args' --run-name: outputs/<run>/checkpoints)")
+    p.add_argument("--stall-timeout", type=float, default=None, metavar="SEC",
+                   help="hang detection: kill + restart the child when the "
+                        "Trainer's per-step heartbeat file goes stale this long "
+                        "(set it LARGER than startup: restore + first compile + "
+                        "cache fill — and than a validation pass). Default off.")
+    p.add_argument("--stall-grace", type=float, default=30.0, metavar="SEC",
+                   help="seconds between the stall SIGTERM and the SIGKILL")
+    p.add_argument("--heartbeat", default=None,
+                   help="heartbeat file watched by --stall-timeout (default: "
+                        "derived from --run-name + --process-id in the train "
+                        "args: outputs/<run>/heartbeat-<pid>)")
     args = p.parse_args(sup_args)
     if not train_args:
         p.error("pass the train.py arguments after '--'")
@@ -86,9 +101,28 @@ def main(argv=None):
             p.error("--run-name in the train args is missing its value")
         ckpt_dir = str(Path("outputs") / run_name / "checkpoints")
 
+    stall_kwargs = {}
+    if args.stall_timeout is not None:
+        heartbeat = args.heartbeat
+        if heartbeat is None:
+            run_name = derive_run_name(train_args)
+            process_id = derive_flag_value(train_args, "--process-id", "0")
+            if run_name is None or process_id is None:
+                p.error("--run-name/--process-id in the train args is missing its value")
+            heartbeat = str(Path("outputs") / run_name / f"heartbeat-{process_id}")
+        if "://" in heartbeat:
+            p.error("--stall-timeout needs a LOCAL run dir (the heartbeat "
+                    "file mtime is read off the local filesystem)")
+        stall_kwargs = dict(
+            stall_timeout=args.stall_timeout,
+            heartbeat_path=heartbeat,
+            stall_grace=args.stall_grace,
+        )
+
     train_py = str(Path(__file__).resolve().parents[1] / "train.py")
     cmd = [sys.executable, train_py, *train_args]
-    return supervise(cmd, ckpt_dir, max_restarts=args.max_restarts, backoff=args.backoff)
+    return supervise(cmd, ckpt_dir, max_restarts=args.max_restarts,
+                     backoff=args.backoff, **stall_kwargs)
 
 
 if __name__ == "__main__":

@@ -157,6 +157,11 @@ def parse_args():
                         "executes N steps (an MTBF simulation) — rehearses the "
                         "supervisor/resume path (scripts/supervise.py) without "
                         "waiting for a real failure")
+    p.add_argument("--hang-after-steps", type=int, default=None,
+                   help="fault injection: simulate a wedged accelerator after this "
+                        "process executes N steps (alive, no progress, no "
+                        "heartbeats, never exits) — rehearses supervise "
+                        "--stall-timeout hang detection")
     p.add_argument("--verbose", action="store_true")
     # Explicit rendezvous/platform — used by launch.rehearse_local (a pod
     # launch on real TPUs needs none of these: jax.distributed.initialize()
@@ -282,6 +287,7 @@ def main():
         pipeline_microbatches=args.pipeline_microbatches,
         freeze_serving=args.freeze_serving,
         crash_after_steps=args.crash_after_steps,
+        hang_after_steps=args.hang_after_steps,
         loss=args.loss,
         ema_decay=args.ema_decay,
         freeze=args.freeze_tower,
