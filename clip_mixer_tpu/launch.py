@@ -202,22 +202,33 @@ def _wait_watching_stall(proc, stall_timeout, heartbeat_path, grace, log) -> int
     SIGTERM first (an input-stalled child can still write its preemption
     checkpoint), then after ``grace`` seconds SIGKILL — to the child's whole
     process group when it leads one (decode workers die with it).
+
+    ``heartbeat_path`` may be a glob (e.g. ``outputs/run/heartbeat-*``): the
+    newest mtime across matches counts. Multi-worker pods need this — the
+    Trainer names its file heartbeat-<jax.process_index()>, which the
+    supervisor cannot predict when jax.distributed auto-detects the index
+    (no --process-id in the train args).
     """
+    import glob as _glob
     import os
     import signal as _signal
     import subprocess
     import time
 
+    is_glob = any(c in heartbeat_path for c in "*?[")
     launched = time.time()
     while True:
         try:
             return proc.wait(timeout=max(0.1, min(5.0, stall_timeout / 4)))
         except subprocess.TimeoutExpired:
             pass
-        try:
-            last = os.path.getmtime(heartbeat_path)
-        except OSError:
-            last = launched
+        paths = _glob.glob(heartbeat_path) if is_glob else [heartbeat_path]
+        last = launched
+        for hb in paths:
+            try:
+                last = max(last, os.path.getmtime(hb))
+            except OSError:
+                pass
         # max(): a stale heartbeat left by the PREVIOUS incarnation must not
         # trigger an instant kill — the clock never starts before launch.
         stale = time.time() - max(last, launched)
@@ -305,6 +316,11 @@ def supervise(
     import subprocess
     import threading
 
+    if stall_timeout is not None and stall_timeout <= 0:
+        # 0/negative disables the watchdog (dress_rehearsal's documented
+        # convention); a literal 0s budget would kill every incarnation at
+        # the first poll, before its first beat.
+        stall_timeout = None
     failures_without_progress = 0
     attempt = 0
     stop_event = threading.Event()

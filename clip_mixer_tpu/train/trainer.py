@@ -92,6 +92,12 @@ class Trainer:
             None if "://" in str(run_dir)
             else os.path.join(run_dir, f"heartbeat-{jax.process_index()}")
         )
+        self._beat_degraded = False
+        if self._heartbeat_path is None and verbose:
+            print(
+                "trainer: heartbeat disabled (remote run_dir) — supervise "
+                "--stall-timeout hang detection will not work for this run"
+            )
 
         steps_per_epoch = tcfg.steps_per_epoch or data.batches_per_epoch
         if steps_per_epoch is None:
@@ -242,8 +248,20 @@ class Trainer:
         except OSError:
             try:
                 os.makedirs(self.run_dir, exist_ok=True)
-                with open(self._heartbeat_path, "a"):
-                    pass
+                # Append a byte, don't just open: when the file exists but
+                # utime fails persistently (EPERM on a foreign-owned file,
+                # read-only remount) a bare open("a") would NOT advance
+                # mtime — beats would silently freeze and the stall
+                # watchdog would kill a healthy run.
+                with open(self._heartbeat_path, "a") as f:
+                    f.write(".")
+                    f.flush()
+                if not self._beat_degraded:
+                    self._beat_degraded = True
+                    print(
+                        f"trainer: heartbeat degraded to append-writes "
+                        f"(os.utime failed on {self._heartbeat_path})"
+                    )
             except OSError:
                 pass
 

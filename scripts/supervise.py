@@ -83,13 +83,18 @@ def main(argv=None):
                    help="hang detection: kill + restart the child when the "
                         "Trainer's per-step heartbeat file goes stale this long "
                         "(set it LARGER than startup: restore + first compile + "
-                        "cache fill — and than a validation pass). Default off.")
+                        "cache fill — and than a validation pass). Default off; "
+                        "0 or negative also disables.")
     p.add_argument("--stall-grace", type=float, default=30.0, metavar="SEC",
                    help="seconds between the stall SIGTERM and the SIGKILL")
     p.add_argument("--heartbeat", default=None,
                    help="heartbeat file watched by --stall-timeout (default: "
                         "derived from --run-name + --process-id in the train "
-                        "args: outputs/<run>/heartbeat-<pid>)")
+                        "args: outputs/<run>/heartbeat-<process_index>; when "
+                        "--process-id is absent — e.g. real pods where "
+                        "jax.distributed auto-detects the index — the glob "
+                        "outputs/<run>/heartbeat-* is watched, newest mtime "
+                        "wins)")
     args = p.parse_args(sup_args)
     if not train_args:
         p.error("pass the train.py arguments after '--'")
@@ -102,14 +107,29 @@ def main(argv=None):
         ckpt_dir = str(Path("outputs") / run_name / "checkpoints")
 
     stall_kwargs = {}
-    if args.stall_timeout is not None:
+    if args.stall_timeout is not None and args.stall_timeout > 0:
         heartbeat = args.heartbeat
         if heartbeat is None:
             run_name = derive_run_name(train_args)
-            process_id = derive_flag_value(train_args, "--process-id", "0")
-            if run_name is None or process_id is None:
-                p.error("--run-name/--process-id in the train args is missing its value")
-            heartbeat = str(Path("outputs") / run_name / f"heartbeat-{process_id}")
+            if run_name is None:
+                p.error("--run-name in the train args is missing its value")
+            has_pid = any(
+                a == "--process-id" or a.startswith("--process-id=")
+                for a in train_args
+            )
+            if has_pid:
+                process_id = derive_flag_value(train_args, "--process-id", "0")
+                if process_id is None:
+                    p.error("--process-id in the train args is missing its value")
+                heartbeat = str(Path("outputs") / run_name / f"heartbeat-{process_id}")
+            else:
+                # No --process-id (real pods: jax.distributed auto-detects
+                # the index, so the Trainer's heartbeat-<process_index>
+                # suffix is unknowable here). Watch the whole family —
+                # launch.supervise treats a glob as newest-mtime-wins — so
+                # non-zero workers aren't judged by a heartbeat-0 file they
+                # never touch.
+                heartbeat = str(Path("outputs") / run_name / "heartbeat-*")
         if "://" in heartbeat:
             p.error("--stall-timeout needs a LOCAL run dir (the heartbeat "
                     "file mtime is read off the local filesystem)")

@@ -143,3 +143,121 @@ def test_hang_drill_end_to_end(tmp_path, monkeypatch):
     steps = [r["step"] for r in recs if r["name"] == "Loss"]
     assert sorted(steps) == sorted(set(steps))
     assert max(steps) == 6
+
+def test_glob_heartbeat_multiworker(tmp_path):
+    """Pod-shaped runs: the child beats heartbeat-<process_index> for a
+    NON-ZERO index (jax.distributed auto-detected it; no --process-id in the
+    train args) while the supervisor watches the heartbeat-* glob. Newest
+    mtime across the family counts, so the healthy worker is never killed —
+    the failure the advisor flagged was every non-zero worker being
+    SIGKILLed on a stall clock that ran from launch."""
+    hb = tmp_path / "heartbeat-3"
+    logs = []
+    rc = supervise(
+        _child_cmd(hb, beats=8, hang=False),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_restarts=0,
+        log=logs.append,
+        stall_timeout=4.0,
+        heartbeat_path=str(tmp_path / "heartbeat-*"),
+        stall_grace=0.5,
+    )
+    assert rc == 0
+    assert not any("stalled" in m for m in logs)
+
+
+def test_glob_heartbeat_stalled_still_killed(tmp_path):
+    """The glob path must not defeat detection: a child that stops beating
+    is still killed when no file in the family advances."""
+    hb = tmp_path / "heartbeat-2"
+    logs = []
+    rc = supervise(
+        _child_cmd(hb, beats=2, hang=True),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_restarts=0,
+        backoff=0.05,
+        log=logs.append,
+        stall_timeout=4.0,
+        heartbeat_path=str(tmp_path / "heartbeat-*"),
+        stall_grace=0.5,
+    )
+    assert rc != 0
+    assert any("killing the stalled child" in m for m in logs)
+
+
+def test_stall_timeout_zero_disables(tmp_path):
+    """0/negative disables the watchdog (dress_rehearsal's documented
+    convention) — a literal 0s budget used to kill every incarnation at the
+    first poll, before its first beat."""
+    hb = tmp_path / "heartbeat-0"
+    logs = []
+    rc = supervise(
+        _child_cmd(hb, beats=3, hang=False),
+        ckpt_dir=str(tmp_path / "ckpts"),
+        max_restarts=0,
+        log=logs.append,
+        stall_timeout=0.0,
+        heartbeat_path=str(hb),
+        stall_grace=0.5,
+    )
+    assert rc == 0
+    assert not any("stalled" in m for m in logs)
+
+
+def test_supervise_cli_heartbeat_derivation(monkeypatch, tmp_path):
+    """CLI derivation: explicit --process-id pins the exact file; absent
+    --process-id falls back to the heartbeat-* glob (real pods)."""
+    import supervise as supervise_cli
+
+    captured = {}
+
+    def fake_supervise(cmd, ckpt_dir, **kw):
+        captured.update(kw)
+        return 0
+
+    monkeypatch.setattr(supervise_cli, "supervise", fake_supervise)
+    base = ["--stall-timeout", "60", "--",
+            "--preset", "mixer-debug", "--run-name", "podrun"]
+
+    supervise_cli.main(base + ["--process-id", "1"])
+    assert captured["heartbeat_path"] == str(
+        Path("outputs") / "podrun" / "heartbeat-1")
+
+    captured.clear()
+    supervise_cli.main(base)
+    assert captured["heartbeat_path"] == str(
+        Path("outputs") / "podrun" / "heartbeat-*")
+
+    captured.clear()
+    supervise_cli.main(["--stall-timeout", "0", "--",
+                        "--preset", "mixer-debug", "--run-name", "podrun"])
+    assert "heartbeat_path" not in captured  # 0 disables at the CLI too
+
+
+def test_beat_fallback_advances_mtime(tmp_path, monkeypatch):
+    """trainer._beat's fallback must ADVANCE mtime when os.utime fails on an
+    existing file (EPERM / read-only remount): a bare open('a') would leave
+    beats frozen while training is healthy and the watchdog would kill it."""
+    from clip_mixer_tpu.train.trainer import Trainer
+
+    hb = tmp_path / "heartbeat-0"
+    hb.write_text("x")
+    old = time.time() - 3600
+    os.utime(hb, (old, old))
+
+    t = Trainer.__new__(Trainer)  # no full init: _beat only needs these
+    t._heartbeat_path = str(hb)
+    t._beat_degraded = False
+    t.run_dir = str(tmp_path)
+
+    real_utime = os.utime
+
+    def deny_utime(path, *a, **kw):
+        if str(path) == str(hb):
+            raise PermissionError("injected EPERM")
+        return real_utime(path, *a, **kw)
+
+    monkeypatch.setattr(os, "utime", deny_utime)
+    t._beat()
+    assert os.path.getmtime(hb) > old + 1800  # mtime advanced via the write
+    assert t._beat_degraded
