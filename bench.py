@@ -51,6 +51,19 @@ jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/roo
 
 MAX_FLIP_RATIO = 2.5  # int8 may add <= 1.5x the top-1 noise bf16 already has
 
+# Chain-admission ceilings (imgs/sec): the architecture's speed-of-light
+# accounting (README "ceiling" section) caps int8 at ~36.0k (channel-mix
+# 8.8ms @ 329 TOP/s + token-mix 4.05ms + 1.4ms front-end floor) and bf16 at
+# ~23.5k (channel-mix 16.8ms @ 88% MFU + token-mix + 2.0ms glue = 22.9ms
+# measured e2e, ~21.3ms with zero glue). A measurement chain ABOVE physics
+# is a tunnel artifact (observed: a 99,244 imgs/s "sample" in BENCH_r03 —
+# 2.75x the ceiling — from a timing hiccup in the short-chain leg of the
+# slope), not data; admitting it into the median poisons the record. 1.10x
+# headroom: the accounting itself carries ~5% uncertainty.
+SOL_INT8_IPS = 36000.0
+SOL_BF16_IPS = 23500.0
+SOL_HEADROOM = 1.10
+
 
 def mixer_vision_flops_per_image(cfg) -> float:
     """Analytic forward FLOPs of preprocess + patchify + mixer tower + proj."""
@@ -77,17 +90,38 @@ def _slope_time(run, n1=5, n2=45):
     return slope_time(run, n1, n2)
 
 
-def _median_ips(run, batch, repeats=3, n1=5, n2=45):
-    """Median imgs/sec over ``repeats`` independent measurement chains.
+def _median_ips(run, batch, repeats=3, n1=5, n2=45, sol_cap=None, max_extra=4):
+    """Median imgs/sec over ``repeats`` ADMISSIBLE measurement chains.
 
     Identical-code bench runs historically spread ±4% (README's five-run
     table: 32.5-35.3k); a single draw from that distribution is a noisy
     round-over-round record. The headline is therefore the median of three
     chains measured seconds apart, and the min/max band is self-reported in
     detail (run-to-run drift shows up as band width, not headline jitter).
+
+    Admission (``sol_cap``): a chain implying throughput above the
+    speed-of-light ceiling is physically impossible — a tunnel timing
+    artifact, not a fast run — and is REJECTED and re-measured (up to
+    ``max_extra`` extra chains) instead of averaged in. BENCH_r03 admitted
+    a 99,244 imgs/s sample (2.75x the ceiling); median-of-3 survived it
+    that time, but one more bad chain would have shipped garbage. Rejected
+    values are returned for the record. If re-measures keep exceeding the
+    cap (a systematically broken clock), the fallback is the MINIMUM of
+    everything seen — the only direction a timing artifact cannot fake.
     """
-    vals = sorted(batch / _slope_time(run, n1, n2) for _ in range(repeats))
-    return vals[len(vals) // 2], [round(v, 1) for v in vals]
+    vals, rejected = [], []
+    attempts = 0
+    while len(vals) < repeats and attempts < repeats + max_extra:
+        attempts += 1
+        v = batch / _slope_time(run, n1, n2)
+        if sol_cap is not None and v > sol_cap:
+            rejected.append(round(v, 1))
+            continue
+        vals.append(v)
+    if not vals:  # every chain exceeded physics: clock broken, take the min
+        vals = [min(rejected)]
+    vals = sorted(vals)
+    return vals[len(vals) // 2], [round(v, 1) for v in vals], rejected
 
 
 def main():
@@ -120,7 +154,10 @@ def main():
             return feats.astype(jnp.float32).mean() * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    bf16_ips, bf16_runs = _median_ips(lambda n: chained(params, images, jnp.int32(n)), batch)
+    bf16_ips, bf16_runs, bf16_rejected = _median_ips(
+        lambda n: chained(params, images, jnp.int32(n)), batch,
+        sol_cap=SOL_BF16_IPS * SOL_HEADROOM,
+    )
 
     # ---- int8 calibrated image path (the serving headline) ---------------
     # Front-end: the planar fused resize->int8-patches graph (bf16 resize
@@ -145,7 +182,10 @@ def main():
             return f.astype(jnp.float32).mean() * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    int8_ips, int8_runs = _median_ips(lambda n: chained_q(qparams, images, jnp.int32(n)), batch)
+    int8_ips, int8_runs, int8_rejected = _median_ips(
+        lambda n: chained_q(qparams, images, jnp.int32(n)), batch,
+        sol_cap=SOL_INT8_IPS * SOL_HEADROOM,
+    )
 
     # ---- int8 accuracy gate: zero-shot top-1 agreement at full scale -----
     gate = None
@@ -285,9 +325,21 @@ def main():
                 "detail": {
                     "bf16_imgs_per_sec": round(bf16_ips, 1),
                     "int8_imgs_per_sec": round(int8_ips, 1),
-                    # value = median of these three chains; band is min..max
+                    # value = median of these three ADMITTED chains; band is
+                    # min..max; *_rejected = chains above the speed-of-light
+                    # cap, re-measured rather than averaged in
                     "bf16_runs": bf16_runs,
                     "int8_runs": int8_runs,
+                    "bf16_rejected_chains": bf16_rejected,
+                    "int8_rejected_chains": int8_rejected,
+                    "chain_admission": {
+                        "sol_cap_bf16": SOL_BF16_IPS * SOL_HEADROOM,
+                        "sol_cap_int8": SOL_INT8_IPS * SOL_HEADROOM,
+                        # band width of admitted chains, as a fraction of the
+                        # median — the self-reported run-to-run drift
+                        "bf16_spread": round((max(bf16_runs) - min(bf16_runs)) / bf16_ips, 4),
+                        "int8_spread": round((max(int8_runs) - min(int8_runs)) / int8_ips, 4),
+                    },
                     "int8_accuracy_gate": gate,
                     "int8_gate_scope": "256px planar front-end + tower (the measured graph)",
                     "encode_text_texts_per_sec_bf16": round(text_ips, 1) if text_ips else None,

@@ -283,6 +283,7 @@ def frontend_noise_floor_gate(
     batch_size: int = 256,
     max_flip_ratio: float = 2.5,
     a_scales=None,
+    front_end: str = "planar",
 ) -> Dict[str, float]:
     """:func:`noise_floor_gate` with the RESIZE front-end inside every path —
     gates the exact graph bench.py's int8 headline measures, end to end from
@@ -291,20 +292,31 @@ def frontend_noise_floor_gate(
 
       f32:  f32 resize+normalize          -> f32 tower
       bf16: shipped bf16-out preprocess   -> bf16 tower
-      int8: planar fused front-end (bf16 resize -> int8 patches,
-            ops.quant.make_planar_front_end) -> int8 tower
+      int8: ``front_end="planar"``: planar fused front-end (bf16 resize ->
+            int8 patches, ops.quant.make_planar_front_end) -> int8 tower;
+            ``front_end="nhwc"``: shipped bf16 NHWC preprocess ->
+            ops.quant.encode_image_q (patchify + static-scale quantize in
+            the tower) — the round-2 headline graph, kept gateable so the
+            two candidates are always comparable on one protocol.
+
+    Statistic stability (scripts/image_gate_stability.py): n=768 puts
+    single-digit flip counts in both numerator and denominator — the ratio
+    that failed round 3 at 2.6 (13 vs 5 flips) is inside that protocol's
+    noise. Gate at n>=4096 (the text gate's proven protocol).
 
     Mixer towers only (the planar patch path). images_u8_src: [N, H, W, 3]
     at source resolution (e.g. 256px)."""
     from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
     from clip_mixer_tpu.ops.quant import (
         calibrate_vision_tower,
+        encode_image_q,
         encode_image_q_patches,
         make_planar_front_end,
         quantize_vision_tower,
     )
 
     assert not cfg.use_transformer and not cfg.is_resnet, "planar front-end: mixer towers"
+    assert front_end in ("planar", "nhwc"), front_end
     cfg32 = cfg.replace(compute_dtype="float32")
     hw = images_u8_src.shape[1:3]
     pre32 = make_batch_preprocess(hw, cfg.image_resolution, normalize=True, dtype=jnp.float32)
@@ -322,8 +334,15 @@ def frontend_noise_floor_gate(
     else:
         scales = a_scales
     qparams = jax.jit(lambda p, s: quantize_vision_tower(p, cfg, s))(params, scales)
-    front = make_planar_front_end(cfg, hw, scales["patch"])
-    f_int8 = jax.jit(lambda p, x: clip_model.l2_normalize(encode_image_q_patches(p, cfg, front(x))))
+    if front_end == "planar":
+        front = make_planar_front_end(cfg, hw, scales["patch"])
+        f_int8 = jax.jit(
+            lambda p, x: clip_model.l2_normalize(encode_image_q_patches(p, cfg, front(x)))
+        )
+    else:
+        f_int8 = jax.jit(
+            lambda p, x: clip_model.l2_normalize(encode_image_q(p, cfg, pre(x)))
+        )
 
     ff32 = _batched_feats(f_f32, params, images_u8_src, batch_size)
     fbf = _batched_feats(f_bf16, params, images_u8_src, batch_size)

@@ -32,6 +32,7 @@ class Checkpointer:
         if not directory.startswith("gs://"):
             directory = os.path.abspath(directory)
             os.makedirs(directory, exist_ok=True)
+        self._cleanup_interrupted_saves(directory)
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
@@ -40,6 +41,33 @@ class Checkpointer:
                 enable_async_checkpointing=async_save,
             ),
         )
+
+    @staticmethod
+    def _cleanup_interrupted_saves(directory: str) -> None:
+        """Remove ``<step>.orbax-checkpoint-tmp*`` dirs a SIGKILLed save left
+        behind (exactly what a preempted pod leaves: a crashed dress
+        rehearsal left ``400.orbax-checkpoint-tmp`` mid-write). Correctness
+        does not depend on this — ``latest_step()`` ignores tmp dirs, so
+        resume falls back to the previous complete step, and a later save of
+        the same id reuses/clears the tmp (tests/test_checkpoint.py) — but
+        an uncleaned tmp dir holds a partial copy of the full train state
+        (params + Adam moments: ~GBs at full scale) in dead disk, and
+        operators reading the run dir should see only real checkpoints.
+        Lead-process only under multi-host (process 0 owns the directory,
+        mirroring orbax's own primary-host item handling)."""
+        if jax.process_index() != 0:
+            return
+        import shutil
+
+        try:
+            entries = os.listdir(directory)
+        except OSError:
+            return
+        for e in entries:
+            if ".orbax-checkpoint-tmp" in e:
+                path = os.path.join(directory, e)
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
 
     def save(self, state: TrainState, epoch: int, step: int, step_id: Optional[int] = None) -> None:
         """step = batch index to resume from within ``epoch`` (the epoch.json

@@ -290,3 +290,108 @@ def test_keep_checkpoints_retention(tmp_path):
     )
     tr.train()
     assert len(tr.checkpointer.all_steps()) == 2  # only the last two survive
+
+
+def test_crash_during_save_resume(tmp_path):
+    """Crash-during-checkpoint-save: SIGKILL a child while its async orbax
+    save of step 6 is mid-write — exactly the state a preempted pod leaves
+    behind (observed live: a crashed dress rehearsal left
+    outputs/dress500/checkpoints/400.orbax-checkpoint-tmp). Prove the full
+    recovery contract:
+
+    * the interrupted save leaves a ``6.orbax-checkpoint-tmp`` dir and NO
+      committed ``6`` (orbax commits by atomic rename);
+    * the supervisor's progress detector (launch.latest_checkpoint_step)
+      does not count the tmp as progress;
+    * a fresh Checkpointer on the dir removes the tmp, reports latest == 4,
+      and restores the step-4 state bit-exactly;
+    * re-saving step 6 afterwards commits normally.
+    """
+    import os
+    import signal
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from clip_mixer_tpu.launch import latest_checkpoint_step
+
+    repo = str(Path(__file__).resolve().parents[1])
+    ckpt_dir = tmp_path / "crash_ckpts"
+    child = tmp_path / "child.py"
+    # A ~64MB filler leaf (plus its Adam moments) makes the async step-6
+    # save slow enough that an immediate SIGKILL lands mid-write.
+    child.write_text(f"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax.numpy as jnp
+from clip_mixer_tpu.parallel.train_step import TrainState
+from clip_mixer_tpu.train.checkpoint import Checkpointer
+
+params = {{"w": jnp.arange(8.0), "big": jnp.zeros((1 << 24,), jnp.float32)}}
+state4 = TrainState(params=params, opt_state=(), step=jnp.asarray(4, jnp.int32))
+ck = Checkpointer({str(ckpt_dir)!r}, async_save=True)
+ck.save(state4, epoch=0, step=4)
+ck.wait()
+state6 = TrainState(params={{"w": jnp.arange(8.0) * 3,
+                            "big": jnp.ones((1 << 24,), jnp.float32)}},
+                    opt_state=(), step=jnp.asarray(6, jnp.int32))
+ck.save(state6, epoch=0, step=6)
+print("SAVE6_DISPATCHED", flush=True)
+ck.wait()
+print("SAVE6_COMMITTED", flush=True)
+""")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.Popen([sys.executable, str(child)], stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, env=env, text=True)
+    try:
+        _wait_for_line(p, "SAVE6_DISPATCHED", timeout=300)
+        os.kill(p.pid, signal.SIGKILL)
+    finally:
+        p.wait()
+    entries = sorted(os.listdir(ckpt_dir))
+    assert "4" in entries, entries
+    tmps = [e for e in entries if ".orbax-checkpoint-tmp" in e]
+    if not tmps:
+        # The async write raced the SIGKILL and won — rare on this host
+        # (64MB + moments), but not a correctness failure. Manufacture the
+        # observed artifact instead so the recovery contract is still
+        # exercised deterministically.
+        import shutil
+
+        shutil.copytree(ckpt_dir / "4", ckpt_dir / "6.orbax-checkpoint-tmp")
+        entries = sorted(os.listdir(ckpt_dir))
+        tmps = ["6.orbax-checkpoint-tmp"]
+    assert "6" not in entries, entries  # never a committed 6
+
+    # supervisor progress budget: the tmp is NOT progress
+    assert latest_checkpoint_step(str(ckpt_dir)) == 4
+
+    import jax.numpy as jnp
+
+    from clip_mixer_tpu.parallel.train_step import TrainState
+
+    template = TrainState(
+        params={"w": jnp.zeros(8), "big": jnp.zeros((1 << 24,), jnp.float32)},
+        opt_state=(), step=jnp.asarray(0, jnp.int32),
+    )
+    ck = Checkpointer(str(ckpt_dir), async_save=False)
+    # init removed the interrupted tmp dir(s)
+    left = sorted(os.listdir(ckpt_dir))
+    assert not any(".orbax-checkpoint-tmp" in e for e in left), left
+    assert ck.latest_step() == 4
+    state, epoch, step = ck.restore(template)
+    assert (epoch, step, int(state.step)) == (0, 4, 4)
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), np.arange(8.0))
+
+    # life goes on: the rerun reaches step 6 and commits it cleanly
+    state6 = TrainState(params={"w": jnp.arange(8.0) * 3,
+                                "big": jnp.ones((1 << 24,), jnp.float32)},
+                        opt_state=(), step=jnp.asarray(6, jnp.int32))
+    ck.save(state6, epoch=0, step=6)
+    ck.wait()
+    assert ck.latest_step() == 6
+    assert latest_checkpoint_step(str(ckpt_dir)) == 6

@@ -113,3 +113,38 @@ def test_bench_supervisor_fails_fast_on_deterministic_errors(monkeypatch, capsys
     assert len(calls) == 1
     sentinel = json.loads(capsys.readouterr().out.strip())
     assert sentinel["value"] == 0 and "deterministic" in sentinel["detail"]["error"]
+
+
+def test_median_ips_rejects_superluminal_chains(monkeypatch):
+    """Chain admission: a measurement chain implying throughput above the
+    speed-of-light cap (BENCH_r03 admitted a 99,244 imgs/s sample — 2.75x
+    the documented ceiling) is rejected and re-measured, never averaged in;
+    if EVERY chain exceeds physics the fallback is the minimum seen."""
+    bench = _load_bench()
+
+    # scripted per-call slope times (batch/ips): one superluminal hiccup
+    # among normal chains -> rejected, a 4th chain admitted instead
+    batch = 512.0
+    seq = iter([batch / 33000, batch / 99244, batch / 34000, batch / 33500])
+    monkeypatch.setattr(bench, "_slope_time", lambda run, n1, n2: next(seq))
+    med, runs, rejected = bench._median_ips(
+        lambda n: None, batch, repeats=3, sol_cap=bench.SOL_INT8_IPS * bench.SOL_HEADROOM
+    )
+    assert rejected == [99244.0]
+    assert len(runs) == 3 and all(r <= bench.SOL_INT8_IPS * bench.SOL_HEADROOM for r in runs)
+    assert med == 33500.0  # median of the three admitted chains
+
+    # systematically broken clock: all chains superluminal -> min fallback
+    seq2 = iter([batch / v for v in (99000, 88000, 77000, 66000, 55000, 44000, 41000)])
+    monkeypatch.setattr(bench, "_slope_time", lambda run, n1, n2: next(seq2))
+    med2, runs2, rejected2 = bench._median_ips(
+        lambda n: None, batch, repeats=3, sol_cap=bench.SOL_INT8_IPS * bench.SOL_HEADROOM
+    )
+    assert len(rejected2) == 7
+    assert med2 == min(rejected2)
+
+    # no cap (legacy behavior): everything admitted
+    seq3 = iter([batch / v for v in (33000, 99244, 34000)])
+    monkeypatch.setattr(bench, "_slope_time", lambda run, n1, n2: next(seq3))
+    med3, runs3, rejected3 = bench._median_ips(lambda n: None, batch, repeats=3)
+    assert rejected3 == [] and len(runs3) == 3

@@ -159,3 +159,21 @@ def test_frontend_noise_floor_gate_small():
     # random-init tiny model: the ratio protocol must at least evaluate;
     # a hard failure here (ratio >> budget) would flag a real numerics bug
     assert g["flip_int8_vs_f32"] <= 0.25, g
+
+
+def test_frontend_noise_floor_gate_nhwc_variant():
+    """front_end="nhwc" gates the round-2 headline graph (bf16 NHWC
+    preprocess -> encode_image_q) on the same protocol, so the two headline
+    candidates stay comparable (scripts/image_gate_stability.py)."""
+    from clip_mixer_tpu.evals.quant_gate import frontend_noise_floor_gate
+
+    cfg = make_cfg("mixer")
+    params = clip_model.init(jax.random.key(0), cfg)
+    imgs = synthetic_images(48, 64, seed=3)
+    w = build_float_classifier(params, cfg, CLASSNAMES, TEMPLATES)
+    g = frontend_noise_floor_gate(
+        params, cfg, imgs, w, calibrate_n=16, batch_size=16, front_end="nhwc"
+    )
+    assert g["n"] == 48
+    assert g["min_cosine_int8_vs_f32"] > 0.98, g
+    assert g["flip_int8_vs_f32"] <= 0.25, g
