@@ -169,6 +169,51 @@ def main():
     print("[fullsize] fsdp_x_tp_accum2:", json.dumps(
         report["legs"]["fsdp_x_tp_accum2"], indent=1), flush=True)
 
+    del state_f
+
+    # ---- leg 3: PP (data=2, stage=2) x accum 2, GPipe + remat ---------------
+    # Round-3 verdict #7: every shipped parallelism mode needs full-size
+    # execution evidence, not just tiny-shape equivalence. Blocks are
+    # stage-sharded on the stacked L axis (pp_param_specs), the step runs
+    # the GPipe fill-drain schedule inside shard_map with exact two-pass
+    # accumulation across chunks (parallel/pp.py).
+    from clip_mixer_tpu.parallel.pp import (
+        make_pp_mesh,
+        make_pp_train_step,
+        place_pp_state,
+    )
+
+    n_stage = 2 if n_dev >= 4 else 1
+    mesh_pp = make_pp_mesh(n_data=n_dev // n_stage, n_stage=n_stage,
+                           devices=jax.devices())
+    params = jax.jit(lambda k: clip_model.init(k, cfg))(jax.random.key(0))
+    opt_p = make_optimizer(tcfg, total_steps=10)
+    state_p = place_pp_state(mesh_pp, init_train_state(params, opt_p))
+    del params
+    step_p = make_pp_train_step(cfg, tcfg, mesh_pp, opt_p, n_micro=2, accum_steps=2)
+    batch_p = make_batch(mesh_pp)
+
+    t0 = time.time()
+    state_p, m3 = step_p(state_p, batch_p)
+    l3a = float(jax.device_get(m3["loss"]))
+    t_first_p = time.time() - t0
+    t0 = time.time()
+    state_p, m3 = step_p(state_p, make_batch(mesh_pp))
+    l3b = float(jax.device_get(m3["loss"]))
+    t_second_p = time.time() - t0
+    assert np.isfinite(l3a) and np.isfinite(l3b), (l3a, l3b)
+    report["legs"]["pp_x_accum2"] = {
+        "mesh": {"data": n_dev // n_stage, "stage": n_stage},
+        "n_micro": 2,
+        "losses": [round(l3a, 4), round(l3b, 4)],
+        "step1_s_incl_compile": round(t_first_p, 1),
+        "step2_s": round(t_second_p, 1),
+        # the stacked-[L, ...] block leaves are genuinely stage-partitioned
+        "param_sharding_evidence": shard_evidence(state_p.params),
+    }
+    print("[fullsize] pp_x_accum2:", json.dumps(
+        report["legs"]["pp_x_accum2"], indent=1), flush=True)
+
     report["n_params"] = n_params
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
