@@ -203,7 +203,14 @@ def main():
 
         # 256px gate images: the gate covers the EXACT headline graph end to
         # end (planar fused front-end + int8 tower), resize included.
-        gate_imgs = synthetic_images(768, 256, seed=1)
+        # Gate-statistic stability: round 3's gate FAILED at n=768 on
+        # 13-vs-5 flip counts — pure sampling noise. IMAGE_GATE_STABILITY
+        # .json (5 independent 4096-image seeds, both front-ends) shows the
+        # true ratio is ~1.87 pooled over 20,480 images (per-seed spread
+        # 1.71..2.25, every seed passing at 2.5), and that planar and NHWC
+        # front-ends produce IDENTICAL flip statistics — same math,
+        # different layout. n=4096 matches the text gate's proven protocol.
+        gate_imgs = synthetic_images(4096, 256, seed=1)
         w = build_float_classifier(
             params, cfg, IMAGENET_CLASSNAMES[:64], PROMPT_TEMPLATES[:4], batch_size=256
         )

@@ -302,7 +302,13 @@ def frontend_noise_floor_gate(
     Statistic stability (scripts/image_gate_stability.py): n=768 puts
     single-digit flip counts in both numerator and denominator — the ratio
     that failed round 3 at 2.6 (13 vs 5 flips) is inside that protocol's
-    noise. Gate at n>=4096 (the text gate's proven protocol).
+    noise. Gate at n>=4096 (the text gate's proven protocol). MEASURED
+    (IMAGE_GATE_STABILITY.json, 5 seeds x n=4096, v5e): per-seed ratios
+    1.714/1.941/1.791/2.250/1.706, pooled 333/178 flips over 20,480
+    images = ratio 1.871 — every seed passes at 2.5, and the planar and
+    NHWC front-ends give BIT-IDENTICAL flip statistics (same math,
+    different layout), so the round-3 failure was sampling noise, not a
+    planar-front-end accuracy cost.
 
     Mixer towers only (the planar patch path). images_u8_src: [N, H, W, 3]
     at source resolution (e.g. 256px)."""
