@@ -188,40 +188,124 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def _wait_watching_stall(proc, stall_timeout, heartbeat_path, grace, log) -> int:
-    """Wait for the child; if its heartbeat file goes stale for
-    ``stall_timeout`` seconds, kill it and return its exit code.
+def _tree_rss_bytes(root_pid: int) -> int:
+    """Total RSS (bytes) of ``root_pid`` and every descendant, by one walk
+    of /proc (ppid chains). Decode worker processes count toward their
+    trainer's budget. Vanished pids read as 0 — the caller re-polls."""
+    import os
 
-    A hung-but-alive child is the failure mode a plain ``wait()`` can never
-    see: the process blocks forever inside a wedged accelerator/tunnel RPC,
-    making no progress and never exiting (observed live: a stalled remote-TPU
-    tunnel left train.py futex-waiting indefinitely mid-dress-rehearsal).
-    The Trainer touches ``heartbeat_path`` every step (trainer._beat; the
-    max_inflight_steps dispatch throttle guarantees a dead backend stops the
-    beats within that many steps), so a stale mtime IS a stall. Escalation:
-    SIGTERM first (an input-stalled child can still write its preemption
-    checkpoint), then after ``grace`` seconds SIGKILL — to the child's whole
-    process group when it leads one (decode workers die with it).
+    page = os.sysconf("SC_PAGESIZE")
+    children: dict = {}
+    rss: dict = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat", "rb") as f:
+                stat = f.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # fields after the parenthesised comm (which may contain spaces)
+        rest = stat.rsplit(")", 1)[-1].split()
+        if len(rest) < 22:
+            continue
+        pid = int(entry)
+        children.setdefault(int(rest[1]), []).append(pid)  # ppid -> pids
+        rss[pid] = int(rest[21]) * page  # stat field 24 = rss pages
+    total = 0
+    stack = [root_pid]
+    seen = set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        total += rss.get(pid, 0)
+        stack.extend(children.get(pid, []))
+    return total
 
-    ``heartbeat_path`` may be a glob (e.g. ``outputs/run/heartbeat-*``): the
-    newest mtime across matches counts. Multi-worker pods need this — the
-    Trainer names its file heartbeat-<jax.process_index()>, which the
-    supervisor cannot predict when jax.distributed auto-detects the index
-    (no --process-id in the train args).
-    """
-    import glob as _glob
+
+def _kill_child(proc, grace, log):
+    """SIGTERM (the Trainer's preemption save runs), then SIGKILL the whole
+    process group after ``grace`` seconds. Returns the exit code."""
     import os
     import signal as _signal
     import subprocess
+
+    proc.terminate()
+    try:
+        return proc.wait(timeout=grace)
+    except subprocess.TimeoutExpired:
+        pass
+    try:
+        if os.getpgid(proc.pid) != os.getpgid(0):
+            os.killpg(proc.pid, _signal.SIGKILL)
+        else:
+            proc.kill()
+    except OSError:
+        proc.kill()
+    return proc.wait()
+
+
+def _wait_watching_stall(proc, stall_timeout, heartbeat_path, grace, log,
+                         max_rss_bytes=None, rss_grace=600.0):
+    """Wait for the child; kill it when its heartbeat goes stale for
+    ``stall_timeout`` seconds OR its process tree's RSS exceeds
+    ``max_rss_bytes``. Returns ``(rc, hygiene)`` — hygiene=True means the
+    RSS watchdog initiated the kill (the run is NOT complete even if the
+    child exited 0 from its graceful preemption save).
+
+    Stall: a hung-but-alive child is the failure mode a plain ``wait()``
+    can never see: the process blocks forever inside a wedged
+    accelerator/tunnel RPC, making no progress and never exiting (observed
+    live: a stalled remote-TPU tunnel left train.py futex-waiting
+    indefinitely mid-dress-rehearsal). The Trainer touches
+    ``heartbeat_path`` every step (trainer._beat; the max_inflight_steps
+    dispatch throttle guarantees a dead backend stops the beats within
+    that many steps), so a stale mtime IS a stall. Escalation: SIGTERM
+    first (an input-stalled child can still write its preemption
+    checkpoint), then after ``grace`` seconds SIGKILL — to the child's
+    whole process group when it leads one (decode workers die with it).
+    ``heartbeat_path`` may be a glob (e.g. ``outputs/run/heartbeat-*``):
+    the newest mtime across matches counts. Multi-worker pods need this —
+    the Trainer names its file heartbeat-<jax.process_index()>, which the
+    supervisor cannot predict when jax.distributed auto-detects the index
+    (no --process-id in the train args).
+
+    RSS hygiene (``max_rss_bytes``): some accelerator transports leak host
+    memory proportional to bytes transferred (the axon remote-TPU client
+    retains ~95% of every device_put payload — measured: a 510-step
+    dress-rehearsal leg at 308MB/step leaks ~150GB and host-OOMs around
+    step 450, docs/OPERATIONS.md). A leak is not a crash: the fix is a
+    PLANNED restart while memory still allows a graceful exit — SIGTERM,
+    the Trainer's preemption checkpoint runs (``rss_grace`` must cover a
+    full device_get + checkpoint write through a slow tunnel), resume
+    loses nothing. The supervisor restarts these regardless of exit code.
+    """
+    import glob as _glob
+    import os
+    import subprocess
     import time
 
-    is_glob = any(c in heartbeat_path for c in "*?[")
+    is_glob = heartbeat_path is not None and any(c in heartbeat_path for c in "*?[")
     launched = time.time()
+    poll = max(0.1, min(5.0, (stall_timeout or 20.0) / 4))
     while True:
         try:
-            return proc.wait(timeout=max(0.1, min(5.0, stall_timeout / 4)))
+            return proc.wait(timeout=poll), False
         except subprocess.TimeoutExpired:
             pass
+        if max_rss_bytes is not None:
+            rss = _tree_rss_bytes(proc.pid)
+            if rss > max_rss_bytes:
+                log(
+                    f"supervise: child RSS {rss / 2**30:.1f}GiB over the "
+                    f"{max_rss_bytes / 2**30:.1f}GiB hygiene budget; "
+                    "SIGTERM for a graceful preemption checkpoint + restart"
+                )
+                return _kill_child(proc, rss_grace, log), True
+        if stall_timeout is None or heartbeat_path is None:
+            continue
         paths = _glob.glob(heartbeat_path) if is_glob else [heartbeat_path]
         last = launched
         for hb in paths:
@@ -238,19 +322,7 @@ def _wait_watching_stall(proc, stall_timeout, heartbeat_path, grace, log) -> int
             f"supervise: no heartbeat for {stale:.0f}s (budget "
             f"{stall_timeout:.0f}s, {heartbeat_path}); killing the stalled child"
         )
-        proc.terminate()
-        try:
-            return proc.wait(timeout=grace)
-        except subprocess.TimeoutExpired:
-            pass
-        try:
-            if os.getpgid(proc.pid) != os.getpgid(0):
-                os.killpg(proc.pid, _signal.SIGKILL)
-            else:
-                proc.kill()
-        except OSError:
-            proc.kill()
-        return proc.wait()
+        return _kill_child(proc, grace, log), False
 
 
 def supervise(
@@ -264,6 +336,8 @@ def supervise(
     stall_timeout: Optional[float] = None,
     heartbeat_path: Optional[str] = None,
     stall_grace: float = 30.0,
+    max_child_rss_gb: Optional[float] = None,
+    rss_grace: float = 600.0,
 ) -> int:
     """Elastic recovery: run ``cmd`` (a train.py invocation), restarting it
     after transient failures. Returns the final exit code.
@@ -306,6 +380,16 @@ def supervise(
       fill) and than a validation pass; the Trainer beats at loop entry
       and after validation, but launch-to-first-beat is covered only by
       the launch clock.
+    * RSS hygiene restart (``max_child_rss_gb`` set): when the child
+      process tree's RSS exceeds the budget it is SIGTERMed — a PLANNED
+      preemption, not a failure: the Trainer's graceful checkpoint runs
+      (``rss_grace`` seconds allowed), and the child is restarted EVEN ON
+      rc=0 (a preempted child exits 0 after its save; only a non-hygiene
+      exit 0 means the run is complete). Defends against transports that
+      leak host memory proportional to bytes transferred (the axon
+      remote-TPU tunnel — measured ~95% of every device_put payload
+      retained; docs/OPERATIONS.md) by bounding each incarnation's
+      transfer volume instead of host-OOMing mid-save.
 
     Multi-host: run one supervisor per worker (same command everywhere). A
     single worker's crash stalls the collectives until the jax.distributed
@@ -371,14 +455,20 @@ def supervise(
                 # state["proc"] was visible found proc=None in _forward (a
                 # later signal that DID find it set handoff — don't re-send).
                 proc.send_signal(state["sig"])
-            if stall_timeout is not None and heartbeat_path is not None:
-                rc = _wait_watching_stall(
-                    proc, stall_timeout, heartbeat_path, stall_grace, log
+            max_rss_bytes = (
+                max_child_rss_gb * 2**30 if max_child_rss_gb else None
+            )
+            if (stall_timeout is not None and heartbeat_path is not None) or (
+                max_rss_bytes is not None
+            ):
+                rc, hygiene = _wait_watching_stall(
+                    proc, stall_timeout, heartbeat_path, stall_grace, log,
+                    max_rss_bytes=max_rss_bytes, rss_grace=rss_grace,
                 )
             else:
-                rc = proc.wait()
+                rc, hygiene = proc.wait(), False
             state["proc"] = None
-            if rc == 0:
+            if rc == 0 and not hygiene:
                 log(f"supervise: run complete after {attempt} launch(es)")
                 return 0
             if state["sig"] is not None:
@@ -398,11 +488,15 @@ def supervise(
                     f"supervise: {failures_without_progress} consecutive failures with no "
                     f"checkpoint progress (budget {max_restarts}); giving up with rc={rc}"
                 )
-                return rc
+                # A hygiene-killed child exits 0 from its preemption save;
+                # returning 0 after giving up would read as success. 75 =
+                # sysexits EX_TEMPFAIL.
+                return rc if rc != 0 else 75
             delay = min(backoff * 2 ** max(0, failures_without_progress - 1), backoff_cap)
+            kind = "hygiene-restarting" if hygiene else "restarting"
             log(
                 f"supervise: child rc={rc} (checkpoint {start_step}->{end_step}, "
-                f"progressed={progressed}); restarting in {delay:.0f}s "
+                f"progressed={progressed}); {kind} in {delay:.0f}s "
                 f"[{failures_without_progress}/{max_restarts} budget used]"
             )
             sleep(delay)

@@ -136,6 +136,17 @@ def main():
                         "the first rehearsal attempt futex-waiting forever); "
                         "must exceed startup (cache fill + compile) and a "
                         "validation pass. 0 disables.")
+    p.add_argument("--max-child-rss-gb", type=float, default=95.0,
+                   help="supervise RSS hygiene budget: the axon tunnel "
+                        "retains ~95%% of every device_put payload host-side "
+                        "(measured: 294MB kept per 308MB batch — a 510-step "
+                        "leg at global batch 2048 leaks ~150GB and "
+                        "host-OOMs ~step 450, before its own fault "
+                        "injection). Keep per-incarnation transfer volume "
+                        "(batch x crash-after-steps) UNDER this budget so "
+                        "the planned crash fires first; the hygiene restart "
+                        "is the backstop, preemption-saving instead of "
+                        "OOMing. 0 disables.")
     p.add_argument("--leg", default=None, metavar="NAME",
                    help="record the result under legs[NAME] in --out, merging "
                         "with existing legs — the rehearsal is run as two legs "
@@ -176,6 +187,8 @@ def main():
     sup_args = ["--max-restarts", str(args.max_restarts)]
     if args.stall_timeout:
         sup_args += ["--stall-timeout", str(args.stall_timeout)]
+    if args.max_child_rss_gb and args.max_child_rss_gb > 0:
+        sup_args += ["--max-child-rss-gb", str(args.max_child_rss_gb)]
     cmd = [sys.executable, str(REPO / "scripts" / "supervise.py"),
            *sup_args, "--"] + train_args
     print("[dress] launching:", " ".join(cmd), flush=True)

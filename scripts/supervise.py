@@ -87,6 +87,20 @@ def main(argv=None):
                         "0 or negative also disables.")
     p.add_argument("--stall-grace", type=float, default=30.0, metavar="SEC",
                    help="seconds between the stall SIGTERM and the SIGKILL")
+    p.add_argument("--max-child-rss-gb", type=float, default=None, metavar="GB",
+                   help="RSS hygiene restart: when the child process tree "
+                        "exceeds this resident-set budget, SIGTERM it (the "
+                        "Trainer writes its graceful preemption checkpoint) "
+                        "and relaunch — a planned restart, taken even on "
+                        "rc=0. Use on transports that leak host memory per "
+                        "byte transferred (the axon remote-TPU tunnel "
+                        "retains ~95% of every device_put payload — "
+                        "docs/OPERATIONS.md). 0 or negative disables.")
+    p.add_argument("--rss-grace", type=float, default=600.0, metavar="SEC",
+                   help="seconds the hygiene SIGTERM waits before SIGKILL — "
+                        "must cover a full preemption save (device_get of "
+                        "the whole state + checkpoint write) through a slow "
+                        "tunnel")
     p.add_argument("--heartbeat", default=None,
                    help="heartbeat file watched by --stall-timeout (default: "
                         "derived from --run-name + --process-id in the train "
@@ -137,6 +151,11 @@ def main(argv=None):
             stall_timeout=args.stall_timeout,
             heartbeat_path=heartbeat,
             stall_grace=args.stall_grace,
+        )
+
+    if args.max_child_rss_gb is not None and args.max_child_rss_gb > 0:
+        stall_kwargs.update(
+            max_child_rss_gb=args.max_child_rss_gb, rss_grace=args.rss_grace
         )
 
     train_py = str(Path(__file__).resolve().parents[1] / "train.py")

@@ -196,6 +196,63 @@ def test_stop_signal_between_children_not_restarted(tmp_path):
     assert _n_starts(tmp_path) == 1  # no relaunch after the stop
 
 
+def test_tree_rss_bytes_counts_self():
+    from clip_mixer_tpu.launch import _tree_rss_bytes
+
+    rss = _tree_rss_bytes(os.getpid())
+    assert rss > 10 * 2**20  # any live python interpreter
+    assert _tree_rss_bytes(2**22 + 12345) == 0  # vanished pid reads as 0
+
+
+def test_rss_hygiene_restart_not_run_complete(tmp_path):
+    """RSS hygiene (leaky-transport defense, e.g. the axon tunnel's
+    per-transfer host retention): a child over the RSS budget is SIGTERMed,
+    its graceful 'preemption save' (rc=0!) must NOT read as run-complete —
+    the supervisor relaunches, and the relaunch that resumes from the saved
+    checkpoint finishes the run."""
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    cmd = _stub_cmd(
+        tmp_path,
+        "import signal, time\n"
+        f"from pathlib import Path as _P\n"
+        "if n_starts > 1:\n"
+        "    sys.exit(0)  # resumed from the hygiene checkpoint: complete\n"
+        "def _save(sig, frame):\n"
+        f"    (_P({str(ck)!r}) / '7').mkdir(exist_ok=True)\n"
+        "    sys.exit(0)  # graceful preemption exit, like train.py\n"
+        "signal.signal(signal.SIGTERM, _save)\n"
+        "ballast = bytearray(300 * 2**20)  # the 'leak'\n"
+        "time.sleep(120)\n",
+    )
+    rc = supervise(
+        cmd, str(ck), max_restarts=2, backoff=0,
+        max_child_rss_gb=0.15, rss_grace=30.0,
+    )
+    assert rc == 0
+    assert _n_starts(tmp_path) == 2  # hygiene relaunch happened
+    assert latest_checkpoint_step(ck) == 7  # the SIGTERM save ran
+
+
+def test_rss_hygiene_no_progress_exhausts_budget(tmp_path):
+    """Hygiene kills whose graceful exits never advance a checkpoint must
+    consume the no-progress budget and surface a NONZERO rc (the children
+    exited 0 — returning 0 after giving up would read as success)."""
+    cmd = _stub_cmd(
+        tmp_path,
+        "import signal, time\n"
+        "signal.signal(signal.SIGTERM, lambda s, f: sys.exit(0))\n"
+        "ballast = bytearray(300 * 2**20)\n"
+        "time.sleep(120)\n",
+    )
+    rc = supervise(
+        cmd, str(tmp_path / "ck"), max_restarts=1, backoff=0,
+        max_child_rss_gb=0.15, rss_grace=30.0,
+    )
+    assert rc != 0
+    assert _n_starts(tmp_path) == 2  # initial + 1 restart, then gave up
+
+
 def test_derive_run_name():
     """Both argparse spellings resolve (last occurrence wins); a dangling
     '--run-name' is a clean error, not an IndexError."""
