@@ -1,0 +1,166 @@
+"""Mixer-vs-Transformer twin comparison on real TPU — the reference's core claim.
+
+The reference's headline architectural claim is the twin comparison
+(/root/reference/README.md:19: "the Mixer variant trains ~25% faster than the
+Transformer twin"; /root/reference/tests/clipFigures.py:40-43: zero-shot /
+STS figures for both towers at equal step budgets). The real-data curve
+reproduction is egress-blocked (BASELINE.md), so this script produces the
+honest stand-in, measured end-to-end on hardware:
+
+  1. **Train-step speed** — `chained_train_time` (the bench methodology) on
+     both presets at identical batch/remat: a pure device-bound measurement
+     of the "~25% faster to train" row. The presets differ ONLY in `tower`
+     (mixer token-mix MLP vs multi-head attention); params 111M vs 151M.
+  2. **Equal-budget learning curves** — both twins through the real
+     `train.py` CLI on the same locally generated natural-ish shard set
+     (scripts/make_dress_dataset.py), same seed/batch/steps/LR, with the
+     RetrievalValidator on a held-out shard: loss + I->T/T->I R@1 at equal
+     steps, the clipFigures.py analogue with retrieval standing in for the
+     unfetchable ImageNetV2/STS.
+
+Each training leg runs in its own child process (fresh compile cache hit,
+and the axon tunnel's per-transfer host-RSS leak dies with the child).
+
+Writes COMPARE_TOWERS.json. Usage:
+  python scripts/compare_towers.py --steps 400 --batch 512
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+PRESET_TWINS = ("mixer-b32", "transformer-b32")
+
+
+def measure_step_times(batch: int):
+    """Device-bound full-train-step seconds for both twins (bench methodology)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from clip_mixer_tpu.config import PRESETS, TrainConfig
+    from clip_mixer_tpu.models import clip as clip_model
+    from clip_mixer_tpu.ops.losses import info_nce
+    from clip_mixer_tpu.ops.preprocess import make_batch_preprocess
+    from clip_mixer_tpu.train.optimizer import make_optimizer
+    from clip_mixer_tpu.utils.profiling import chained_train_time
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+    toks = jnp.asarray(rng.integers(1, 49000, (batch, 77), dtype=np.int32))
+
+    out = {}
+    for preset in PRESET_TWINS:
+        cfg = PRESETS[preset].replace(remat=True)
+        pre = make_batch_preprocess(
+            (256, 256), cfg.image_resolution, normalize=True, dtype=jnp.bfloat16
+        )
+        params = jax.jit(lambda: clip_model.init(jax.random.key(0), cfg))()
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+        tcfg = TrainConfig()
+        opt = make_optimizer(tcfg, total_steps=1000)
+        opt_state = jax.jit(opt.init)(params)
+
+        def loss_and_grads(p, imgs_u8, t, cfg=cfg, pre=pre):
+            def loss_fn(pp):
+                img, txt, scale = clip_model.forward(pp, cfg, pre(imgs_u8), t)
+                return info_nce(img, txt, scale)
+
+            return jax.value_and_grad(loss_fn)(p)
+
+        dt = chained_train_time(
+            params, opt_state, opt, tcfg.logit_scale_max, loss_and_grads, (imgs, toks)
+        )
+        out[preset] = {
+            "params": n_params,
+            "sec_per_step": round(dt, 4),
+            "imgs_per_sec": round(batch / dt, 1),
+        }
+        print(f"[compare] {preset}: {n_params/1e6:.1f}M params, "
+              f"{dt*1e3:.1f} ms/step, {batch/dt:.0f} imgs/s", flush=True)
+        del params, opt_state
+    m, t = out["mixer-b32"], out["transformer-b32"]
+    out["mixer_speedup"] = round(t["sec_per_step"] / m["sec_per_step"] - 1.0, 4)
+    return out
+
+
+def train_leg(preset: str, args) -> dict:
+    from dress_rehearsal import read_metrics, thin  # same distillation
+
+    run_name = f"compare_{preset}"
+    cmd = [
+        sys.executable, str(REPO / "train.py"),
+        "--preset", preset,
+        "--data", args.data,
+        "--cache-data", args.cache_dir,
+        "--global-batch-size", str(args.batch),
+        "--epochs", str(-(-args.steps // args.steps_per_epoch)),
+        "--steps-per-epoch", str(args.steps_per_epoch),
+        "--checkpoint-every", str(args.steps),
+        "--validate-every", str(args.validate_every),
+        "--no-validators",
+        "--val-data", args.val_data,
+        "--val-samples", "2048",
+        "--run-name", run_name,
+        "--verbose",
+    ]
+    print("[compare] launching:", " ".join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO)
+    wall = time.time() - t0
+    series = read_metrics(REPO / "outputs" / run_name)
+    losses = series.get("Loss", [])
+    return {
+        "exit": proc.returncode,
+        "wall_seconds": round(wall, 1),
+        "steps_completed": losses[-1][0] if losses else 0,
+        "loss_first": losses[0][1] if losses else None,
+        "loss_last": losses[-1][1] if losses else None,
+        "loss_curve": thin(losses, 60),
+        "retrieval": {k: thin(v, 30) for k, v in series.items()
+                      if k.lower().startswith("retrieval")},
+    }
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps-per-epoch", type=int, default=100)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--step-time-batch", type=int, default=1024)
+    p.add_argument("--validate-every", type=int, default=100)
+    p.add_argument("--data", default="/root/data/dress/0000[0-8].tar")
+    p.add_argument("--val-data", default="/root/data/dress_val/00000.tar")
+    p.add_argument("--cache-dir", default="/root/data/cache")
+    p.add_argument("--out", default="COMPARE_TOWERS.json")
+    p.add_argument("--skip-curves", action="store_true",
+                   help="only the step-time measurement (no training legs)")
+    args = p.parse_args()
+
+    doc = {"config": {
+        "batch_curves": args.batch, "batch_step_time": args.step_time_batch,
+        "steps": args.steps, "data": args.data, "val_data": args.val_data,
+        "reference_claim": "Mixer ~25% faster to train than the Transformer "
+                           "twin (reference README.md:19); curves: "
+                           "tests/clipFigures.py:40-43 stand-in on local "
+                           "natural-ish shards (zero egress)",
+    }}
+    doc["step_time"] = measure_step_times(args.step_time_batch)
+    if not args.skip_curves:
+        doc["curves"] = {p_: train_leg(p_, args) for p_ in PRESET_TWINS}
+    (REPO / args.out).write_text(json.dumps(doc, indent=2))
+    print(json.dumps({"mixer_speedup": doc["step_time"]["mixer_speedup"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
