@@ -111,6 +111,7 @@ def train_leg(preset: str, args) -> dict:
         "--val-data", args.val_data,
         "--val-samples", "2048",
         "--run-name", run_name,
+        "--seed", str(args.seed),
         "--verbose",
     ]
     print("[compare] launching:", " ".join(cmd), flush=True)
@@ -141,6 +142,8 @@ def main():
     p.add_argument("--data", default="/root/data/dress/0000[0-8].tar")
     p.add_argument("--val-data", default="/root/data/dress_val/00000.tar")
     p.add_argument("--cache-dir", default="/root/data/cache")
+    p.add_argument("--seed", type=int, default=0,
+                   help="passed to both train.py legs (identical twins)")
     p.add_argument("--out", default="COMPARE_TOWERS.json")
     p.add_argument("--skip-curves", action="store_true",
                    help="only the step-time measurement (no training legs)")
@@ -148,7 +151,8 @@ def main():
 
     doc = {"config": {
         "batch_curves": args.batch, "batch_step_time": args.step_time_batch,
-        "steps": args.steps, "data": args.data, "val_data": args.val_data,
+        "steps": args.steps, "seed": args.seed,
+        "data": args.data, "val_data": args.val_data,
         "reference_claim": "Mixer ~25% faster to train than the Transformer "
                            "twin (reference README.md:19); curves: "
                            "tests/clipFigures.py:40-43 stand-in on local "
@@ -159,6 +163,14 @@ def main():
         doc["curves"] = {p_: train_leg(p_, args) for p_ in PRESET_TWINS}
     (REPO / args.out).write_text(json.dumps(doc, indent=2))
     print(json.dumps({"mixer_speedup": doc["step_time"]["mixer_speedup"]}))
+    # The artifact is written above either way (partial evidence is still
+    # evidence), but a broken leg must not exit 0 — CI/driver runs would
+    # silently record a crashed or truncated comparison as a pass.
+    bad = [name for name, leg in doc.get("curves", {}).items()
+           if leg["exit"] != 0 or leg["steps_completed"] < args.steps]
+    if bad:
+        print(f"[compare] FAILED legs: {bad}", file=sys.stderr)
+        return 1
     return 0
 
 

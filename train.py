@@ -139,6 +139,8 @@ def parse_args():
                    help="per-step EMA decay for an averaged copy of the params "
                         "(e.g. 0.9999); validation + the completion export use "
                         "the average, checkpoints carry it, raw params train on")
+    p.add_argument("--seed", type=int, default=0,
+                   help="init/data RNG seed (TrainConfig.seed)")
     p.add_argument("--no-validators", action="store_true")
     p.add_argument("--no-remat", action="store_true",
                    help="disable gradient rematerialisation (needs ~4x more HBM; "
@@ -273,6 +275,7 @@ def main():
         SIGLIP_LOGIT_SCALE_MAX if args.loss == "siglip" else TrainConfig.logit_scale_max
     )
     tcfg = TrainConfig(
+        seed=args.seed,
         logit_scale_max=logit_scale_max,
         global_batch_size=args.global_batch_size,
         epochs=args.epochs,
@@ -326,6 +329,7 @@ def main():
             host_index=host,
             shuffle_buffer=args.shuffle_buffer,
             on_decode_error=args.on_decode_error,
+            seed=args.seed,
         )
         if len(args.data) == 1:
             # Single source: tar glob, .csv/.tsv manifest, or image directory.
