@@ -250,28 +250,66 @@ def noise_floor_gate(
     return _flip_stats(ff32, fbf, fq, classifier, max_flip_ratio)
 
 
-def _flip_stats(ff32, fbf, fq, classifier, max_flip_ratio: float) -> Dict[str, float]:
-    """The shared noise-floor verdict from three feature banks:
-    flip(int8 vs f32) <= max_flip_ratio * flip(bf16 vs f32)."""
-    t32 = (100.0 * ff32 @ classifier).argmax(-1)
-    t16 = (100.0 * fbf @ classifier).argmax(-1)
-    tq = (100.0 * fq @ classifier).argmax(-1)
-    flip_bf16 = float((t32 != t16).mean())
-    flip_int8 = float((t32 != tq).mean())
+def _wilson(k: int, n: int, z: float = 1.959964) -> tuple:
+    """Wilson 95% score interval for a binomial proportion k/n."""
+    if n == 0:
+        return (0.0, 1.0)
+    z2 = z * z
+    center = (k + z2 / 2.0) / (n + z2)
+    half = (z / (n + z2)) * np.sqrt(k * (n - k) / n + z2 / 4.0)
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def _flip_verdict(t32, t16, tq, cos_q, max_flip_ratio: float) -> Dict[str, float]:
+    """The shared noise-floor verdict from three top-1 prediction vectors:
+    flip(int8 vs f32) <= max_flip_ratio * flip(bf16 vs f32).
+
+    The flip counts are binomial draws, so the dict carries Wilson 95% CIs
+    on both flip rates plus a conservative interval on the ratio itself
+    (numerator upper / denominator lower, with the same 1/n floor as the
+    point estimate) and ``margin_to_budget`` = budget - ratio, so drift
+    toward the budget is visible across benches BEFORE a hard failure
+    (round-4 verdict: worst observed seed sat at 2.25 of 2.5 with no
+    visibility). ``flip_ratio_ci_high`` > budget with ``passed`` still true
+    means the pass is not statistically resolved at this n."""
+    n = int(t32.shape[0])
+    k_bf16 = int((t32 != t16).sum())
+    k_int8 = int((t32 != tq).sum())
+    flip_bf16 = k_bf16 / n
+    flip_int8 = k_int8 / n
     # +1 pseudo-flip in the denominator guards div-by-zero on tiny sets.
-    n = ff32.shape[0]
-    ratio = flip_int8 / max(flip_bf16, 1.0 / n)
-    cos_q = (ff32 * fq).sum(-1)
+    floor = 1.0 / n
+    ratio = flip_int8 / max(flip_bf16, floor)
+    lo_q, hi_q = _wilson(k_int8, n)
+    lo_b, hi_b = _wilson(k_bf16, n)
+    ratio_lo = lo_q / max(hi_b, floor)
+    ratio_hi = hi_q / max(lo_b, floor)
     return {
-        "n": int(n),
-        "flip_bf16_vs_f32": flip_bf16,
-        "flip_int8_vs_f32": flip_int8,
+        "n": n,
+        "flips_bf16": k_bf16,
+        "flips_int8": k_int8,
+        "flip_bf16_vs_f32": float(flip_bf16),
+        "flip_int8_vs_f32": float(flip_int8),
+        "flip_bf16_ci95": [float(lo_b), float(hi_b)],
+        "flip_int8_ci95": [float(lo_q), float(hi_q)],
         "flip_ratio": float(ratio),
+        "flip_ratio_ci_low": float(ratio_lo),
+        "flip_ratio_ci_high": float(ratio_hi),
         "max_flip_ratio": float(max_flip_ratio),
+        "margin_to_budget": float(max_flip_ratio - ratio),
         "agreement_int8_vs_bf16": float((t16 == tq).mean()),
         "min_cosine_int8_vs_f32": float(cos_q.min()),
         "passed": bool(ratio <= max_flip_ratio),
     }
+
+
+def _flip_stats(ff32, fbf, fq, classifier, max_flip_ratio: float) -> Dict[str, float]:
+    """:func:`_flip_verdict` from three feature banks + a classifier."""
+    t32 = (100.0 * ff32 @ classifier).argmax(-1)
+    t16 = (100.0 * fbf @ classifier).argmax(-1)
+    tq = (100.0 * fq @ classifier).argmax(-1)
+    cos_q = (ff32 * fq).sum(-1)
+    return _flip_verdict(t32, t16, tq, cos_q, max_flip_ratio)
 
 
 def frontend_noise_floor_gate(
@@ -399,18 +437,5 @@ def text_noise_floor_gate(
     t32 = (100.0 * ff32 @ image_bank).argmax(-1)
     t16 = (100.0 * fbf @ image_bank).argmax(-1)
     tq = (100.0 * fq @ image_bank).argmax(-1)
-    flip_bf16 = float((t32 != t16).mean())
-    flip_int8 = float((t32 != tq).mean())
-    n = texts.shape[0]
-    ratio = flip_int8 / max(flip_bf16, 1.0 / n)
     cos_q = (ff32 * fq).sum(-1)
-    return {
-        "n": int(n),
-        "flip_bf16_vs_f32": flip_bf16,
-        "flip_int8_vs_f32": flip_int8,
-        "flip_ratio": float(ratio),
-        "max_flip_ratio": float(max_flip_ratio),
-        "agreement_int8_vs_bf16": float((t16 == tq).mean()),
-        "min_cosine_int8_vs_f32": float(cos_q.min()),
-        "passed": bool(ratio <= max_flip_ratio),
-    }
+    return _flip_verdict(t32, t16, tq, cos_q, max_flip_ratio)

@@ -107,6 +107,11 @@ class ClipBPE:
         self._byte_dec = {v: k for k, v in self._byte_enc.items()}
         self._cache: Dict[str, List[str]] = {SOT: [SOT], EOT: [EOT]}
 
+    def clear_cache(self) -> None:
+        """Reset the per-word memo to its initial state (cold-start
+        benchmarking / memory hygiene on unbounded unique text)."""
+        self._cache = {SOT: [SOT], EOT: [EOT]}
+
     @property
     def vocab_size(self) -> int:
         return len(self.token_to_id)

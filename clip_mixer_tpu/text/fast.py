@@ -73,6 +73,8 @@ class _FastBPE:
         lib = ctypes.CDLL(_compile())
         lib.bpe_create.restype = ctypes.c_void_p
         lib.bpe_create.argtypes = [ctypes.c_void_p] * 2 + [ctypes.c_int] + [ctypes.c_void_p] * 6 + [ctypes.c_int32] * 2
+        lib.bpe_clear_cache.restype = None
+        lib.bpe_clear_cache.argtypes = [ctypes.c_void_p]
         lib.bpe_encode_batch.restype = ctypes.c_int
         lib.bpe_encode_batch.argtypes = [
             ctypes.c_void_p,
@@ -153,6 +155,14 @@ def _instance() -> Optional[_FastBPE]:
 
 def is_available() -> bool:
     return _instance() is not None
+
+
+def clear_cache() -> None:
+    """Drop the C++ per-word memo (cold-start benchmarking / memory
+    hygiene). No-op when the C++ core is unavailable."""
+    inst = _instance()
+    if inst is not None:
+        inst._lib.bpe_clear_cache(inst._handle)
 
 
 def fast_tokenize(

@@ -212,6 +212,14 @@ void* bpe_create(const int32_t* init_nonfinal, const int32_t* init_final, int n_
 
 void bpe_destroy(void* h) { delete static_cast<Bpe*>(h); }
 
+// Drop the per-word memoization (benchmarking cold-vs-warm; bounded-memory
+// hygiene for callers feeding unbounded unique text).
+void bpe_clear_cache(void* h) {
+  auto* bpe = static_cast<Bpe*>(h);
+  std::lock_guard<std::mutex> g(bpe->cache_mu);
+  bpe->cache.clear();
+}
+
 // Encode a batch of normalized UTF-8 texts (concatenated, with offsets) into
 // a zero-padded [n, context_length] int32 matrix with <sot>/<eot> wrapping
 // and reference truncation semantics (clip.py:221-238).

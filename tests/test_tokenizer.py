@@ -133,3 +133,20 @@ def test_encode_fuzz_matches_reference(oracle):
     tok = get_tokenizer()
     for s in _random_unicode_strings(300, seed=123):
         assert tok.encode(s) == oracle.encode(s), repr(s)
+
+
+def test_clear_cache_preserves_results():
+    """The per-word memo resets (bench cold-start / memory hygiene) must not
+    change outputs: python and C++ paths agree before and after clearing."""
+    from clip_mixer_tpu.text import fast
+    from clip_mixer_tpu.text.tokenize import tokenize
+
+    texts = ["a photo of a cat", "unseenwordzq pairings!", "a photo of a cat"]
+    before_py = tokenize(texts, truncate=True)
+    get_tokenizer().clear_cache()
+    assert (tokenize(texts, truncate=True) == before_py).all()
+    if fast.is_available():
+        before_cpp = fast.fast_tokenize(texts, truncate=True)
+        fast.clear_cache()
+        assert (fast.fast_tokenize(texts, truncate=True) == before_cpp).all()
+        assert (before_cpp == before_py).all()
