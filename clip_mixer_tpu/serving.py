@@ -30,6 +30,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -766,14 +767,37 @@ def main():  # pragma: no cover - CLI
         "serving, e.g. 256 for generateDataset.sh shards); clients must "
         "send exactly that resolution",
     )
+    p.add_argument(
+        "--no-frozen", action="store_true",
+        help="ignore recorded servable/ programs in --model and live-jit "
+        "instead (an export_servable/release dir is served frozen by default)",
+    )
     args = p.parse_args()
 
-    params, cfg, _ = load(args.model)
-    mesh = local_mesh() if args.all_devices else None
-    input_hw = (args.input_size, args.input_size) if args.input_size else None
-    engine = InferenceEngine(params, cfg, mesh=mesh, input_hw=input_hw)
-    if args.int8:
-        engine.enable_int8(calibration=args.int8)
+    # An export_servable / release dir carries recorded programs — serve
+    # those (the reference's load(jit=True) deployment mode) unless told not
+    # to. load_servable rebuilds any recorded mesh itself, so the frozen
+    # path is incompatible with flags that would re-trace the encoders.
+    frozen_manifest = os.path.join(args.model, "servable", "manifest.json")
+    if not args.no_frozen and os.path.isfile(frozen_manifest):
+        for flag, name in ((args.int8, "--int8"), (args.all_devices, "--all-devices"),
+                           (args.input_size, "--input-size")):
+            if flag:
+                raise SystemExit(
+                    f"{name} would re-trace the encoders, discarding the recorded "
+                    f"programs in {args.model}; pass --no-frozen to live-jit with it"
+                )
+        from clip_mixer_tpu.aot import load_servable
+
+        engine = load_servable(args.model)
+        print(f"frozen programs loaded from {args.model}/servable")
+    else:
+        params, cfg, _ = load(args.model)
+        mesh = local_mesh() if args.all_devices else None
+        input_hw = (args.input_size, args.input_size) if args.input_size else None
+        engine = InferenceEngine(params, cfg, mesh=mesh, input_hw=input_hw)
+        if args.int8:
+            engine.enable_int8(calibration=args.int8)
     if args.index:
         engine.load_index_file(args.index)
         print(f"retrieval index loaded: {len(engine._index[1])} entries")

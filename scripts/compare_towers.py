@@ -93,10 +93,18 @@ def measure_step_times(batch: int):
     return out
 
 
-def train_leg(preset: str, args) -> dict:
+def train_leg(preset: str, args, run_name: str = None) -> dict:
     from dress_rehearsal import read_metrics, thin  # same distillation
 
-    run_name = f"compare_{preset}"
+    # a distinct run dir per (preset, steps): an existing checkpoint dir
+    # would silently RESUME instead of training the leg from scratch
+    run_name = run_name or f"compare_{preset}_{args.steps}"
+    if (REPO / "outputs" / run_name / "checkpoints").exists():
+        raise SystemExit(
+            f"outputs/{run_name} already has checkpoints — the leg would "
+            "resume mid-run instead of training from scratch; remove the "
+            "directory (or pick different --steps) and re-run"
+        )
     cmd = [
         sys.executable, str(REPO / "train.py"),
         "--preset", preset,
@@ -132,6 +140,53 @@ def train_leg(preset: str, args) -> dict:
     }
 
 
+def _maybe_equal_device_time(doc: dict) -> None:
+    """When the artifact holds a transformer leg and a LONGER mixer leg,
+    record the equal-device-time comparison (the honest restatement of the
+    reference's "~25% faster to train": at matched device seconds the mixer
+    has run ~1.81x the steps — what does that buy in loss/retrieval?)."""
+    st = doc.get("step_time", {})
+    curves = doc.get("curves", {})
+    if not ("mixer-b32" in st and "transformer-b32" in st):
+        return
+    legs = {}
+    for key, leg in curves.items():
+        preset = key.split("@")[0]
+        steps = leg.get("steps_completed") or 0
+        if preset in st and steps:
+            legs.setdefault(preset, []).append((steps, leg))
+    if not ("mixer-b32" in legs and "transformer-b32" in legs):
+        return
+    t_steps, t_leg = max(legs["transformer-b32"])
+    t_dev = t_steps * st["transformer-b32"]["sec_per_step"]
+    # mixer leg whose device time lands closest to the transformer's
+    m_steps, m_leg = min(
+        legs["mixer-b32"],
+        key=lambda sl: abs(sl[0] * st["mixer-b32"]["sec_per_step"] - t_dev),
+    )
+    m_dev = m_steps * st["mixer-b32"]["sec_per_step"]
+
+    def final_retrieval(leg):
+        return {name: series[-1] for name, series in leg.get("retrieval", {}).items()
+                if series}
+
+    doc["equal_device_time"] = {
+        "transformer": {"steps": t_steps, "device_seconds": round(t_dev, 1),
+                        "loss": leg_loss(t_leg), "retrieval_final": final_retrieval(t_leg)},
+        "mixer": {"steps": m_steps, "device_seconds": round(m_dev, 1),
+                  "loss": leg_loss(m_leg), "retrieval_final": final_retrieval(m_leg)},
+        "device_time_mismatch_pct": round(100 * abs(m_dev - t_dev) / t_dev, 2),
+        "note": ("equal DEVICE time (end-to-end wall clock on this host is "
+                 "tunnel-transfer-bound and equal-per-step for both towers); "
+                 "retrieval_final = [step, value] of each leg's last "
+                 "validation pass"),
+    }
+
+
+def leg_loss(leg: dict):
+    return leg.get("loss_last")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=400)
@@ -147,7 +202,26 @@ def main():
     p.add_argument("--out", default="COMPARE_TOWERS.json")
     p.add_argument("--skip-curves", action="store_true",
                    help="only the step-time measurement (no training legs)")
+    p.add_argument("--single-leg", default=None, choices=PRESET_TWINS,
+                   help="run ONE extra training leg (e.g. the mixer at "
+                        "1.81x the transformer's steps for the equal-"
+                        "device-time comparison) and MERGE it into an "
+                        "existing --out under curves['<preset>@<steps>'], "
+                        "keeping the prior step_time/curves blocks")
     args = p.parse_args()
+
+    if args.single_leg:
+        out_path = REPO / args.out
+        doc = json.loads(out_path.read_text()) if out_path.exists() else {}
+        leg = train_leg(args.single_leg, args)
+        key = f"{args.single_leg}@{args.steps}"
+        doc.setdefault("curves", {})[key] = leg
+        doc["curves"][key]["seed"] = args.seed
+        _maybe_equal_device_time(doc)
+        out_path.write_text(json.dumps(doc, indent=2))
+        print(json.dumps({"leg": key, "exit": leg["exit"],
+                          "steps_completed": leg["steps_completed"]}))
+        return 0 if leg["exit"] == 0 and leg["steps_completed"] >= args.steps else 1
 
     doc = {"config": {
         "batch_curves": args.batch, "batch_step_time": args.step_time_batch,
@@ -161,6 +235,7 @@ def main():
     doc["step_time"] = measure_step_times(args.step_time_batch)
     if not args.skip_curves:
         doc["curves"] = {p_: train_leg(p_, args) for p_ in PRESET_TWINS}
+        _maybe_equal_device_time(doc)
     (REPO / args.out).write_text(json.dumps(doc, indent=2))
     print(json.dumps({"mixer_speedup": doc["step_time"]["mixer_speedup"]}))
     # The artifact is written above either way (partial evidence is still
