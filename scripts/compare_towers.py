@@ -145,7 +145,7 @@ def _maybe_equal_device_time(doc: dict) -> None:
     record the equal-device-time comparison (the honest restatement of the
     reference's "~25% faster to train": at matched device seconds the mixer
     has run ~1.81x the steps — what does that buy in loss/retrieval?)."""
-    st = doc.get("step_time", {})
+    st = doc.get("step_time_at_curve_batch", doc.get("step_time", {}))
     curves = doc.get("curves", {})
     if not ("mixer-b32" in st and "transformer-b32" in st):
         return
@@ -202,6 +202,10 @@ def main():
     p.add_argument("--out", default="COMPARE_TOWERS.json")
     p.add_argument("--skip-curves", action="store_true",
                    help="only the step-time measurement (no training legs)")
+    p.add_argument("--match-steps-auto", action="store_true",
+                   help="with --single-leg: set --steps to match the "
+                        "existing transformer leg's device time at the "
+                        "curve batch's measured sec/step")
     p.add_argument("--single-leg", default=None, choices=PRESET_TWINS,
                    help="run ONE extra training leg (e.g. the mixer at "
                         "1.81x the transformer's steps for the equal-"
@@ -213,6 +217,27 @@ def main():
     if args.single_leg:
         out_path = REPO / args.out
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
+        # device step time AT THE CURVE BATCH (the main block measures at
+        # --step-time-batch 1024; the curves train at --batch 512 — the
+        # equal-device-time seconds must use the 512 numbers)
+        doc["step_time_at_curve_batch"] = measure_step_times(args.batch)
+        doc["step_time_at_curve_batch"]["batch"] = args.batch
+        if args.match_steps_auto:
+            # steps for this leg = the transformer leg's device seconds
+            # divided by the mixer's measured sec/step AT THE CURVE BATCH,
+            # rounded to whole epochs so train.py runs exactly that many
+            st = doc["step_time_at_curve_batch"]
+            t_steps = max(
+                (l.get("steps_completed") or 0)
+                for k, l in doc.get("curves", {}).items()
+                if k.split("@")[0] == "transformer-b32")
+            target = t_steps * (st["transformer-b32"]["sec_per_step"]
+                                / st[args.single_leg]["sec_per_step"])
+            args.steps = max(args.steps_per_epoch,
+                             round(target / args.steps_per_epoch)
+                             * args.steps_per_epoch)
+            print(f"[compare] matched steps: {t_steps} transformer steps "
+                  f"-> {args.steps} {args.single_leg} steps", flush=True)
         leg = train_leg(args.single_leg, args)
         key = f"{args.single_leg}@{args.steps}"
         doc.setdefault("curves", {})[key] = leg

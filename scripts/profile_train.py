@@ -82,6 +82,10 @@ def main():
                    help="force the JAX platform (jax.config route; the env "
                    "var is inert under sitecustomize)")
     p.add_argument("--remat-pair-batch", type=int, default=128)
+    p.add_argument("--sweep-batches", default=None, metavar="B1,B2,...",
+                   help="also time the full step at these batches")
+    p.add_argument("--sweep-only", action="store_true",
+                   help="run ONLY --sweep-batches and merge into --out")
     p.add_argument("--out", default=str(REPO / "TRAIN_PROFILE.json"))
     args = p.parse_args()
 
@@ -123,6 +127,56 @@ def main():
         return loss_and_grads
 
     out = {"batch": B, "model": f"{args.preset}, remat on, InfoNCE, AdamW"}
+    if args.sweep_only:
+        # merge just the batch sweep into an existing artifact
+        prior = {}
+        if Path(args.out).exists():
+            prior = json.loads(Path(args.out).read_text())
+        out = prior or out
+
+    # ---- batch-geometry sweep (is B=1024 the right train geometry?) ------
+    if args.sweep_batches:
+        import optax
+        from clip_mixer_tpu.utils.profiling import slope_time as _slope
+
+        # the batch rides as EXPLICIT jit arguments: a closed-over device
+        # array is inlined as an HLO constant, and at B=2048 the 402MB
+        # uint8 constant exceeds the remote-compile tunnel's payload cap
+        # (HTTP 413)
+        @jax.jit
+        def sweep_chain(state, im, tk, n):
+            def body(_, carry):
+                p, o = carry
+                def loss_fn(pp):
+                    fi, ft, scale = clip_model.forward(pp, cfg, pre(im), tk)
+                    return info_nce(fi, ft, scale)
+                _, g = jax.value_and_grad(loss_fn)(p)
+                updates, o2 = opt.update(g, o, p)
+                p = dict(optax.apply_updates(p, updates))
+                p["logit_scale"] = jnp.minimum(p["logit_scale"], tcfg.logit_scale_max)
+                return (p, o2)
+            p, o = jax.lax.fori_loop(0, n, body, state)
+            return p["logit_scale"].astype(jnp.float32)
+
+        sweep = {}
+        for Bs in [int(x) for x in args.sweep_batches.split(",")]:
+            im_s = jnp.asarray(rng.integers(0, 256, (Bs, 256, 256, 3),
+                                            dtype=np.uint8))
+            tk_s = jnp.asarray(rng.integers(1, cfg.vocab_size - 2,
+                                            (Bs, cfg.context_length),
+                                            dtype=np.int32))
+            dt_s = _slope(
+                lambda n: sweep_chain((params, opt_state), im_s, tk_s,
+                                      jnp.int32(n)), 3, 13)
+            sweep[str(Bs)] = {"ms": round(dt_s * 1e3, 1),
+                              "imgs_per_sec": round(Bs / dt_s, 1)}
+            print(f"[sweep] B={Bs}: {dt_s*1e3:.1f} ms", flush=True)
+            del im_s, tk_s
+        out["batch_sweep"] = sweep
+    if args.sweep_only:
+        Path(args.out).write_text(json.dumps(out, indent=2))
+        print(json.dumps(out.get("batch_sweep", {})))
+        return 0
 
     # ---- full step + optimizer/EMA/loss ablations ------------------------
     t_full = chained_train_time(params, opt_state, opt, tcfg.logit_scale_max,
@@ -178,16 +232,16 @@ def main():
         def chained(p, n):
             def body(_, carry):
                 im = imgs + carry.astype(jnp.uint8)
+                # every tower input must carry the loop perturbation or XLA
+                # hoists that tower out of the fori_loop (first run of this
+                # script measured fwd_both == fwd_image: the text encode had
+                # been hoisted as loop-invariant)
+                tt = jnp.clip(toks + carry.astype(jnp.int32), 0, cfg.vocab_size - 1)
                 if kind == "both":
-                    fi, ft, scale = clip_model.forward(p, cfg, pre(im), toks)
+                    fi, ft, scale = clip_model.forward(p, cfg, pre(im), tt)
                     return info_nce(fi, ft, scale).astype(jnp.float32) * 1e-9
-                if kind == "image":
-                    f = clip_model.encode_image(p, cfg, pre(im))
-                else:
-                    # loop-carried perturbation (always 0 in value, but XLA
-                    # cannot hoist the body out of the fori_loop)
-                    t = jnp.clip(toks + carry.astype(jnp.int32), 0, cfg.vocab_size - 1)
-                    f = clip_model.encode_text(p, cfg, t)
+                f = (clip_model.encode_image(p, cfg, pre(im)) if kind == "image"
+                     else clip_model.encode_text(p, cfg, tt))
                 return f.astype(jnp.float32).mean() * 1e-9
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
         return slope_time(lambda n: chained(params, jnp.int32(n)), 3, 13)
@@ -221,19 +275,12 @@ def main():
     out["remat_pair"] = pair
 
     # ---- FLOPs + MFU -----------------------------------------------------
+    # XLA's .compile().cost_analysis() is NOT used: on this remote backend it
+    # reported 1.3 TFLOP for a graph whose matmuls alone are 11 TFLOP (the
+    # DCE'd-grads lowering) — the analytic matmul count is the trustworthy
+    # denominator here, cross-checked against the measured per-tower times.
     fwd_flops = analytic_fwd_flops(cfg, B)
     out["analytic_fwd_matmul_tflops_per_batch"] = round(fwd_flops / 1e12, 3)
-    xla_flops = None
-    try:
-        step_fn = jax.jit(lambda p, im, t: make_lag("info_nce")(p, im, t)[0])
-        ca = step_fn.lower(params, imgs, toks).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        xla_flops = float(ca.get("flops", 0.0)) or None
-    except Exception as e:  # cost analysis is best-effort on remote backends
-        out["xla_cost_analysis"] = f"unavailable: {type(e).__name__}"
-    if xla_flops:
-        out["xla_fwd_bwd_tflops_per_step"] = round(xla_flops / 1e12, 3)
 
     # train matmul FLOPs: fwd + ~2x fwd backward + 1x fwd remat recompute
     train_flops = 4.0 * fwd_flops
