@@ -110,9 +110,24 @@ def _activation_bytes(
     activations in flight but only for its L/S local blocks (GPipe memory
     profile — the microbatch count cancels out of this estimate)."""
     if cfg.is_resnet:
-        # conv trunk: rough NHWC pyramid estimate at the stem resolution
-        b = per_chip_batch // accum_steps
-        return int(b * cfg.image_resolution**2 * 3 * 2 * 8)
+        # Stored NHWC conv pyramid (the ResNet tower has no remat: every
+        # conv input is live for the backward). ModifiedResNet geometry
+        # (reference model.py:12-163): 3-conv stem at res/2, bottleneck
+        # stages (expansion 4) of width w,2w,4w,8w at res/4../32; per
+        # bottleneck ~10c res^2 bf16 values live (conv inputs + expanded
+        # output + identity). The old stem-only estimate undershot RN50x64
+        # by an order of magnitude.
+        b = per_chip_batch // max(accum_steps, 1)
+        w = cfg.vision_width
+        res = cfg.image_resolution
+        bf = 2
+        per_img = (res // 2) ** 2 * 2 * w * bf  # stem convs
+        for i, blocks in enumerate(cfg.vision_layers):
+            c = w * (2 ** i)
+            stage_res = res // (4 * (2 ** i))
+            per_img += blocks * stage_res ** 2 * 10 * c * bf
+        txt_b = b * cfg.context_length * cfg.text_width * cfg.text_layers * bf
+        return int(b * per_img + txt_b)
     bsz = per_chip_batch // max(accum_steps, 1)
     bf16 = 2
     v_tokens, v_width, v_layers = cfg.vision_tokens, cfg.vision_width, cfg.vision_layers
@@ -133,7 +148,26 @@ def _activation_bytes(
         # per-stage blocks, but n_micro microbatches' block inputs stay live
         vis = vis // n_stages
         txt = txt // n_stages
-    return vis + txt
+    # TRANSIENT single-block backward working set: under remat, ONE block's
+    # recompute+backward is live at a time — for attention towers the
+    # [B, H, T, T] score tensors dominate (~3 copies: recomputed scores,
+    # softmax output, score grads) plus the [B, T, 4W] MLP hidden pair.
+    # Omitting this is how the planner cleared vit-l14-336 at B=256 while
+    # the real step OOMed on bf16[256,16,577,577] temps (measured, round 5).
+    def block_transient(tokens, width, heads, attention):
+        t = 2 * tokens * 4 * width * bf16  # MLP hidden fwd + grad
+        if attention:
+            t += 3 * heads * tokens * tokens * bf16
+        else:  # mixer token-mix hidden pair
+            t += 2 * 4 * tokens * width * bf16
+        return bsz * t
+
+    attn = cfg.tower != "mixer"
+    transient = max(
+        block_transient(v_tokens, v_width, cfg.vision_heads if attn else 0, attn),
+        block_transient(t_tokens, t_width, cfg.text_heads, True if attn else False),
+    )
+    return vis + txt + transient
 
 
 def suggest(
