@@ -250,6 +250,30 @@ def resnet_encoder_train(
         slot[key] = {"mean": mean, "var": var, "n": n}
         return _bn_normalize(x, mean, var, bnp["scale"], bnp["bias"])
 
+    def block_fn(bp, x, stride):
+        """One bottleneck; returns (activations, bn batch stats)."""
+        bstats: Dict = {}
+        out = jax.nn.relu(bn_train(bp["bn1"], conv(bp["conv1"], x), bstats, "bn1"))
+        out = jax.nn.relu(bn_train(bp["bn2"], conv(bp["conv2"], out, padding=1), bstats, "bn2"))
+        if stride > 1:
+            out = avg_pool(out, stride)
+        out = bn_train(bp["bn3"], conv(bp["conv3"], out), bstats, "bn3")
+        identity = x
+        if "downsample" in bp:
+            identity = x if stride == 1 else avg_pool(x, stride)
+            ds: Dict = {}
+            identity = bn_train(bp["downsample"]["bn"], conv(bp["downsample"]["conv"], identity), ds, "bn")
+            bstats["downsample"] = ds
+        return jax.nn.relu(out + identity), bstats
+
+    if cfg.remat:
+        # Per-bottleneck rematerialisation: only block INPUTS stay live for
+        # the backward (the stored conv pyramid is what makes un-rematted
+        # RN50x64 training not fit one 16GB chip — utils/memory.plan). The
+        # bn_stats ride through jax.checkpoint as ordinary outputs. stride
+        # is static per call site, so it stays a closure, not an operand.
+        block_fn = jax.checkpoint(block_fn, static_argnums=(2,))
+
     x = images.astype(dt)
     x = jax.nn.relu(bn_train(params["bn1"], conv(params["conv1"], x, stride=2, padding=1), stats, "bn1"))
     x = jax.nn.relu(bn_train(params["bn2"], conv(params["conv2"], x, padding=1), stats, "bn2"))
@@ -259,19 +283,7 @@ def resnet_encoder_train(
         stage_stats = []
         for b, bp in enumerate(params[f"layer{li + 1}"]):
             stride = (1 if li == 0 else 2) if b == 0 else 1
-            bstats: Dict = {}
-            out = jax.nn.relu(bn_train(bp["bn1"], conv(bp["conv1"], x), bstats, "bn1"))
-            out = jax.nn.relu(bn_train(bp["bn2"], conv(bp["conv2"], out, padding=1), bstats, "bn2"))
-            if stride > 1:
-                out = avg_pool(out, stride)
-            out = bn_train(bp["bn3"], conv(bp["conv3"], out), bstats, "bn3")
-            identity = x
-            if "downsample" in bp:
-                identity = x if stride == 1 else avg_pool(x, stride)
-                ds: Dict = {}
-                identity = bn_train(bp["downsample"]["bn"], conv(bp["downsample"]["conv"], identity), ds, "bn")
-                bstats["downsample"] = ds
-            x = jax.nn.relu(out + identity)
+            x, bstats = block_fn(bp, x, stride)
             stage_stats.append(bstats)
         stats[f"layer{li + 1}"] = stage_stats
     return attention_pool(params["attnpool"], x, cfg.vision_heads), stats

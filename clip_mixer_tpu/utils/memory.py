@@ -110,24 +110,31 @@ def _activation_bytes(
     activations in flight but only for its L/S local blocks (GPipe memory
     profile — the microbatch count cancels out of this estimate)."""
     if cfg.is_resnet:
-        # Stored NHWC conv pyramid (the ResNet tower has no remat: every
-        # conv input is live for the backward). ModifiedResNet geometry
-        # (reference model.py:12-163): 3-conv stem at res/2, bottleneck
-        # stages (expansion 4) of width w,2w,4w,8w at res/4../32; per
-        # bottleneck ~10c res^2 bf16 values live (conv inputs + expanded
-        # output + identity). The old stem-only estimate undershot RN50x64
-        # by an order of magnitude.
+        # NHWC conv pyramid, ModifiedResNet geometry (reference
+        # model.py:12-163): 3-conv stem at res/2, bottleneck stages
+        # (expansion 4) of width w,2w,4w,8w at res/4../32. With the
+        # per-bottleneck remat (models/resnet.py, the training default)
+        # only block INPUTS [B, r, r, 4c] stay live, plus ONE block's
+        # recompute transient (~10c r^2 values); without remat every conv
+        # input is stored (~10c r^2 per block) — that stored pyramid is
+        # what keeps un-rematted RN50x64 training off a 16GB chip. The
+        # original stem-only estimate undershot by an order of magnitude.
         b = per_chip_batch // max(accum_steps, 1)
         w = cfg.vision_width
         res = cfg.image_resolution
         bf = 2
-        per_img = (res // 2) ** 2 * 2 * w * bf  # stem convs
+        per_img = (res // 2) ** 2 * 2 * w * bf  # stem convs (not rematted)
+        transient = 0
         for i, blocks in enumerate(cfg.vision_layers):
             c = w * (2 ** i)
             stage_res = res // (4 * (2 ** i))
-            per_img += blocks * stage_res ** 2 * 10 * c * bf
+            if cfg.remat:
+                per_img += blocks * stage_res ** 2 * 4 * c * bf  # inputs
+                transient = max(transient, stage_res ** 2 * 10 * c * bf)
+            else:
+                per_img += blocks * stage_res ** 2 * 10 * c * bf
         txt_b = b * cfg.context_length * cfg.text_width * cfg.text_layers * bf
-        return int(b * per_img + txt_b)
+        return int(b * (per_img + transient) + txt_b)
     bsz = per_chip_batch // max(accum_steps, 1)
     bf16 = 2
     v_tokens, v_width, v_layers = cfg.vision_tokens, cfg.vision_width, cfg.vision_layers

@@ -108,6 +108,9 @@ def run_one(preset: str, args) -> dict:
         batch_size=min(B, 128))
 
     # ---- planner-chosen train batch --------------------------------------
+    # remat is the training default for every tower (per-bottleneck
+    # jax.checkpoint for the ResNet); plan and run the same config
+    cfg = cfg.replace(remat=True)
     shapes = param_shapes(cfg)
     budget = int(args.hbm_gib * (1 << 30) * 0.9)
     chosen = None
@@ -155,11 +158,10 @@ def run_one(preset: str, args) -> dict:
     from clip_mixer_tpu.parallel.train_step import init_train_state, make_train_step
     from clip_mixer_tpu.train.optimizer import make_optimizer
 
-    cfg_t = cfg if cfg.is_resnet else cfg.replace(remat=True)
     tcfg = TrainConfig(global_batch_size=batch, accum_steps=accum)
     opt = make_optimizer(tcfg, total_steps=1000)
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
-    step = make_train_step(cfg_t, tcfg, mesh, opt, accum_steps=accum)
+    step = make_train_step(cfg, tcfg, mesh, opt, accum_steps=accum)
     state = init_train_state(params, opt)
     batch_data = {
         "images": jnp.asarray(rng.integers(0, 256, (batch, res, res, 3),

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from clip_mixer_tpu.config import CLIPConfig, TrainConfig
 from clip_mixer_tpu.models import clip as clip_model
+from clip_mixer_tpu.ops.losses import info_nce
 from clip_mixer_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from clip_mixer_tpu.parallel.train_step import init_train_state, make_eval_forward, make_train_step
 from clip_mixer_tpu.train.optimizer import make_optimizer
@@ -529,3 +530,35 @@ def test_freeze_visual_resnet_locks_bn_buffers_and_uses_eval_stats():
     assert bn == {}
     ref = feats_eval / np.linalg.norm(feats_eval, axis=-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)
+
+
+def test_resnet_remat_grad_equivalence():
+    """Per-bottleneck jax.checkpoint (cfg.remat) must change neither the
+    gradients nor the BN batch stats — remat is a memory schedule, not a
+    numerics change (models/resnet.py block_fn; enables single-chip RN50x64
+    training per utils/memory.plan)."""
+    cfg = CFG.replace(vision_layers=(1, 1, 1, 1), vision_width=8,
+                      vision_patch_size=None, compute_dtype="float32")
+    params = clip_model.init(jax.random.key(3), cfg)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    toks = jnp.asarray(rng.integers(1, cfg.vocab_size - 2, (4, CFG.context_length), np.int32))
+
+    def loss_fn(p, c):
+        img, txt, scale, bn = clip_model.forward_train(p, c, imgs, toks)
+        return info_nce(img, txt, scale), bn
+
+    outs = {}
+    for remat in (False, True):
+        c = cfg.replace(remat=remat)
+        (loss, bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, c)
+        outs[remat] = (float(loss), jax.device_get(bn), jax.device_get(grads))
+
+    assert outs[False][0] == outs[True][0]
+    # forward outputs (incl. BN batch stats) come from the one real forward
+    # pass — bitwise; gradients involve the recompute, whose XLA schedule
+    # reassociates within float tolerance
+    jax.tree_util.tree_map(np.testing.assert_array_equal, outs[False][1], outs[True][1])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7),
+        outs[False][2], outs[True][2])
