@@ -114,7 +114,7 @@ def write_result(out_path, result, leg=None):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data", default="/root/data/dress/0000[0-8].tar")
-    p.add_argument("--val-data", default="/root/data/dress/00009.tar")
+    p.add_argument("--val-data", default="/root/data/dress_val/00000.tar")
     p.add_argument("--cache-dir", default="/root/data/cache")
     p.add_argument("--steps", type=int, default=510)
     p.add_argument("--global-batch", type=int, default=32768)  # training.py:56

@@ -116,3 +116,35 @@ def test_suggest_prices_ema():
     for lbl, p, _ in tried_e:
         if p is not None and lbl in by_label:
             assert p.opt_bytes == by_label[lbl].opt_bytes + by_label[lbl].params_bytes
+
+
+def test_vit_l14_336_transient_term_rejects_oom_batch():
+    """Round-5 hardware lesson, pinned: vit-l14-336 at B=256 OOMs a 16GB
+    v5e on bf16[256,16,577,577] attention-score temps. The planner's
+    transformer-block transient term must price that batch OVER budget,
+    while the accum-microbatch plan that executed on hardware
+    (BIG_PRESETS.json: B=512 accum 8 -> microbatch 64) stays under."""
+    from clip_mixer_tpu.config import PRESETS
+    from clip_mixer_tpu.utils.memory import plan
+
+    cfg = PRESETS["vit-l14-336"].replace(remat=True)
+    budget = int(16 * (1 << 30) * 0.9)
+    assert plan(cfg, "dp", 1, 256).total_bytes > budget
+    assert plan(cfg, "dp", 1, 512, accum_steps=8).total_bytes <= budget
+
+
+def test_rn50x64_fits_only_with_remat():
+    """Round-5 hardware lesson, pinned: the stored conv pyramid keeps
+    un-rematted RN50x64 training off one 16GB chip at ANY batch; the
+    per-bottleneck remat (models/resnet.py) fits B=16, which compiled and
+    ran on hardware (BIG_PRESETS.json)."""
+    from clip_mixer_tpu.config import PRESETS
+    from clip_mixer_tpu.utils.memory import plan
+
+    budget = int(16 * (1 << 30) * 0.9)
+    no_remat = PRESETS["rn50x64"]
+    assert no_remat.remat is False
+    assert all(plan(no_remat, "dp", 1, b).total_bytes > budget
+               for b in (64, 32, 16, 8))
+    remat = no_remat.replace(remat=True)
+    assert plan(remat, "dp", 1, 16).total_bytes <= budget
