@@ -203,12 +203,17 @@ def suggest(
     budget = int(hbm_bytes * headroom)
     shapes = param_shapes(cfg)  # eval_shape once, not once per candidate
 
+    # BN batch stats forbid grad accumulation for the ResNet tower
+    # (train_step.py raises) — suggesting an accum plan there would bless
+    # an unbuildable config.
+    accums = (1,) if cfg.is_resnet else (1, 2, 4, 8)
+
     def candidates():
         yield "dp", dict(mode="dp", n_devices=n_devices), n_devices, 1
-        for a in (1, 2, 4, 8):
+        for a in accums:
             yield f"fsdp accum{a}", dict(mode="fsdp", n_devices=n_devices), n_devices, a
         if n_devices >= 4 and n_devices % 2 == 0:
-            for a in (1, 2, 4, 8):
+            for a in accums:
                 yield (
                     f"fsdp x tp2 accum{a}",
                     dict(mode="fsdp", n_devices=n_devices, n_model=2),
@@ -216,7 +221,7 @@ def suggest(
                     a,
                 )
         if n_devices % 2 == 0:
-            for a in (1, 2, 4, 8):
+            for a in accums:
                 yield f"pp2 accum{a}", dict(mode="pp", n_devices=2), n_devices // 2, a
 
     best = None

@@ -33,6 +33,10 @@ def main():
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--remat-policy", default="none", choices=["none", "mlp_hidden", "all_hidden"],
                    help="include the saved hidden pre-activations in the working set")
+    p.add_argument("--no-remat", action="store_true",
+                   help="price the tower WITHOUT rematerialisation (train.py "
+                        "defaults remat ON for every tower, incl. the "
+                        "per-bottleneck ResNet remat — this prices --no-remat runs)")
     p.add_argument("--ema", action="store_true",
                    help="price a param-EMA copy (TrainConfig.ema_decay): one extra "
                         "params-size in opt_state, sharded like the params")
@@ -48,7 +52,8 @@ def main():
     from clip_mixer_tpu.config import PRESETS
     from clip_mixer_tpu.utils.memory import plan, suggest
 
-    cfg = PRESETS[args.preset].replace(remat_policy=args.remat_policy)
+    cfg = PRESETS[args.preset].replace(remat_policy=args.remat_policy,
+                                       remat=not args.no_remat)
 
     if args.suggest:
         global_batch = args.global_batch or args.batch * args.devices
