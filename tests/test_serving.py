@@ -716,3 +716,24 @@ def test_embed_dataset_input_size_bank(tmp_path):
     plain = InferenceEngine(params, CFG, batch_buckets=(4,))
     with pytest.warns(UserWarning, match="input_hw"):
         plain.load_index_file(bank)
+
+
+def test_cli_frozen_dir_refuses_retrace_flags(tmp_path, monkeypatch):
+    """A --model dir carrying recorded programs serves them by default, so
+    flags that would silently re-trace the encoders (--int8/--all-devices/
+    --input-size) must be refused up front unless --no-frozen opts out
+    (serving.main frozen auto-detect, round 5)."""
+    import sys
+
+    import pytest
+
+    from clip_mixer_tpu import serving
+
+    d = tmp_path / "rel"
+    (d / "servable").mkdir(parents=True)
+    (d / "servable" / "manifest.json").write_text("{}")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["serving", "--model", str(d), "--int8", "scales.npz"])
+    with pytest.raises(SystemExit, match="--int8"):
+        serving.main()
