@@ -139,6 +139,30 @@ def _activation_bytes(
     bf16 = 2
     v_tokens, v_width, v_layers = cfg.vision_tokens, cfg.vision_width, cfg.vision_layers
     t_tokens, t_width, t_layers = cfg.context_length, cfg.text_width, cfg.text_layers
+    if not cfg.remat:
+        # No remat: EVERY block's backward set stays live, not just its
+        # input — the block input [B,T,W], the QuickGELU hidden pair
+        # [B,T,4W]x2, and the attention softmax probs [B,H,T,T] (or the
+        # mixer token-mix hidden pair, [B,4T,W]-sized x2). This ~9-17x
+        # per-block factor is what train.py's "--no-remat needs ~4x more
+        # HBM" measures end-to-end (Mixer-B/32 at 1024 imgs/chip OOMs a
+        # 16GB v5e without remat).
+        attn_ = cfg.tower != "mixer"
+
+        def stored_block(tokens, width, heads):
+            t = tokens * 9 * width  # input + QuickGELU hidden pair
+            if attn_:
+                t += heads * tokens * tokens  # softmax probs
+            else:
+                t += 8 * tokens * width  # token-mix hidden pair
+            return bsz * t * bf16
+
+        vis = v_layers * stored_block(v_tokens, v_width, cfg.vision_heads)
+        txt = t_layers * stored_block(t_tokens, t_width, cfg.text_heads)
+        if n_stages > 1:
+            vis //= n_stages
+            txt //= n_stages
+        return vis + txt
     vis = bsz * v_tokens * v_width * v_layers * bf16
     txt = bsz * t_tokens * t_width * t_layers * bf16
     # remat_policy keeps hidden pre-activations live on top of the block

@@ -77,13 +77,17 @@ def run_one(preset: str, args) -> dict:
     dt = jnp.dtype(cfg.compute_dtype)
 
     def chained(encode, p):
+        # imgs is an explicit jit ARGUMENT: closing over a device batch
+        # inlines it as an HLO constant, and at --infer-batch 512 on a
+        # 448px preset that ~300MB constant blows the remote-compile
+        # tunnel's payload cap (HTTP 413; CLAUDE.md round-5 gotcha).
         @jax.jit
-        def run(pp, n):
+        def run(pp, base, n):
             def body(_, carry):
-                x = normalize_images(imgs + carry.astype(jnp.uint8), dtype=dt)
+                x = normalize_images(base + carry.astype(jnp.uint8), dtype=dt)
                 return encode(pp, x).astype(jnp.float32).mean() * 1e-9
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-        return slope_time(lambda n: run(p, jnp.int32(n)), 2, 8)
+        return slope_time(lambda n: run(p, imgs, jnp.int32(n)), 2, 8)
 
     t_bf16 = chained(lambda p, x: clip_model.encode_image(p, cfg, x), params)
     out["bf16_infer"] = {"batch": B, "ms": round(t_bf16 * 1e3, 1),
@@ -237,6 +241,7 @@ def main():
             r = subprocess.run([sys.executable, __file__, "--preset", preset,
                                 "--infer-batch", str(args.infer_batch),
                                 "--gate-n", str(args.gate_n),
+                                "--hbm-gib", str(args.hbm_gib),
                                 "--out", args.out], cwd=REPO)
             rc |= r.returncode
         return rc

@@ -157,7 +157,7 @@ def _maybe_equal_device_time(doc: dict) -> None:
             legs.setdefault(preset, []).append((steps, leg))
     if not ("mixer-b32" in legs and "transformer-b32" in legs):
         return
-    t_steps, t_leg = max(legs["transformer-b32"])
+    t_steps, t_leg = max(legs["transformer-b32"], key=lambda sl: sl[0])
     t_dev = t_steps * st["transformer-b32"]["sec_per_step"]
     # mixer leg whose device time lands closest to the transformer's
     m_steps, m_leg = min(
@@ -217,6 +217,27 @@ def main():
     if args.single_leg:
         out_path = REPO / args.out
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
+        prior_batch = doc.get("config", {}).get("batch_curves")
+        if prior_batch is not None and prior_batch != args.batch:
+            # sec/step measured at a different batch than the existing
+            # curves trained at would silently poison equal_device_time
+            print(f"[compare] --batch {args.batch} != the artifact's curve "
+                  f"batch {prior_batch}; pass --batch {prior_batch}",
+                  file=sys.stderr)
+            return 1
+        if args.match_steps_auto:
+            t_steps = max(
+                ((l.get("steps_completed") or 0)
+                 for k, l in doc.get("curves", {}).items()
+                 if k.split("@")[0] == "transformer-b32"),
+                default=0)
+            if not t_steps:
+                # fail BEFORE the expensive TPU step-time measurement
+                print("[compare] --match-steps-auto needs an existing "
+                      "transformer-b32 curve leg in --out (run the main "
+                      "comparison or --single-leg transformer-b32 first)",
+                      file=sys.stderr)
+                return 1
         # device step time AT THE CURVE BATCH (the main block measures at
         # --step-time-batch 1024; the curves train at --batch 512 — the
         # equal-device-time seconds must use the 512 numbers)
@@ -227,10 +248,6 @@ def main():
             # divided by the mixer's measured sec/step AT THE CURVE BATCH,
             # rounded to whole epochs so train.py runs exactly that many
             st = doc["step_time_at_curve_batch"]
-            t_steps = max(
-                (l.get("steps_completed") or 0)
-                for k, l in doc.get("curves", {}).items()
-                if k.split("@")[0] == "transformer-b32")
             target = t_steps * (st["transformer-b32"]["sec_per_step"]
                                 / st[args.single_leg]["sec_per_step"])
             args.steps = max(args.steps_per_epoch,

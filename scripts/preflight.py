@@ -146,8 +146,12 @@ def check_capacity(preset: str, devices: int, global_batch: int, hbm_gib: float)
         from clip_mixer_tpu.config import PRESETS
         from clip_mixer_tpu.utils.memory import suggest
 
+        # price at train.py's default remat=True (the estimator is
+        # cfg-driven; the raw preset default remat=False would price the
+        # stored-activation set and wrongly NO-GO fitting configs)
         best, _ = suggest(
-            PRESETS[preset], devices, global_batch, hbm_bytes=int(hbm_gib * (1 << 30))
+            PRESETS[preset].replace(remat=True), devices, global_batch,
+            hbm_bytes=int(hbm_gib * (1 << 30)),
         )
         if best is None:
             report(

@@ -69,17 +69,39 @@ def test_accum_divides_activations():
 def test_suggest_prefers_dp_when_everything_fits():
     from clip_mixer_tpu.utils.memory import suggest
 
-    best, tried = suggest(PRESETS["mixer-b32"], 8, global_batch=8192)
+    # remat=True = train.py's default; the estimator is cfg-driven
+    best, tried = suggest(PRESETS["mixer-b32"].replace(remat=True), 8,
+                          global_batch=8192)
     assert best is not None and best.mode.startswith("dp")
     # dp is the first candidate, so nothing before it to check
     assert tried[0][1] is best
+
+
+def test_no_remat_pricing_is_not_a_noop():
+    """Review catch (round 5): --no-remat silently priced the rematted
+    working set for transformer/mixer towers, blessing configs train.py
+    itself documents as OOMing (~4x more HBM without remat). The stored
+    per-block backward set must dominate the inputs-only remat estimate,
+    and no-remat Mixer-B/32 at 1024 imgs/chip must NOT fit a 16GB chip."""
+    cfg = PRESETS["mixer-b32"]
+    on = plan(cfg.replace(remat=True), "dp", 8, per_chip_batch=1024)
+    off = plan(cfg.replace(remat=False), "dp", 8, per_chip_batch=1024)
+    assert off.act_bytes > 4 * on.act_bytes
+    assert off.total_bytes > 16 << 30 > on.total_bytes
+    # attention twin: softmax probs [B,H,T,T] are part of the stored set
+    t_on = plan(PRESETS["transformer-b32"].replace(remat=True), "dp", 8,
+                per_chip_batch=1024)
+    t_off = plan(PRESETS["transformer-b32"].replace(remat=False), "dp", 8,
+                 per_chip_batch=1024)
+    assert t_off.act_bytes > 4 * t_on.act_bytes
 
 
 def test_suggest_escalates_to_first_fitting_candidate():
     from clip_mixer_tpu.utils.memory import suggest
 
     # ViT-L/14 at 4096/chip: activations blow 16 GiB until accum divides them
-    best, tried = suggest(PRESETS["vit-l14"], 8, global_batch=32768)
+    best, tried = suggest(PRESETS["vit-l14"].replace(remat=True), 8,
+                          global_batch=32768)
     assert best is not None and best.mode.startswith("fsdp")
     assert best.total_bytes <= int(0.9 * (16 << 30))
     # internal consistency: every candidate ranked before the pick overflows
