@@ -778,8 +778,13 @@ def main():  # pragma: no cover - CLI
     # those (the reference's load(jit=True) deployment mode) unless told not
     # to. load_servable rebuilds any recorded mesh itself, so the frozen
     # path is incompatible with flags that would re-trace the encoders.
-    frozen_manifest = os.path.join(args.model, "servable", "manifest.json")
-    if not args.no_frozen and os.path.isfile(frozen_manifest):
+    # epath via api._as_path, NOT os.path: a raw os.path.isfile on a
+    # gs:// release dir is always False and would silently live-jit a
+    # deployment that pledged never to re-trace (CLAUDE.md gs:// rule).
+    from clip_mixer_tpu.api import _as_path
+
+    frozen_manifest = _as_path(args.model) / "servable" / "manifest.json"
+    if not args.no_frozen and frozen_manifest.exists():
         for flag, name in ((args.int8, "--int8"), (args.all_devices, "--all-devices"),
                            (args.input_size, "--input-size")):
             if flag:

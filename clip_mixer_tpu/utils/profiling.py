@@ -57,17 +57,19 @@ def chained_train_time(
     loop-invariant; scalar fetch forces the chain) live in one place.
 
     ``loss_and_grads(params, *batch) -> (loss, grads)`` defines the step's
-    backward; ``batch`` is a tuple of device arrays closed over as chain
-    inputs (perturbation is unnecessary — the params carry changes every
-    iteration)."""
+    backward; ``batch`` is a tuple of device arrays passed as EXPLICIT jit
+    arguments — a closed-over device batch is inlined as an HLO constant,
+    and at B=2048 the ~400MB uint8 constant exceeds the remote-compile
+    tunnel's payload cap (HTTP 413). Perturbation is unnecessary — the
+    params carry changes every iteration."""
     import jax.numpy as jnp
     import optax
 
     @jax.jit
-    def chained(state, n):
+    def chained(state, batch_args, n):
         def body(_, carry):
             p, o = carry
-            _, grads = loss_and_grads(p, *batch)
+            _, grads = loss_and_grads(p, *batch_args)
             updates, o = opt.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             p = dict(p)
@@ -77,7 +79,9 @@ def chained_train_time(
         p, o = jax.lax.fori_loop(0, n, body, state)
         return p["logit_scale"].astype(jnp.float32)  # forces the chain
 
-    return slope_time(lambda n: chained((params, opt_state), jnp.int32(n)), n1, n2)
+    return slope_time(
+        lambda n: chained((params, opt_state), tuple(batch), jnp.int32(n)), n1, n2
+    )
 
 
 class StepTimer:

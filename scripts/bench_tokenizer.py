@@ -49,7 +49,10 @@ def load_captions(n: int, shard_glob: str) -> tuple:
     """n captions: real .txt members from local tar shards if present,
     else deterministic synthetic captions."""
     caps = []
-    shards = sorted(Path("/").glob(shard_glob.lstrip("/")))
+    if Path(shard_glob).is_absolute():
+        shards = sorted(Path("/").glob(shard_glob.lstrip("/")))
+    else:  # relative globs resolve against the cwd, like every other CLI
+        shards = sorted(Path(".").glob(shard_glob))
     for shard in shards:
         try:
             with tarfile.open(shard) as tf:

@@ -93,18 +93,25 @@ def measure_step_times(batch: int):
     return out
 
 
-def train_leg(preset: str, args, run_name: str = None) -> dict:
-    from dress_rehearsal import read_metrics, thin  # same distillation
-
-    # a distinct run dir per (preset, steps): an existing checkpoint dir
-    # would silently RESUME instead of training the leg from scratch
-    run_name = run_name or f"compare_{preset}_{args.steps}"
+def check_fresh_run_dir(preset: str, steps: int) -> str:
+    """A distinct run dir per (preset, steps): an existing checkpoint dir
+    would silently RESUME instead of training the leg from scratch. Called
+    as a PREFLIGHT on every leg before any measurement or training — a
+    stale second-leg dir must not surface hours into the run."""
+    run_name = f"compare_{preset}_{steps}"
     if (REPO / "outputs" / run_name / "checkpoints").exists():
         raise SystemExit(
             f"outputs/{run_name} already has checkpoints — the leg would "
             "resume mid-run instead of training from scratch; remove the "
             "directory (or pick different --steps) and re-run"
         )
+    return run_name
+
+
+def train_leg(preset: str, args, run_name: str = None) -> dict:
+    from dress_rehearsal import read_metrics, thin  # same distillation
+
+    run_name = run_name or check_fresh_run_dir(preset, args.steps)
     cmd = [
         sys.executable, str(REPO / "train.py"),
         "--preset", preset,
@@ -238,6 +245,8 @@ def main():
                       "comparison or --single-leg transformer-b32 first)",
                       file=sys.stderr)
                 return 1
+        if not args.match_steps_auto:
+            check_fresh_run_dir(args.single_leg, args.steps)
         # device step time AT THE CURVE BATCH (the main block measures at
         # --step-time-batch 1024; the curves train at --batch 512 — the
         # equal-device-time seconds must use the 512 numbers)
@@ -274,6 +283,9 @@ def main():
                            "tests/clipFigures.py:40-43 stand-in on local "
                            "natural-ish shards (zero egress)",
     }}
+    if not args.skip_curves:
+        for p_ in PRESET_TWINS:
+            check_fresh_run_dir(p_, args.steps)
     doc["step_time"] = measure_step_times(args.step_time_batch)
     if not args.skip_curves:
         doc["curves"] = {p_: train_leg(p_, args) for p_ in PRESET_TWINS}

@@ -184,15 +184,18 @@ def main():
     out["full_ms"] = round(t_full * 1e3, 1)
     out["imgs_per_sec"] = round(B / t_full, 1)
 
+    # batches ride as explicit jit arguments in every chain below (a
+    # closed-over device batch inlines as an HLO constant; at B=2048 the
+    # ~400MB constant blows the remote-compile tunnel's payload cap)
     @jax.jit
-    def sgd_chain(p, n):
+    def sgd_chain(p, im, tk, n):
         def body(_, pp):
-            _, g = make_lag("info_nce")(pp, imgs, toks)
+            _, g = make_lag("info_nce")(pp, im, tk)
             return jax.tree_util.tree_map(lambda a, b: a - 1e-6 * b.astype(a.dtype), pp, g)
         p = jax.lax.fori_loop(0, n, body, p)
         return p["logit_scale"].astype(jnp.float32)
 
-    t_sgd = slope_time(lambda n: sgd_chain(params, jnp.int32(n)), 3, 13)
+    t_sgd = slope_time(lambda n: sgd_chain(params, imgs, toks, jnp.int32(n)), 3, 13)
     out["sgd_apply_ms"] = round(t_sgd * 1e3, 1)
     out["adamw_cost_ms"] = round((t_full - t_sgd) * 1e3, 1)
 
@@ -205,10 +208,10 @@ def main():
     opt_state_ema = jax.jit(opt_ema.init)(params)
 
     @jax.jit
-    def ema_chain(state, n):
+    def ema_chain(state, im, tk, n):
         def body(_, carry):
             p, o = carry
-            _, g = make_lag("info_nce")(p, imgs, toks)
+            _, g = make_lag("info_nce")(p, im, tk)
             updates, o = opt_ema.update(g, o, p)
             p = dict(optax.apply_updates(p, updates))
             p["logit_scale"] = jnp.minimum(p["logit_scale"], tcfg.logit_scale_max)
@@ -217,7 +220,8 @@ def main():
         p, o = jax.lax.fori_loop(0, n, body, state)
         return p["logit_scale"].astype(jnp.float32)
 
-    t_ema = slope_time(lambda n: ema_chain((params, opt_state_ema), jnp.int32(n)), 3, 13)
+    t_ema = slope_time(
+        lambda n: ema_chain((params, opt_state_ema), imgs, toks, jnp.int32(n)), 3, 13)
     out["ema_step_ms"] = round(t_ema * 1e3, 1)
     out["ema_cost_ms"] = round((t_ema - t_full) * 1e3, 1)
 
@@ -229,14 +233,14 @@ def main():
     # ---- forward-only legs ----------------------------------------------
     def fwd_chain(kind):
         @jax.jit
-        def chained(p, n):
+        def chained(p, base_im, base_tk, n):
             def body(_, carry):
-                im = imgs + carry.astype(jnp.uint8)
+                im = base_im + carry.astype(jnp.uint8)
                 # every tower input must carry the loop perturbation or XLA
                 # hoists that tower out of the fori_loop (first run of this
                 # script measured fwd_both == fwd_image: the text encode had
                 # been hoisted as loop-invariant)
-                tt = jnp.clip(toks + carry.astype(jnp.int32), 0, cfg.vocab_size - 1)
+                tt = jnp.clip(base_tk + carry.astype(jnp.int32), 0, cfg.vocab_size - 1)
                 if kind == "both":
                     fi, ft, scale = clip_model.forward(p, cfg, pre(im), tt)
                     return info_nce(fi, ft, scale).astype(jnp.float32) * 1e-9
@@ -244,7 +248,7 @@ def main():
                      else clip_model.encode_text(p, cfg, tt))
                 return f.astype(jnp.float32).mean() * 1e-9
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-        return slope_time(lambda n: chained(params, jnp.int32(n)), 3, 13)
+        return slope_time(lambda n: chained(params, imgs, toks, jnp.int32(n)), 3, 13)
 
     t_fwd = fwd_chain("both")
     out["fwd_only_ms"] = round(t_fwd * 1e3, 1)

@@ -86,17 +86,22 @@ def load_payloads(n_imgs=512, n_caps=256):
                         break
         except (OSError, tarfile.TarError):
             continue
-    if not jpegs:
+    n_real = len(jpegs)
+    if len(jpegs) < n_imgs or len(caps) < n_caps:
+        # TOP UP to the exact requested counts — run_suite slices fixed
+        # [0:128]/[128:256]-style windows, so a partially-filled shard
+        # (fewer than n_imgs jpegs) would silently post empty batches
         from PIL import Image
 
         rng = np.random.default_rng(0)
-        for _ in range(n_imgs):
+        while len(jpegs) < n_imgs:
             arr = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
             buf = io.BytesIO()
             Image.fromarray(arr).save(buf, "JPEG")
             jpegs.append(buf.getvalue())
-        caps = [f"a photo of object number {i}" for i in range(n_caps)]
-    return jpegs, caps
+        while len(caps) < n_caps:
+            caps.append(f"a photo of object number {len(caps)}")
+    return jpegs, caps, n_real
 
 
 class Server:
@@ -254,7 +259,7 @@ def run_suite(srv: Server, jpegs, caps, quick=False):
 def cold_probe(model_arg, log_name):
     """Start WITHOUT --warmup; time healthz + the first encode requests
     (the compile tail live jit pays and frozen programs don't)."""
-    jpegs, _ = PAYLOADS
+    jpegs, _, _ = PAYLOADS
     with Server([ "--model", model_arg], log_name) as srv:
         t0 = time.perf_counter()
         srv.client.encode_image_files(jpegs[:32])
@@ -287,7 +292,7 @@ def main():
 
     ASSETS.mkdir(parents=True, exist_ok=True)
     PAYLOADS = load_payloads()
-    jpegs, caps = PAYLOADS
+    jpegs, caps, n_real_jpegs = PAYLOADS
 
     model = ASSETS / "model"
     calib = ASSETS / "calib.npz"
@@ -316,7 +321,9 @@ def main():
 
     doc = {"config": {
         "model": "mixer-b32 (random-init seed 0, identical across legs)",
-        "payloads": "256px dress-shard JPEGs (server-side PIL decode+resize)",
+        "payloads": (f"256px JPEGs, {n_real_jpegs}/{len(jpegs)} from the dress "
+                     "shards (synthetic top-up for the rest; server-side PIL "
+                     "decode+resize)"),
         "quick": bool(args.quick),
         "environment_note": (
             "TPU reached through the axon tunnel: ~0.2s dispatch RTT, "
@@ -348,13 +355,18 @@ def main():
             doc[name] = run_suite(srv, jpegs, caps, quick=args.quick)
         Path(args.out).write_text(json.dumps(doc, indent=2))  # checkpoint
 
-    # raw in-process engine: micro-batching efficiency baseline (no HTTP)
-    sh([sys.executable, "scripts/bench_serving.py"], "raw_engine", timeout=3600)
-    raw_tail = (ASSETS / "raw_engine.log").read_text().strip().splitlines()
+    # raw in-process engine: micro-batching efficiency baseline (no HTTP).
+    # A baseline crash must not discard the completed HTTP legs above —
+    # record the error in the artifact instead of raising out of main().
     try:
+        sh([sys.executable, "scripts/bench_serving.py"], "raw_engine",
+           timeout=3600)
+        raw_tail = (ASSETS / "raw_engine.log").read_text().strip().splitlines()
         doc["raw_engine_no_http"] = json.loads(raw_tail[-1])
-    except (json.JSONDecodeError, IndexError):
-        doc["raw_engine_no_http"] = {"error": "bench_serving.py produced no JSON"}
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            json.JSONDecodeError, IndexError, OSError) as e:
+        doc["raw_engine_no_http"] = {
+            "error": f"bench_serving.py failed: {type(e).__name__}: {e}"}
 
     Path(args.out).write_text(json.dumps(doc, indent=2))
     print(json.dumps({

@@ -369,7 +369,10 @@ def main():
         # only reorder the one-time fill pass.
         data.shuffle_buffer = 0
         cache_dir = args.cache_data if isinstance(args.cache_data, str) else None
-        data = CacheSource(data, cache_dir=cache_dir)  # seed 0, as the inner default
+        # --seed governs the per-epoch permutation too (the (seed, epoch, b)
+        # pure function); leaving the default 0 here made --seed a no-op for
+        # cached data order (review catch, round 5)
+        data = CacheSource(data, cache_dir=cache_dir, seed=args.seed)
 
     validators = []
     if not args.no_validators:
