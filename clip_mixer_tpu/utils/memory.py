@@ -133,7 +133,19 @@ def _activation_bytes(
                 transient = max(transient, stage_res ** 2 * 10 * c * bf)
             else:
                 per_img += blocks * stage_res ** 2 * 10 * c * bf
-        txt_b = b * cfg.context_length * cfg.text_width * cfg.text_layers * bf
+        # the text tower follows cfg.tower (a transformer for the RN
+        # presets) and cfg.remat independently of the conv pyramid: price
+        # its stored backward set too when remat is off, not inputs-only
+        if cfg.remat:
+            txt_b = b * cfg.context_length * cfg.text_width * cfg.text_layers * bf
+        else:
+            per_tok = 9 * cfg.text_width  # input + QuickGELU hidden pair
+            per_block = cfg.context_length * per_tok
+            if cfg.tower == "mixer":
+                per_block += 8 * cfg.context_length * cfg.text_width
+            else:
+                per_block += cfg.text_heads * cfg.context_length ** 2
+            txt_b = b * cfg.text_layers * per_block * bf
         return int(b * (per_img + transient) + txt_b)
     bsz = per_chip_batch // max(accum_steps, 1)
     bf16 = 2

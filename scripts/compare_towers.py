@@ -224,7 +224,8 @@ def main():
     if args.single_leg:
         out_path = REPO / args.out
         doc = json.loads(out_path.read_text()) if out_path.exists() else {}
-        prior_batch = doc.get("config", {}).get("batch_curves")
+        prior_batch = (doc.get("config", {}).get("batch_curves")
+                       or doc.get("step_time_at_curve_batch", {}).get("batch"))
         if prior_batch is not None and prior_batch != args.batch:
             # sec/step measured at a different batch than the existing
             # curves trained at would silently poison equal_device_time
@@ -265,6 +266,9 @@ def main():
             print(f"[compare] matched steps: {t_steps} transformer steps "
                   f"-> {args.steps} {args.single_leg} steps", flush=True)
         leg = train_leg(args.single_leg, args)
+        # record the curve batch so later single-leg runs hit the guard
+        # even when the artifact was never written by the two-leg path
+        doc.setdefault("config", {}).setdefault("batch_curves", args.batch)
         key = f"{args.single_leg}@{args.steps}"
         doc.setdefault("curves", {})[key] = leg
         doc["curves"][key]["seed"] = args.seed

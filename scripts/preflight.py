@@ -141,16 +141,16 @@ def check_data(pattern: str):
         report("data shards", False, f"first shard unreadable: {e!r}")
 
 
-def check_capacity(preset: str, devices: int, global_batch: int, hbm_gib: float):
+def check_capacity(preset: str, devices: int, global_batch: int, hbm_gib: float,
+                   remat: bool = True):
     try:
         from clip_mixer_tpu.config import PRESETS
         from clip_mixer_tpu.utils.memory import suggest
 
-        # price at train.py's default remat=True (the estimator is
-        # cfg-driven; the raw preset default remat=False would price the
-        # stored-activation set and wrongly NO-GO fitting configs)
+        # price at the remat mode the run will actually use (train.py
+        # defaults remat ON; --no-remat preflights price the stored set)
         best, _ = suggest(
-            PRESETS[preset].replace(remat=True), devices, global_batch,
+            PRESETS[preset].replace(remat=remat), devices, global_batch,
             hbm_bytes=int(hbm_gib * (1 << 30)),
         )
         if best is None:
@@ -202,6 +202,9 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--global-batch", type=int, default=8192)
     p.add_argument("--hbm-gib", type=float, default=16.0)
+    p.add_argument("--no-remat", action="store_true",
+                   help="price capacity for a train.py --no-remat run "
+                        "(stored activations, ~4-10x the remat working set)")
     p.add_argument("--device-timeout", type=int, default=60)
     p.add_argument("--platform", default=None,
                    help="probe this platform instead of the ambient one "
@@ -216,7 +219,8 @@ def main(argv=None):
     if args.data:
         check_data(args.data)
     if args.preset:
-        check_capacity(args.preset, args.devices, args.global_batch, args.hbm_gib)
+        check_capacity(args.preset, args.devices, args.global_batch, args.hbm_gib,
+                       remat=not args.no_remat)
     if args.full:
         check_train_smoke()
 
